@@ -1,0 +1,604 @@
+"""Dataset and VectorStore — the user-facing engine objects.
+
+Design translation from the reference (SURVEY.md section 7):
+
+  SQLite table + BLOB column      -> Dataset: HBM-resident [N, dim] array plus
+                                     int64 row ids, padded to a power-of-two
+                                     capacity (static shapes for XLA).
+  vector_init(t, c, opts)         -> VectorStore.create(name, options...)
+                                     (src/sqlite-vector.c:2491-2543)
+  vector_quantize(t, c, opts)     -> Dataset.quantize()       (:1406-1459)
+  vector_quantize_preload(t, c)   -> Dataset.preload()        (:1338-1404)
+  vector_quantize_memory(t, c)    -> Dataset.quantize_memory() (:1486-1499)
+  vector_quantize_cleanup(t, c)   -> Dataset.drop_quantization() (:1501-1524)
+  vector_full_scan(t, c, v, k)    -> Dataset.search(q, k, exact=True)
+  vector_quantize_scan(t, c, v, k)-> Dataset.search(q, k, exact=False)
+  *_stream virtual tables         -> Dataset.distances(q)
+  streaming inserts, no reindex   -> Dataset.add(vecs, ids): amortized
+                                     capacity doubling; quantized codes go
+                                     stale until quantize() re-runs (same
+                                     contract as the reference, API.md:242)
+  _sqliteai_vector metadata       -> JSON manifest (Dataset.save/load)
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import json
+import os
+from typing import Any, Sequence
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from sqlite_vector_tpu.codec import blob_to_array, vector_from_json
+from sqlite_vector_tpu.errors import (
+    VectorCodecError,
+    VectorConfigError,
+    VectorStateError,
+)
+from sqlite_vector_tpu.ops.quantize import (
+    minmax_and_negative,
+    quantize_device,
+    resolve_quant_params,
+)
+from sqlite_vector_tpu.ops.scan import scan_distances, scan_topk
+from sqlite_vector_tpu.types import (
+    DistanceMetric,
+    QuantType,
+    VectorOptions,
+    VectorType,
+    parse_options,
+)
+
+MIN_CAPACITY = 1024
+
+
+def _next_capacity(n: int) -> int:
+    cap = MIN_CAPACITY
+    while cap < n:
+        cap *= 2
+    return cap
+
+
+@dataclasses.dataclass
+class _QuantState:
+    qtype: QuantType
+    scale: np.float32
+    offset: np.float32
+    codes: jnp.ndarray | None  # [cap, dim] u8/i8 on device
+    count: int  # rows quantized
+    sq_norms: jnp.ndarray | None = None  # cached int32 |b|^2 for L2/cosine
+    stale: bool = False  # set when rows are added/changed after quantize
+
+
+class Dataset:
+    """A named collection of fixed-dimension vectors with one distance metric.
+
+    The TPU analogue of an initialized (table, column) pair in the reference's
+    per-connection registry (table_context, src/sqlite-vector.c:126-142).
+    """
+
+    def __init__(
+        self,
+        name: str,
+        options: VectorOptions,
+        *,
+        device: Any = None,
+        sharding: Any = None,
+    ):
+        if options.dimension <= 0:
+            raise VectorConfigError(
+                "Required 'dimension' option is missing (it must be specified "
+                "in vector_init)."
+            )
+        self.name = name
+        self.options = options
+        self._device = device
+        self._sharding = sharding
+        self._count = 0
+        self._ids = np.zeros((0,), dtype=np.int64)
+        self._next_rowid = 1
+        self._vectors: jnp.ndarray | None = None  # [cap, dim] device array
+        self._sq_norms: jnp.ndarray | None = None  # cached f32 row sq-norms
+        self._quant: _QuantState | None = None
+        # host mirror for persistence / streaming appends
+        self._host_vectors = np.zeros((0, options.dimension), options.type.np_dtype)
+
+    # -- properties ---------------------------------------------------------
+
+    def __len__(self) -> int:
+        return self._count
+
+    @property
+    def dimension(self) -> int:
+        return self.options.dimension
+
+    @property
+    def dtype(self) -> VectorType:
+        return self.options.type
+
+    @property
+    def metric(self) -> DistanceMetric:
+        return self.options.distance
+
+    @property
+    def is_quantized(self) -> bool:
+        return self._quant is not None
+
+    @property
+    def quant_params(self) -> tuple[QuantType, float, float] | None:
+        q = self._quant
+        return (q.qtype, float(q.scale), float(q.offset)) if q else None
+
+    @property
+    def ids(self) -> np.ndarray:
+        return self._ids[: self._count]
+
+    def memory_bytes(self) -> int:
+        """HBM bytes held by the exact-scan matrix (padded capacity)."""
+        total = 0
+        if self._vectors is not None:
+            total += self._vectors.size * self._vectors.dtype.itemsize
+        if self._quant is not None and self._quant.codes is not None:
+            total += self._quant.codes.size
+        return total
+
+    # -- ingestion -----------------------------------------------------------
+
+    def add(
+        self,
+        vectors: np.ndarray | Sequence[Any],
+        ids: Sequence[int] | np.ndarray | None = None,
+    ) -> np.ndarray:
+        """Append vectors; returns the assigned int64 row ids.
+
+        Accepts a [N, dim] array (any castable dtype), a single [dim] vector,
+        JSON array strings, or raw little-endian blobs. Zero-cost updates:
+        no index rebuild; the quantized codes are merely marked stale
+        (reference contract: README.md:117, API.md:242).
+        """
+        arr = self._coerce_batch(vectors)
+        n_new = arr.shape[0]
+        if n_new == 0:
+            return np.zeros((0,), np.int64)
+        if ids is None:
+            new_ids = np.arange(
+                self._next_rowid, self._next_rowid + n_new, dtype=np.int64
+            )
+        else:
+            new_ids = np.asarray(ids, dtype=np.int64)
+            if new_ids.shape != (n_new,):
+                raise VectorConfigError("ids must have one entry per vector")
+        self._next_rowid = max(self._next_rowid, int(new_ids.max()) + 1)
+
+        self._host_vectors = np.concatenate([self._host_vectors, arr], axis=0)
+        self._ids = np.concatenate([self._ids, new_ids])
+        self._count += n_new
+        self._sync_device()
+        if self._quant is not None:
+            self._quant.stale = True
+        return new_ids
+
+    def _coerce_batch(self, vectors: Any) -> np.ndarray:
+        dim = self.dimension
+        np_dtype = self.dtype.np_dtype
+        if isinstance(vectors, (str, bytes, bytearray, memoryview)):
+            vectors = [vectors]
+        if isinstance(vectors, np.ndarray) and vectors.ndim in (1, 2):
+            arr = np.atleast_2d(vectors)
+            if arr.shape[1] != dim:
+                raise VectorCodecError(
+                    f"Invalid vector dimension: expected {dim} but found {arr.shape[1]}."
+                )
+            return np.ascontiguousarray(arr.astype(np_dtype))
+        rows = []
+        for v in vectors:
+            if isinstance(v, str):
+                rows.append(vector_from_json(v, self.dtype, dim))
+            elif isinstance(v, (bytes, bytearray, memoryview)):
+                rows.append(blob_to_array(bytes(v), self.dtype, dim))
+            else:
+                a = np.asarray(v)
+                if a.shape != (dim,):
+                    raise VectorCodecError(
+                        f"Invalid vector dimension: expected {dim} but found {a.shape[-1]}."
+                    )
+                rows.append(a.astype(np_dtype))
+        return np.stack(rows) if rows else np.zeros((0, dim), np_dtype)
+
+    def _put(self, arr: np.ndarray) -> jnp.ndarray:
+        if self._sharding is not None:
+            return jax.device_put(arr, self._sharding)
+        if self._device is not None:
+            return jax.device_put(arr, self._device)
+        return jnp.asarray(arr)
+
+    def _sync_device(self) -> None:
+        cap = _next_capacity(self._count)
+        cur_cap = 0 if self._vectors is None else self._vectors.shape[0]
+        if cap != cur_cap:
+            padded = np.zeros((cap, self.dimension), self.dtype.np_dtype)
+            padded[: self._count] = self._host_vectors
+            self._vectors = self._put(padded)
+        else:
+            # capacity unchanged: re-upload only happens on growth batches
+            padded = np.zeros((cap, self.dimension), self.dtype.np_dtype)
+            padded[: self._count] = self._host_vectors
+            self._vectors = self._put(padded)
+        self._sq_norms = None  # recomputed lazily
+
+    # -- queries --------------------------------------------------------------
+
+    def _coerce_queries(self, queries: Any) -> tuple[np.ndarray, bool]:
+        """Returns (queries [B, dim] in the dataset dtype, was_single)."""
+        dim = self.dimension
+        if isinstance(queries, str):
+            q = vector_from_json(queries, self.dtype, dim)[None, :]
+            return q, True
+        if isinstance(queries, (bytes, bytearray, memoryview)):
+            return blob_to_array(bytes(queries), self.dtype, dim)[None, :], True
+        arr = np.asarray(queries)
+        single = arr.ndim == 1
+        arr = np.atleast_2d(arr)
+        if arr.shape[1] != dim:
+            raise VectorCodecError(
+                f"Invalid vector dimension: expected {dim} but found {arr.shape[1]}."
+            )
+        return arr.astype(self.dtype.np_dtype), single
+
+    def _exact_sq_norms(self) -> jnp.ndarray | None:
+        if self.metric not in (
+            DistanceMetric.L2,
+            DistanceMetric.SQUARED_L2,
+            DistanceMetric.COSINE,
+        ):
+            return None
+        if self._sq_norms is None and self._vectors is not None:
+            v = self._vectors.astype(jnp.float32)
+            self._sq_norms = jax.jit(lambda x: jnp.sum(x * x, axis=-1))(v)
+        return self._sq_norms
+
+    def search(
+        self, queries: Any, k: int, *, exact: bool = True
+    ) -> tuple[np.ndarray, np.ndarray]:
+        """Top-k nearest neighbors.
+
+        Returns (ids [B, k] int64, distances [B, k] float32), both sorted by
+        ascending distance. Slots beyond the number of available rows hold
+        id -1 / distance +inf (the reference trims them;
+        src/sqlite-vector.c:1816-1817). Single-vector queries return [k]
+        shaped results with unfilled slots trimmed.
+        """
+        if k < 0:
+            raise VectorConfigError("k must be >= 0")
+        q, single = self._coerce_queries(queries)
+        if k == 0 or self._count == 0:
+            # k=0 -> empty result (reference :1796)
+            if single:
+                return np.zeros((0,), np.int64), np.zeros((0,), np.float32)
+            return (
+                np.full((q.shape[0], k), -1, np.int64),
+                np.full((q.shape[0], k), np.inf, np.float32),
+            )
+
+        if exact:
+            vals, idx = self._search_exact(q, k)
+        else:
+            vals, idx = self._search_quantized(q, k)
+
+        vals = np.asarray(vals)
+        idx = np.asarray(idx)
+        out_ids = np.where(idx >= 0, self._ids[np.clip(idx, 0, None)], -1)
+        if single:
+            keep = idx[0] >= 0
+            return out_ids[0][keep], vals[0][keep]
+        return out_ids, vals
+
+    def _search_exact(self, q: np.ndarray, k: int):
+        qd = self._put(q)
+        return scan_topk(
+            qd,
+            self._vectors,
+            self.metric,
+            k,
+            valid_count=self._count,
+            base_sq_norms=self._exact_sq_norms(),
+        )
+
+    def _search_quantized(self, q: np.ndarray, k: int):
+        quant = self._require_quant("vector_quantize_scan")
+        # quantize the query with the stored scale/offset
+        # (src/sqlite-vector.c:2162-2177)
+        qq = quantize_device(self._put(q), quant.scale, quant.offset, quant.qtype)
+        if quant.sq_norms is None and self.metric in (
+            DistanceMetric.L2,
+            DistanceMetric.SQUARED_L2,
+            DistanceMetric.COSINE,
+        ):
+            codes = quant.codes
+            quant.sq_norms = jax.jit(
+                lambda x: jnp.sum(x.astype(jnp.int32) * x.astype(jnp.int32), axis=-1)
+            )(codes)
+        return scan_topk(
+            qq,
+            quant.codes,
+            self.metric,
+            k,
+            valid_count=quant.count,
+            base_sq_norms=quant.sq_norms,
+        )
+
+    def distances(self, queries: Any, *, exact: bool = True) -> np.ndarray:
+        """Full distance vector(s) — the *_stream virtual tables.
+
+        Returns [B, N] (or [N] for a single query) distances over the valid
+        rows, unordered (callers sort/filter, as SQLite does for the
+        reference's streaming modules, src/sqlite-vector.c:2243-2373).
+        """
+        q, single = self._coerce_queries(queries)
+        if self._count == 0:
+            out = np.zeros((q.shape[0], 0), np.float32)
+            return out[0] if single else out
+        if exact:
+            d = scan_distances(
+                self._put(q),
+                self._vectors,
+                self.metric,
+                base_sq_norms=self._exact_sq_norms(),
+            )
+            d = np.asarray(d)[:, : self._count]
+        else:
+            quant = self._require_quant("vector_quantize_scan_stream")
+            qq = quantize_device(self._put(q), quant.scale, quant.offset, quant.qtype)
+            d = scan_distances(qq, quant.codes, self.metric)
+            d = np.asarray(d)[:, : quant.count]
+        return d[0] if single else d
+
+    # -- quantization ----------------------------------------------------------
+
+    def _require_quant(self, caller: str) -> _QuantState:
+        if self._quant is None or self._quant.codes is None:
+            raise VectorStateError(
+                f"{caller}: quantization not found — run quantize() first "
+                "(reference requires vector_quantize before vector_quantize_scan)."
+            )
+        return self._quant
+
+    def quantize(self, options: str | None = None, *, qtype: QuantType | str | None = None) -> int:
+        """(Re)build int8/uint8 quantized codes; returns the row count.
+
+        Mirrors vector_quantize (src/sqlite-vector.c:1406-1459): existing
+        codes are replaced; the scale/offset formulas and AUTO resolution
+        match the reference bit-for-bit. The codes land directly in HBM
+        (the reference's separate preload step is the default here).
+        """
+        opts = parse_options(options, self.options)
+        if qtype is not None:
+            opts.qtype = (
+                QuantType.from_name(qtype) if isinstance(qtype, str) else qtype
+            )
+        if self._count == 0:
+            # reference: zero rows still records resolved params (:1170-1178)
+            resolved = (
+                QuantType.U8 if opts.qtype is QuantType.AUTO else opts.qtype
+            )
+            self._quant = _QuantState(
+                resolved, np.float32(1.0), np.float32(0.0), None, 0
+            )
+            return 0
+        mn, mx, neg = minmax_and_negative(
+            self._vectors, self._count, valid_is_full=False
+        )
+        rqtype, scale, offset = resolve_quant_params(
+            float(mn), float(mx), bool(neg), opts.qtype
+        )
+        codes = quantize_device(self._vectors, scale, offset, rqtype)
+        self._quant = _QuantState(rqtype, scale, offset, codes, self._count)
+        return self._count
+
+    def quantize_memory(self) -> int:
+        """Bytes needed for the quantized representation.
+
+        The reference reports SUM(LENGTH(data)) over the shadow table, i.e.
+        rows * (8-byte rowid + dim bytes) (src/sqlite-vector.c:1486-1499).
+        We report the same formula for parity even though our HBM layout
+        stores ids separately.
+        """
+        quant = self._require_quant("vector_quantize_memory")
+        return quant.count * (8 + self.dimension)
+
+    def preload(self) -> None:
+        """Ensure the quantized codes are device-resident.
+
+        In this design codes are uploaded at quantize() time, so this is a
+        cheap no-op unless the dataset was loaded from disk lazily.
+        (reference: vector_quantize_preload, src/sqlite-vector.c:1338-1404).
+        """
+        quant = self._require_quant("vector_quantize_preload")
+        if quant.codes is not None and not isinstance(quant.codes, jnp.ndarray):
+            quant.codes = self._put(np.asarray(quant.codes))
+
+    def drop_quantization(self) -> None:
+        """Free quantized codes (reference: vector_quantize_cleanup :1501-1524).
+
+        Silent no-op when no quantization exists (:1510)."""
+        self._quant = None
+
+    @property
+    def quant_stale(self) -> bool:
+        """True when rows changed after the last quantize() — approximate
+        scans still run on the old codes, same as the reference until
+        vector_quantize is re-run."""
+        return bool(self._quant and self._quant.stale)
+
+    # -- persistence -----------------------------------------------------------
+
+    def save(self, directory: str) -> None:
+        """Persist to a directory: manifest.json + npy shards.
+
+        The analogue of the `_sqliteai_vector` metadata table plus the
+        vector0_* shadow tables (src/sqlite-vector.c:114, 1000-1026).
+        """
+        os.makedirs(directory, exist_ok=True)
+        manifest = {
+            "name": self.name,
+            "version": 1,
+            "type": self.options.type.value,
+            "dimension": self.options.dimension,
+            "distance": self.options.distance.value,
+            "normalized": self.options.normalized,
+            "max_memory": self.options.max_memory,
+            "count": self._count,
+            "next_rowid": self._next_rowid,
+            "quant": None,
+        }
+        np.save(os.path.join(directory, "ids.npy"), self._ids[: self._count])
+        vecs = self._host_vectors[: self._count]
+        # bfloat16 isn't a numpy-native dtype: store the raw uint16 bits
+        if self.options.type is VectorType.BF16:
+            np.save(
+                os.path.join(directory, "vectors.npy"), vecs.view(np.uint16)
+            )
+        else:
+            np.save(os.path.join(directory, "vectors.npy"), vecs)
+        if self._quant is not None:
+            manifest["quant"] = {
+                "qtype": self._quant.qtype.value,
+                "scale": float(self._quant.scale),
+                "offset": float(self._quant.offset),
+                "count": self._quant.count,
+                "stale": self._quant.stale,
+            }
+            if self._quant.codes is not None:
+                np.save(
+                    os.path.join(directory, "qcodes.npy"),
+                    np.asarray(self._quant.codes)[: self._quant.count],
+                )
+        with open(os.path.join(directory, "manifest.json"), "w") as f:
+            json.dump(manifest, f, indent=2)
+
+    @classmethod
+    def load(
+        cls, directory: str, *, device: Any = None, sharding: Any = None
+    ) -> "Dataset":
+        with open(os.path.join(directory, "manifest.json")) as f:
+            manifest = json.load(f)
+        options = VectorOptions(
+            type=VectorType.from_name(manifest["type"]),
+            dimension=manifest["dimension"],
+            normalized=manifest.get("normalized", False),
+            max_memory=manifest.get("max_memory", 0) or 0,
+            distance=DistanceMetric.from_name(manifest["distance"]),
+        )
+        ds = cls(manifest["name"], options, device=device, sharding=sharding)
+        ids = np.load(os.path.join(directory, "ids.npy"))
+        vecs = np.load(os.path.join(directory, "vectors.npy"))
+        if options.type is VectorType.BF16:
+            vecs = vecs.view(options.type.np_dtype)
+        if len(ids):
+            ds.add(vecs, ids)
+        ds._next_rowid = manifest.get("next_rowid", ds._next_rowid)
+        q = manifest.get("quant")
+        if q:
+            qtype = QuantType.from_name(q["qtype"])
+            codes_path = os.path.join(directory, "qcodes.npy")
+            codes = None
+            count = q["count"]
+            if os.path.exists(codes_path) and count:
+                host_codes = np.load(codes_path)
+                cap = _next_capacity(count)
+                padded = np.zeros((cap, options.dimension), host_codes.dtype)
+                padded[:count] = host_codes
+                codes = ds._put(padded)
+            ds._quant = _QuantState(
+                qtype,
+                np.float32(q["scale"]),
+                np.float32(q["offset"]),
+                codes,
+                count,
+                stale=q.get("stale", False),
+            )
+        return ds
+
+
+class VectorStore:
+    """A named registry of Datasets — the per-connection vector_context
+    (src/sqlite-vector.c:116-181) without the 128-table cap.
+
+    Lookups are case-insensitive (vector_context_lookup :1051)."""
+
+    def __init__(self, *, device: Any = None, sharding: Any = None):
+        self._datasets: dict[str, Dataset] = {}
+        self._device = device
+        self._sharding = sharding
+
+    def create(
+        self,
+        name: str,
+        options: str | VectorOptions | None = None,
+        **kwargs: Any,
+    ) -> Dataset:
+        """Create (or idempotently re-open) a dataset.
+
+        Mirrors vector_init (src/sqlite-vector.c:2491-2543): requires
+        dimension; re-init with consistent options returns the existing
+        dataset, inconsistent dim/type raises.
+        kwargs: dimension=, type=, distance=, ... override the options string.
+        """
+        if isinstance(options, VectorOptions):
+            opts = options
+        else:
+            opts = parse_options(options)
+        if "dimension" in kwargs:
+            opts.dimension = int(kwargs["dimension"])
+        if "type" in kwargs:
+            t = kwargs["type"]
+            opts.type = VectorType.from_name(t) if isinstance(t, str) else t
+        if "distance" in kwargs:
+            d = kwargs["distance"]
+            opts.distance = (
+                DistanceMetric.from_name(d) if isinstance(d, str) else d
+            )
+        if "qtype" in kwargs:
+            qt = kwargs["qtype"]
+            opts.qtype = QuantType.from_name(qt) if isinstance(qt, str) else qt
+
+        key = name.lower()
+        existing = self._datasets.get(key)
+        if existing is not None:
+            # consistency checks on re-init (reference :2521-2536)
+            if existing.options.dimension != opts.dimension:
+                raise VectorConfigError(
+                    "A vector dimension mismatch was detected: dataset was "
+                    f"initialized with dimension {existing.options.dimension}."
+                )
+            if existing.options.type is not opts.type:
+                raise VectorConfigError(
+                    "A vector type mismatch was detected: dataset was "
+                    f"initialized with type {existing.options.type.value}."
+                )
+            existing.options.distance = opts.distance
+            return existing
+        ds = Dataset(name, opts, device=self._device, sharding=self._sharding)
+        self._datasets[key] = ds
+        return ds
+
+    def get(self, name: str) -> Dataset:
+        ds = self._datasets.get(name.lower())
+        if ds is None:
+            raise VectorStateError(
+                f"Dataset '{name}' not found — call create() first (reference "
+                "requires vector_init before any vector operation)."
+            )
+        return ds
+
+    def __contains__(self, name: str) -> bool:
+        return name.lower() in self._datasets
+
+    def drop(self, name: str) -> None:
+        self._datasets.pop(name.lower(), None)
+
+    def names(self) -> list[str]:
+        return [ds.name for ds in self._datasets.values()]

@@ -1,0 +1,171 @@
+"""Batched distance computation (XLA path).
+
+Replaces the reference's dispatch_distance_table of 25 scalar-loop kernels
+(src/distance-cpu.c:756-792) with two MXU-friendly formulations:
+
+  float path (f32, f16, bf16 widened to f32):
+    L2/SQUARED_L2: ||q||^2 + ||b||^2 - 2 q.b  — the matmul decomposition; the
+                   cross term is one [B,d]x[d,N] MXU matmul.
+    COSINE:        1 - q.b / (||q|| ||b||), zero-norm rows -> 1.0
+                   (reference: src/distance-cpu.c:105-109).
+    DOT:           -(q.b)  (reference returns the negated inner product :136).
+    L1:            elementwise |q-b| reduction on the VPU (no matmul form).
+
+  integer path (u8/i8): exact int32 arithmetic via dot_general with
+    preferred_element_type=int32 (MXU int8 pipeline). Distances are exact
+    integers represented in float32 on return, matching the reference's
+    integer-domain quantized scan (src/sqlite-vector.c:2121-2236).
+
+All float distances are optionally snapped to zero within 8*FLT_EPSILON,
+mirroring nearly_zero_float32 (src/sqlite-vector.c:994-996).
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+from sqlite_vector_tpu.types import DistanceMetric
+
+FLT_EPSILON = 1.1920929e-07
+NEARLY_ZERO = 8.0 * FLT_EPSILON
+
+# Metrics that have no matmul decomposition and stay on the VPU.
+METRIC_IS_FLOAT_ONLY = {DistanceMetric.L1}
+
+
+def _snap(d: jnp.ndarray) -> jnp.ndarray:
+    return jnp.where(jnp.abs(d) <= NEARLY_ZERO, jnp.zeros_like(d), d)
+
+
+def _is_int(x: jnp.ndarray) -> bool:
+    return jnp.issubdtype(x.dtype, jnp.integer)
+
+
+def pairwise_distance(
+    queries: jnp.ndarray,
+    base: jnp.ndarray,
+    metric: DistanceMetric,
+    *,
+    snap: bool = True,
+    base_sq_norms: jnp.ndarray | None = None,
+) -> jnp.ndarray:
+    """Compute the [B, N] distance matrix between queries [B,d] and base [N,d].
+
+    `base_sq_norms` ([N] float32 or int32) may be precomputed once per dataset
+    to skip the per-scan reduction for L2/COSINE.
+    """
+    if _is_int(queries) or _is_int(base):
+        return _pairwise_int(queries, base, metric, base_sq_norms)
+    return _pairwise_float(queries, base, metric, snap, base_sq_norms)
+
+
+def _pairwise_float(
+    q: jnp.ndarray,
+    b: jnp.ndarray,
+    metric: DistanceMetric,
+    snap: bool,
+    b_sq: jnp.ndarray | None,
+) -> jnp.ndarray:
+    # f16/bf16 storage is widened to f32 for accumulation; matmuls keep the
+    # narrow input dtype so the MXU can use its native bf16 path, with f32
+    # accumulation via preferred_element_type.
+    acc = jnp.float32
+
+    if metric is DistanceMetric.L1:
+        qf = q.astype(acc)
+        bf = b.astype(acc)
+        # [B,1,d] - [1,N,d] -> reduce; XLA fuses this without materializing
+        # the cube for moderate tile sizes (callers chunk N).
+        d = jnp.sum(jnp.abs(qf[:, None, :] - bf[None, :, :]), axis=-1)
+        return _snap(d) if snap else d
+
+    dot = jax.lax.dot_general(
+        q,
+        b,
+        dimension_numbers=(((1,), (1,)), ((), ())),
+        preferred_element_type=acc,
+    )  # [B, N]
+
+    if metric is DistanceMetric.DOT:
+        d = -dot
+        return _snap(d) if snap else d
+
+    if b_sq is None:
+        bf = b.astype(acc)
+        b_sq = jnp.sum(bf * bf, axis=-1)  # [N]
+    else:
+        b_sq = b_sq.astype(acc)
+    qf = q.astype(acc)
+    q_sq = jnp.sum(qf * qf, axis=-1)  # [B]
+
+    if metric in (DistanceMetric.L2, DistanceMetric.SQUARED_L2):
+        d = q_sq[:, None] + b_sq[None, :] - 2.0 * dot
+        # The matmul decomposition carries a residual of O(eps * (|q|^2+|b|^2))
+        # that the direct sum((a-b)^2) form doesn't have; clamp it so
+        # self-distances are exactly 0 like the reference's direct kernels
+        # (and its nearly-zero snap, src/sqlite-vector.c:994-996).
+        resid = FLT_EPSILON * 16.0 * (q_sq[:, None] + b_sq[None, :])
+        d = jnp.where(d <= resid, 0.0, d)
+        if metric is DistanceMetric.L2:
+            d = jnp.sqrt(d)
+        return _snap(d) if snap else d
+
+    # COSINE
+    denom = jnp.sqrt(q_sq)[:, None] * jnp.sqrt(b_sq)[None, :]
+    cos = jnp.where(denom > 0.0, dot / jnp.where(denom > 0.0, denom, 1.0), 0.0)
+    d = 1.0 - cos
+    d = jnp.where((q_sq[:, None] == 0.0) | (b_sq[None, :] == 0.0), 1.0, d)
+    return _snap(d) if snap else d
+
+
+def _pairwise_int(
+    q: jnp.ndarray,
+    b: jnp.ndarray,
+    metric: DistanceMetric,
+    b_sq: jnp.ndarray | None,
+) -> jnp.ndarray:
+    """Exact integer-domain distances for u8/i8 (quantized scan path).
+
+    The reference computes quantized distances directly on the 8-bit codes
+    (src/sqlite-vector.c:2134-2136 dispatches to the u8/i8 kernels); values
+    are in quantized units. int32 accumulation is exact for dim <= ~2^15.
+    """
+    # Use int32-accumulating MXU matmul on the 8-bit codes.
+    def idot(x, y):
+        return jax.lax.dot_general(
+            x,
+            y,
+            dimension_numbers=(((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.int32,
+        )
+
+    if metric is DistanceMetric.L1:
+        d = jnp.sum(
+            jnp.abs(q.astype(jnp.int32)[:, None, :] - b.astype(jnp.int32)[None, :, :]),
+            axis=-1,
+        )
+        return d.astype(jnp.float32)
+
+    dot = idot(q, b)  # [B, N] int32
+
+    if metric is DistanceMetric.DOT:
+        return (-dot).astype(jnp.float32)
+
+    if b_sq is None:
+        b_sq = jnp.sum(b.astype(jnp.int32) * b.astype(jnp.int32), axis=-1)
+    b_sq = b_sq.astype(jnp.int32)
+    q_sq = jnp.sum(q.astype(jnp.int32) * q.astype(jnp.int32), axis=-1)
+
+    if metric in (DistanceMetric.L2, DistanceMetric.SQUARED_L2):
+        d = q_sq[:, None] + b_sq[None, :] - 2 * dot  # exact int32
+        df = d.astype(jnp.float32)
+        return jnp.sqrt(df) if metric is DistanceMetric.L2 else df
+
+    # COSINE in integer domain (reference: uint8/int8_distance_cosine_cpu)
+    denom = jnp.sqrt(q_sq.astype(jnp.float32))[:, None] * jnp.sqrt(
+        b_sq.astype(jnp.float32)
+    )[None, :]
+    cos = jnp.where(denom > 0.0, dot.astype(jnp.float32) / jnp.where(denom > 0.0, denom, 1.0), 0.0)
+    d = 1.0 - cos
+    return jnp.where((q_sq[:, None] == 0) | (b_sq[None, :] == 0), 1.0, d)

@@ -1,0 +1,124 @@
+"""Exact/quantized scan executors (XLA path).
+
+The TPU analogue of vFullScanRun / vQuantRunMemory
+(src/sqlite-vector.c:2071-2117, 2121-2157): instead of a single-threaded
+row loop with an indirect SIMD-kernel call per row, the database is an
+HBM-resident [N, dim] matrix scanned in row tiles; each tile's distances are
+one MXU matmul fragment and the running top-k is merged per tile.
+
+Two entry points:
+  - scan_topk:      fused scan + top-k (the vector_full_scan / _quantize_scan
+                    executors; batched queries are first-class).
+  - scan_distances: full distance vector (the *_stream virtual tables,
+                    src/sqlite-vector.c:2243-2373).
+
+Device code works in positional int32 row indices; the Dataset layer maps
+positions to 64-bit row ids on the host (mirroring the reference's int64
+rowids without forcing jax_enable_x64).
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+
+from sqlite_vector_tpu.ops.distance import pairwise_distance
+from sqlite_vector_tpu.ops.topk import merge_topk, topk_ascending
+from sqlite_vector_tpu.types import DistanceMetric
+
+# Row-tile size for the chunked executor. Large enough to keep the MXU busy,
+# small enough that the [B, TILE] distance block and L1's fused broadcast stay
+# comfortably in VMEM after XLA fusion.
+DEFAULT_ROW_TILE = 131072
+L1_ROW_TILE = 8192
+
+
+def _num_tiles(n: int, tile: int) -> int:
+    return -(-n // tile)
+
+
+@functools.partial(jax.jit, static_argnames=("metric", "k", "row_tile"))
+def scan_topk(
+    queries: jnp.ndarray,
+    base: jnp.ndarray,
+    metric: DistanceMetric,
+    k: int,
+    *,
+    valid_count: jnp.ndarray | int | None = None,
+    base_sq_norms: jnp.ndarray | None = None,
+    row_tile: int | None = None,
+) -> tuple[jnp.ndarray, jnp.ndarray]:
+    """Fused top-k scan.
+
+    queries: [B, d]; base: [Npad, d] (rows >= valid_count are padding and are
+    masked to +inf — the analogue of skipping NULL rows in the reference scan,
+    src/sqlite-vector.c:2093). Returns (distances [B, k], positions [B, k])
+    sorted ascending; unfilled slots hold +inf / -1
+    (trim behavior: src/sqlite-vector.c:1816-1817).
+    """
+    b, d = queries.shape
+    n = base.shape[0]
+    if row_tile is None:
+        row_tile = L1_ROW_TILE if metric is DistanceMetric.L1 else DEFAULT_ROW_TILE
+    valid = jnp.asarray(n if valid_count is None else valid_count, jnp.int32)
+
+    if n <= row_tile:
+        dist = pairwise_distance(queries, base, metric, base_sq_norms=base_sq_norms)
+        row_idx = jnp.arange(n, dtype=jnp.int32)
+        dist = jnp.where(row_idx[None, :] < valid, dist, jnp.inf)
+        vals, idx = topk_ascending(dist, k)
+        return vals, jnp.where(jnp.isinf(vals), -1, idx).astype(jnp.int32)
+
+    # pad base rows to a tile multiple so the scan body has a static shape
+    ntiles = _num_tiles(n, row_tile)
+    npad = ntiles * row_tile
+    if npad != n:
+        base = jnp.pad(base, ((0, npad - n), (0, 0)))
+        if base_sq_norms is not None:
+            base_sq_norms = jnp.pad(base_sq_norms, (0, npad - n))
+
+    kk = min(k, row_tile)
+    init_vals = jnp.full((b, k), jnp.inf, jnp.float32)
+    init_ids = jnp.full((b, k), -1, jnp.int32)
+
+    def body(carry, tile_idx):
+        run_vals, run_ids = carry
+        start = tile_idx * row_tile
+        tile = jax.lax.dynamic_slice_in_dim(base, start, row_tile, axis=0)
+        tile_sq = (
+            jax.lax.dynamic_slice_in_dim(base_sq_norms, start, row_tile)
+            if base_sq_norms is not None
+            else None
+        )
+        dist = pairwise_distance(queries, tile, metric, base_sq_norms=tile_sq)
+        row_idx = start + jnp.arange(row_tile, dtype=jnp.int32)
+        dist = jnp.where(row_idx[None, :] < valid, dist, jnp.inf)
+        vals, idx = topk_ascending(dist, kk)
+        run_vals, run_ids = merge_topk(
+            run_vals, run_ids, vals, (start + idx).astype(jnp.int32), k
+        )
+        return (run_vals, run_ids), None
+
+    (vals, idx), _ = jax.lax.scan(
+        body, (init_vals, init_ids), jnp.arange(ntiles, dtype=jnp.int32)
+    )
+    return vals, jnp.where(jnp.isinf(vals), -1, idx).astype(jnp.int32)
+
+
+@functools.partial(jax.jit, static_argnames=("metric",))
+def scan_distances(
+    queries: jnp.ndarray,
+    base: jnp.ndarray,
+    metric: DistanceMetric,
+    *,
+    base_sq_norms: jnp.ndarray | None = None,
+) -> jnp.ndarray:
+    """Full distance matrix [B, N] (the streaming virtual tables).
+
+    The reference emits every (rowid, distance) pair and lets SQLite sort or
+    filter (src/sqlite-vector.c:2243-2373); here the caller gets the dense
+    matrix and applies arbitrary post-processing.
+    """
+    return pairwise_distance(queries, base, metric, base_sq_norms=base_sq_norms)

@@ -1,0 +1,270 @@
+"""Core enums, option parsing, and configuration.
+
+Behavioral contract mirrored from the reference:
+  - element types and their canonical names    (src/sqlite-vector.c:772-790)
+  - distance metrics incl. aliases             (src/sqlite-vector.c:798-819)
+  - quantization type names                    (src/sqlite-vector.c:792-796)
+  - `key=value,key=value` option-string parser (src/sqlite-vector.c:878-992)
+  - KB/MB/GB suffix parsing                    (src/sqlite-vector.c:916-933)
+  - defaults: FLOAT32 / L2 / 30MB / QUANT_AUTO (src/sqlite-vector.c:71,1100-1112)
+
+Unknown option keys are ignored, malformed pairs are skipped, and the
+`normalized` key is parsed but (as in the reference, where it is never used in
+any computation — src/sqlite-vector.c:119,966,2533) has no effect.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import enum
+import math
+
+import numpy as np
+
+from sqlite_vector_tpu.errors import VectorConfigError
+
+# Default working-memory budget for quantization batching
+# (reference: src/sqlite-vector.c:71  DEFAULT_MAX_MEMORY = 30MB).
+DEFAULT_MAX_MEMORY = 30 * 1024 * 1024
+
+# Fixed registry capacity in the reference (src/sqlite-vector.c:72 MAX_TABLES).
+# We keep it as a soft parity constant; our registry is unbounded.
+REFERENCE_MAX_TABLES = 128
+
+
+class VectorType(enum.Enum):
+    """Stored element type (reference: vector_type, src/sqlite-vector.h)."""
+
+    F32 = "FLOAT32"
+    F16 = "FLOAT16"
+    BF16 = "FLOATB16"
+    U8 = "UINT8"
+    I8 = "INT8"
+
+    @property
+    def itemsize(self) -> int:
+        return {"FLOAT32": 4, "FLOAT16": 2, "FLOATB16": 2, "UINT8": 1, "INT8": 1}[
+            self.value
+        ]
+
+    @property
+    def np_dtype(self) -> np.dtype:
+        import ml_dtypes  # ships with jax
+
+        return {
+            "FLOAT32": np.dtype(np.float32),
+            "FLOAT16": np.dtype(np.float16),
+            "FLOATB16": np.dtype(ml_dtypes.bfloat16),
+            "UINT8": np.dtype(np.uint8),
+            "INT8": np.dtype(np.int8),
+        }[self.value]
+
+    @classmethod
+    def from_name(cls, name: str) -> "VectorType":
+        """Case-insensitive name lookup (reference: vector_name_to_type :772)."""
+        up = name.strip().upper()
+        for t in cls:
+            if t.value == up:
+                return t
+        raise VectorConfigError(
+            f"Invalid vector type: '{name}' is not a recognized type."
+        )
+
+
+class DistanceMetric(enum.Enum):
+    """Distance metric (reference: vector_distance, aliases at :798-808).
+
+    Semantics (reference: src/distance-cpu.c):
+      L2          sqrt(sum((a-b)^2))
+      SQUARED_L2  sum((a-b)^2)
+      COSINE      1 - dot/(||a||*||b||); 1.0 if either norm is zero
+      DOT         -dot(a, b)   (negative inner product, so smaller = closer)
+      L1          sum(|a-b|)
+    """
+
+    L2 = "L2"
+    SQUARED_L2 = "SQUARED_L2"
+    COSINE = "COSINE"
+    DOT = "DOT"
+    L1 = "L1"
+
+    @classmethod
+    def from_name(cls, name: str) -> "DistanceMetric":
+        up = name.strip().upper()
+        aliases = {"EUCLIDEAN": "L2", "INNER": "DOT", "MANHATTAN": "L1"}
+        up = aliases.get(up, up)
+        for m in cls:
+            if m.value == up:
+                return m
+        raise VectorConfigError(
+            f"Invalid distance name: '{name}' is not a recognized or supported distance."
+        )
+
+
+class QuantType(enum.Enum):
+    """Quantization target type (reference: vector_qtype).
+
+    AUTO resolves to INT8 iff any stored value is negative, else UINT8
+    (reference: src/sqlite-vector.c:1258-1261).
+    """
+
+    AUTO = "AUTO"
+    U8 = "UINT8"
+    I8 = "INT8"
+
+    @classmethod
+    def from_name(cls, name: str) -> "QuantType":
+        up = name.strip().upper()
+        if up == "UINT8":
+            return cls.U8
+        if up == "INT8":
+            return cls.I8
+        raise VectorConfigError(
+            f"Invalid quantization type: '{name}' is not a recognized or supported quantization type."
+        )
+
+
+def human_to_number(s: str) -> int:
+    """Parse a size with optional KB/MB/GB suffix (reference: human_to_number :916).
+
+    Returns 0 on any parse failure, zero value, or invalid suffix — matching the
+    reference's "0 means ignore / use default" convention.
+    """
+    s = s.strip()
+    # strtod-style prefix parse: longest valid leading float
+    num_end = 0
+    seen_digit = False
+    i = 0
+    if i < len(s) and s[i] in "+-":
+        i += 1
+    while i < len(s) and (s[i].isdigit() or s[i] == "."):
+        if s[i].isdigit():
+            seen_digit = True
+        i += 1
+        num_end = i
+    # exponent part
+    if seen_digit and i < len(s) and s[i] in "eE":
+        j = i + 1
+        if j < len(s) and s[j] in "+-":
+            j += 1
+        if j < len(s) and s[j].isdigit():
+            while j < len(s) and s[j].isdigit():
+                j += 1
+            num_end = j
+    if not seen_digit:
+        return 0
+    try:
+        d = float(s[:num_end])
+    except ValueError:
+        return 0
+    if d == 0 or math.isinf(d):
+        return 0
+    rest = s[num_end:].strip()
+    if rest[:2].upper() == "KB":
+        d *= 1024
+    elif rest[:2].upper() == "MB":
+        d *= 1024 * 1024
+    elif rest[:2].upper() == "GB":
+        d *= 1024 * 1024 * 1024
+    elif rest != "":
+        return 0  # invalid suffix
+    if d < 0 or d > float(np.iinfo(np.int64).max):
+        return 0
+    return int(d)
+
+
+@dataclasses.dataclass
+class VectorOptions:
+    """Parsed per-dataset options (reference: vector_options :116-124).
+
+    Defaults mirror vector_options_init (src/sqlite-vector.c:1100-1112).
+    """
+
+    type: VectorType = VectorType.F32
+    dimension: int = 0
+    normalized: bool = False  # parsed but unused, as in the reference
+    max_memory: int = DEFAULT_MAX_MEMORY
+    distance: DistanceMetric = DistanceMetric.L2
+    qtype: QuantType = QuantType.AUTO
+
+
+def parse_options(
+    options: str | None, base: VectorOptions | None = None
+) -> VectorOptions:
+    """Parse a `key=value,key=value` option string into VectorOptions.
+
+    Mirrors parse_keyvalue_string + vector_keyvalue_callback
+    (src/sqlite-vector.c:878-992): malformed pairs are skipped, unknown keys
+    are ignored, keys are case-insensitive, values are trimmed.
+    """
+    opts = dataclasses.replace(base) if base is not None else VectorOptions()
+    if not options:
+        return opts
+
+    p = 0
+    s = options
+    n = len(s)
+    while p < n:
+        while p < n and s[p].isspace():
+            p += 1
+        key_start = p
+        while p < n and s[p] not in "=,":
+            p += 1
+        key = s[key_start:p].rstrip()
+        if p >= n or s[p] != "=":
+            # malformed pair: skip to next comma
+            while p < n and s[p] != ",":
+                p += 1
+            if p < n:
+                p += 1
+            continue
+        p += 1  # skip '='
+        while p < n and s[p].isspace():
+            p += 1
+        val_start = p
+        while p < n and s[p] != ",":
+            p += 1
+        value = s[val_start:p].rstrip()
+        if p < n:
+            p += 1  # skip ','
+        _apply_option(opts, key, value)
+    return opts
+
+
+def _apply_option(opts: VectorOptions, key: str, value: str) -> None:
+    if not key or not value:
+        # reference returns false (abort) on empty key/value; we mirror with an
+        # error only for empty value after a '=' — empty keys are skipped above.
+        raise VectorConfigError("Malformed option: empty key or value.")
+    k = key.lower()
+    if k == "type":
+        opts.type = VectorType.from_name(value)
+    elif k == "dimension":
+        try:
+            dim = int(value, 0)
+        except ValueError:
+            dim = 0
+        if dim <= 0:
+            raise VectorConfigError(
+                f"Invalid vector dimension: expected a positive integer, got '{value}'."
+            )
+        opts.dimension = dim
+    elif k == "normalized":
+        try:
+            opts.normalized = int(value, 0) != 0
+        except ValueError:
+            opts.normalized = False
+    elif k == "max_memory":
+        mm = human_to_number(value)
+        if mm >= 0:
+            opts.max_memory = mm
+    elif k == "qtype":
+        opts.qtype = QuantType.from_name(value)
+    elif k == "qscale":
+        # accepted for parity (used when attaching pre-quantized data)
+        opts.__dict__["qscale"] = float(value)
+    elif k == "qoffset":
+        opts.__dict__["qoffset"] = float(value)
+    elif k == "distance":
+        opts.distance = DistanceMetric.from_name(value)
+    # unknown keys are ignored (reference :991)

@@ -1,0 +1,30 @@
+"""Test configuration.
+
+Tests run on the JAX CPU backend with 8 virtual devices so the multi-chip
+sharding/merge logic is exercised without TPU hardware (SURVEY.md section 4).
+
+Note: this environment's TPU plugin force-sets `jax_platforms` via
+jax.config.update() at interpreter startup (sitecustomize), so setting the
+JAX_PLATFORMS env var is not enough — we must update the config after import,
+before any backend is initialized.
+"""
+
+import os
+
+flags = os.environ.get("XLA_FLAGS", "")
+if "xla_force_host_platform_device_count" not in flags:
+    os.environ["XLA_FLAGS"] = (
+        flags + " --xla_force_host_platform_device_count=8"
+    ).strip()
+
+import jax
+
+jax.config.update("jax_platforms", "cpu")
+
+import numpy as np
+import pytest
+
+
+@pytest.fixture
+def rng():
+    return np.random.default_rng(0)

@@ -1,0 +1,160 @@
+"""Dataset / VectorStore end-to-end behavior."""
+
+import numpy as np
+import pytest
+
+from sqlite_vector_tpu import Dataset, VectorStore
+from sqlite_vector_tpu.errors import VectorCodecError, VectorConfigError, VectorStateError
+from sqlite_vector_tpu.types import DistanceMetric, VectorOptions, VectorType
+
+
+def _mk(rng, n=100, d=16, metric=DistanceMetric.L2, vtype=VectorType.F32):
+    ds = Dataset("docs", VectorOptions(dimension=d, distance=metric, type=vtype))
+    data = rng.standard_normal((n, d)).astype(np.float32)
+    ids = ds.add(data)
+    return ds, data, ids
+
+
+def test_add_assigns_sequential_ids(rng):
+    ds, _, ids = _mk(rng, n=10)
+    np.testing.assert_array_equal(ids, np.arange(1, 11))
+    assert len(ds) == 10
+
+
+def test_add_custom_ids(rng):
+    ds = Dataset("t", VectorOptions(dimension=4))
+    ids = ds.add(rng.standard_normal((3, 4)).astype(np.float32), ids=[100, 200, 42])
+    np.testing.assert_array_equal(ids, [100, 200, 42])
+    # next auto id continues after the max
+    nxt = ds.add(rng.standard_normal((1, 4)).astype(np.float32))
+    assert nxt[0] == 201
+
+
+def test_search_returns_true_ids(rng):
+    ds, data, ids = _mk(rng, n=50)
+    q = data[7]
+    got_ids, dists = ds.search(q, 1)
+    assert got_ids[0] == ids[7]
+    assert dists[0] == 0.0  # nearly-zero snap
+
+
+def test_search_single_query_trims(rng):
+    ds, data, _ = _mk(rng, n=5)
+    ids, dists = ds.search(data[0], 10)
+    assert ids.shape == (5,)
+    assert np.all(np.isfinite(dists))
+
+
+def test_search_batched(rng):
+    ds, data, _ = _mk(rng, n=200)
+    ids, dists = ds.search(data[:8], 5)
+    assert ids.shape == (8, 5) and dists.shape == (8, 5)
+    assert np.all(ids[np.arange(8), 0] == ds.ids[:8])
+
+
+def test_search_k_zero(rng):
+    ds, data, _ = _mk(rng)
+    ids, dists = ds.search(data[0], 0)
+    assert ids.shape == (0,)
+
+
+def test_search_json_query(rng):
+    ds = Dataset("t", VectorOptions(dimension=3))
+    ds.add(np.float32([[1, 2, 3], [4, 5, 6]]))
+    ids, dists = ds.search("[1, 2, 3]", 1)
+    assert ids[0] == 1 and dists[0] == 0.0
+
+
+def test_search_blob_query(rng):
+    ds = Dataset("t", VectorOptions(dimension=3))
+    ds.add(np.float32([[1, 2, 3], [4, 5, 6]]))
+    ids, _ = ds.search(np.float32([4, 5, 6]).tobytes(), 1)
+    assert ids[0] == 2
+
+
+def test_search_wrong_dimension(rng):
+    ds, _, _ = _mk(rng, d=16)
+    with pytest.raises(VectorCodecError, match="expected 16"):
+        ds.search(np.zeros(8, np.float32), 3)
+
+
+def test_add_json_and_blob_rows():
+    ds = Dataset("t", VectorOptions(dimension=2))
+    ds.add(["[1, 2]", np.float32([3, 4]).tobytes()])
+    assert len(ds) == 2
+    ids, d = ds.search("[3,4]", 1)
+    assert ids[0] == 2
+
+
+def test_distances_stream(rng):
+    ds, data, _ = _mk(rng, n=30)
+    d = ds.distances(data[0])
+    assert d.shape == (30,)
+    assert d[0] == 0.0
+
+
+def test_empty_dataset_search():
+    ds = Dataset("t", VectorOptions(dimension=4))
+    ids, dists = ds.search(np.zeros(4, np.float32), 5)
+    assert ids.shape == (0,)
+
+
+def test_dimension_required():
+    with pytest.raises(VectorConfigError, match="dimension"):
+        Dataset("t", VectorOptions())
+
+
+def test_save_load_roundtrip(rng, tmp_path):
+    ds, data, ids = _mk(rng, n=37, metric=DistanceMetric.COSINE)
+    ds.quantize()
+    ds.save(str(tmp_path / "ds"))
+    back = Dataset.load(str(tmp_path / "ds"))
+    assert len(back) == 37
+    assert back.metric is DistanceMetric.COSINE
+    assert back.quant_params == ds.quant_params
+    q = data[5]
+    np.testing.assert_array_equal(
+        back.search(q, 5)[0], ds.search(q, 5)[0]
+    )
+    np.testing.assert_array_equal(
+        back.search(q, 5, exact=False)[0], ds.search(q, 5, exact=False)[0]
+    )
+
+
+def test_save_load_bf16(rng, tmp_path):
+    ds = Dataset("t", VectorOptions(dimension=8, type=VectorType.BF16))
+    ds.add(rng.standard_normal((10, 8)).astype(np.float32))
+    ds.save(str(tmp_path / "b"))
+    back = Dataset.load(str(tmp_path / "b"))
+    assert back.dtype is VectorType.BF16
+    assert len(back) == 10
+
+
+def test_store_create_and_reinit(rng):
+    store = VectorStore()
+    ds = store.create("Docs.Embedding", "dimension=8,type=FLOAT32")
+    assert store.get("docs.embedding") is ds  # case-insensitive (:1051)
+    again = store.create("DOCS.EMBEDDING", "dimension=8,type=FLOAT32")
+    assert again is ds
+    with pytest.raises(VectorConfigError, match="dimension mismatch"):
+        store.create("docs.embedding", "dimension=16")
+    with pytest.raises(VectorConfigError, match="type mismatch"):
+        store.create("docs.embedding", "dimension=8,type=INT8")
+
+
+def test_store_missing_dataset():
+    store = VectorStore()
+    with pytest.raises(VectorStateError, match="not found"):
+        store.get("nope")
+
+
+def test_store_kwargs_api():
+    store = VectorStore()
+    ds = store.create("t", dimension=4, type="FLOAT16", distance="cosine")
+    assert ds.dtype is VectorType.F16
+    assert ds.metric is DistanceMetric.COSINE
+
+
+def test_memory_bytes(rng):
+    ds, _, _ = _mk(rng, n=100, d=16)
+    assert ds.memory_bytes() >= 100 * 16 * 4

@@ -1,0 +1,187 @@
+"""Quantization pipeline: device kernels vs oracle, recall vs exact.
+
+Replicates the recall methodology of QUANTIZATION.md:43-77 (match_count /
+total_count over top-k id sets) with the reference's >0.95 target (API.md:255).
+"""
+
+import numpy as np
+import pytest
+
+from sqlite_vector_tpu import oracle
+from sqlite_vector_tpu.dataset import Dataset
+from sqlite_vector_tpu.ops.quantize import (
+    minmax_and_negative,
+    quantize_device,
+    resolve_quant_params,
+)
+from sqlite_vector_tpu.types import (
+    DistanceMetric,
+    QuantType,
+    VectorOptions,
+    VectorType,
+)
+
+
+def test_minmax_and_negative(rng):
+    x = rng.standard_normal((50, 8)).astype(np.float32)
+    mn, mx, neg = minmax_and_negative(x)
+    assert float(mn) == x.min()
+    assert float(mx) == x.max()
+    assert bool(neg) == bool((x < 0).any())
+
+
+def test_minmax_respects_valid_count(rng):
+    x = rng.uniform(1, 2, (20, 4)).astype(np.float32)
+    x[10:] = -99.0  # padding rows must be ignored
+    mn, mx, neg = minmax_and_negative(x, 10)
+    assert float(mn) >= 1.0
+    assert not bool(neg)
+
+
+def test_minmax_skips_nan(rng):
+    x = rng.uniform(0, 1, (4, 4)).astype(np.float32)
+    x[0, 0] = np.nan
+    mn, mx, neg = minmax_and_negative(x)
+    assert np.isfinite(mn) and np.isfinite(mx)
+
+
+def test_resolve_params_match_oracle(rng):
+    v = rng.standard_normal((100, 8)).astype(np.float32)
+    for qt in (QuantType.AUTO, QuantType.U8, QuantType.I8):
+        mn, mx, neg = minmax_and_negative(v)
+        got = resolve_quant_params(float(mn), float(mx), bool(neg), qt)
+        want = oracle.compute_quant_params(v, qt)
+        assert got[0] is want[0]
+        assert got[1] == want[1]
+        assert got[2] == want[2]
+
+
+@pytest.mark.parametrize("qtype", [QuantType.U8, QuantType.I8])
+def test_quantize_device_bitexact_vs_oracle(rng, qtype):
+    v = (rng.standard_normal((200, 16)) * 3).astype(np.float32)
+    _, scale, offset = oracle.compute_quant_params(
+        v, qtype
+    )
+    got = np.asarray(quantize_device(v, scale, offset, qtype))
+    want = oracle.quantize(v, scale, offset, qtype)
+    np.testing.assert_array_equal(got, want)
+
+
+def test_quantize_device_nonfinite(rng):
+    v = np.float32([[np.nan, np.inf, -np.inf, 0.5]])
+    got_u8 = np.asarray(quantize_device(v, 1.0, 0.0, QuantType.U8))
+    np.testing.assert_array_equal(got_u8[0], [0, 255, 0, 1])
+    got_s8 = np.asarray(quantize_device(v, 1.0, 0.0, QuantType.I8))
+    np.testing.assert_array_equal(got_s8[0], [0, 127, -128, 1])
+
+
+@pytest.mark.parametrize("src_type", list(VectorType), ids=[t.value for t in VectorType])
+def test_quantize_from_all_source_types(rng, src_type):
+    """All 10 quantize_<src>_to_<dst> paths (reference :517-757)."""
+    if src_type in (VectorType.U8, VectorType.I8):
+        lo, hi = (0, 256) if src_type is VectorType.U8 else (-128, 128)
+        v = rng.integers(lo, hi, (50, 8)).astype(src_type.np_dtype)
+    else:
+        v = rng.standard_normal((50, 8)).astype(src_type.np_dtype)
+    v32 = np.asarray(v, dtype=np.float32)
+    for qt in (QuantType.U8, QuantType.I8):
+        _, scale, offset = oracle.compute_quant_params(v32, qt)
+        got = np.asarray(quantize_device(np.asarray(v), scale, offset, qt))
+        want = oracle.quantize(v32, scale, offset, qt)
+        np.testing.assert_array_equal(got, want)
+
+
+def _recall(exact_ids, approx_ids):
+    matches = sum(len(set(e) & set(a)) for e, a in zip(exact_ids, approx_ids))
+    total = sum(len(e) for e in exact_ids)
+    return matches / total
+
+
+@pytest.mark.parametrize(
+    "metric",
+    [DistanceMetric.L2, DistanceMetric.SQUARED_L2, DistanceMetric.COSINE,
+     DistanceMetric.DOT, DistanceMetric.L1],
+    ids=lambda m: m.value,
+)
+def test_quantized_scan_recall(rng, metric):
+    """Recall@10 of the quantized scan vs exact — reference claims >0.95
+    (QUANTIZATION.md:39); embeddings-like data, small scale."""
+    n, d, k, nq = 2000, 64, 10, 8
+    base = rng.standard_normal((n, d)).astype(np.float32)
+    base /= np.linalg.norm(base, axis=1, keepdims=True)
+    queries = base[rng.integers(0, n, nq)] + 0.05 * rng.standard_normal(
+        (nq, d)
+    ).astype(np.float32)
+
+    ds = Dataset(
+        "t", VectorOptions(dimension=d, distance=metric, type=VectorType.F32)
+    )
+    ds.add(base)
+    assert ds.quantize() == n
+    exact_ids, _ = ds.search(queries, k, exact=True)
+    approx_ids, _ = ds.search(queries, k, exact=False)
+    r = _recall(exact_ids, approx_ids)
+    assert r >= 0.90, f"recall@{k} for {metric.value} = {r}"
+
+
+def test_quantized_distances_are_integer_domain(rng):
+    """Quantized-scan distances are in quantized units, not dequantized
+    (src/sqlite-vector.c:2121-2236)."""
+    n, d = 100, 16
+    base = rng.uniform(0, 1, (n, d)).astype(np.float32)
+    ds = Dataset("t", VectorOptions(dimension=d, distance=DistanceMetric.SQUARED_L2))
+    ds.add(base)
+    ds.quantize()
+    _, dists = ds.search(base[0], 3, exact=False)
+    # squared-L2 between u8 codes is a whole number
+    assert np.allclose(dists, np.round(dists))
+
+
+def test_quantize_auto_picks_u8_for_nonnegative(rng):
+    v = rng.uniform(0, 1, (50, 8)).astype(np.float32)
+    ds = Dataset("t", VectorOptions(dimension=8))
+    ds.add(v)
+    ds.quantize()
+    qt, scale, offset = ds.quant_params
+    assert qt is QuantType.U8
+    want_qt, want_scale, want_offset = oracle.compute_quant_params(v, QuantType.AUTO)
+    assert scale == pytest.approx(float(want_scale), rel=1e-6)
+    assert offset == pytest.approx(float(want_offset), rel=1e-6)
+
+
+def test_quantize_memory_formula(rng):
+    # rows * (8 + dim) bytes (src/sqlite-vector.c:1486-1499)
+    ds = Dataset("t", VectorOptions(dimension=24))
+    ds.add(rng.standard_normal((10, 24)).astype(np.float32))
+    ds.quantize()
+    assert ds.quantize_memory() == 10 * (8 + 24)
+
+
+def test_quantize_empty_dataset():
+    ds = Dataset("t", VectorOptions(dimension=4))
+    assert ds.quantize() == 0
+    qt, scale, offset = ds.quant_params
+    assert qt is QuantType.U8 and scale == 1.0 and offset == 0.0
+
+
+def test_quantize_stale_flag(rng):
+    ds = Dataset("t", VectorOptions(dimension=4))
+    ds.add(rng.standard_normal((10, 4)).astype(np.float32))
+    ds.quantize()
+    assert not ds.quant_stale
+    ds.add(rng.standard_normal((5, 4)).astype(np.float32))
+    assert ds.quant_stale
+    ds.quantize()
+    assert not ds.quant_stale
+
+
+def test_drop_quantization(rng):
+    from sqlite_vector_tpu.errors import VectorStateError
+
+    ds = Dataset("t", VectorOptions(dimension=4))
+    ds.add(rng.standard_normal((10, 4)).astype(np.float32))
+    ds.quantize()
+    ds.drop_quantization()
+    ds.drop_quantization()  # silent no-op, like the reference (:1510)
+    with pytest.raises(VectorStateError):
+        ds.search(np.zeros(4, np.float32), 3, exact=False)

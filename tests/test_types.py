@@ -1,0 +1,107 @@
+"""Options parser / enum behavior vs the reference contract
+(src/sqlite-vector.c:772-992)."""
+
+import pytest
+
+from sqlite_vector_tpu.errors import VectorConfigError
+from sqlite_vector_tpu.types import (
+    DEFAULT_MAX_MEMORY,
+    DistanceMetric,
+    QuantType,
+    VectorOptions,
+    VectorType,
+    human_to_number,
+    parse_options,
+)
+
+
+def test_defaults_match_reference():
+    opts = parse_options(None)
+    assert opts.type is VectorType.F32
+    assert opts.distance is DistanceMetric.L2
+    assert opts.max_memory == DEFAULT_MAX_MEMORY == 30 * 1024 * 1024
+    assert opts.qtype is QuantType.AUTO
+    assert opts.dimension == 0
+    assert opts.normalized is False
+
+
+def test_basic_parse():
+    opts = parse_options("type=FLOAT16,dimension=384,distance=cosine")
+    assert opts.type is VectorType.F16
+    assert opts.dimension == 384
+    assert opts.distance is DistanceMetric.COSINE
+
+
+def test_case_insensitive_and_spaces():
+    opts = parse_options("  TYPE = floatb16 , DIMENSION = 12 ,distance= DOT ")
+    assert opts.type is VectorType.BF16
+    assert opts.dimension == 12
+    assert opts.distance is DistanceMetric.DOT
+
+
+def test_distance_aliases():
+    # EUCLIDEAN->L2, INNER->DOT, MANHATTAN->L1 (reference :798-808)
+    assert parse_options("distance=euclidean").distance is DistanceMetric.L2
+    assert parse_options("distance=inner").distance is DistanceMetric.DOT
+    assert parse_options("distance=manhattan").distance is DistanceMetric.L1
+    assert parse_options("distance=squared_l2").distance is DistanceMetric.SQUARED_L2
+
+
+def test_unknown_keys_ignored():
+    opts = parse_options("bogus=1,dimension=4,alsobogus=x")
+    assert opts.dimension == 4
+
+
+def test_malformed_pairs_skipped():
+    # a key with no '=' is skipped, parsing continues (reference :891-897)
+    opts = parse_options("garbage,dimension=8")
+    assert opts.dimension == 8
+
+
+def test_invalid_type_raises():
+    with pytest.raises(VectorConfigError, match="not a recognized type"):
+        parse_options("type=FLOAT64")
+
+
+def test_invalid_dimension_raises():
+    with pytest.raises(VectorConfigError, match="positive integer"):
+        parse_options("dimension=-3")
+    with pytest.raises(VectorConfigError, match="positive integer"):
+        parse_options("dimension=abc")
+
+
+def test_invalid_distance_raises():
+    with pytest.raises(VectorConfigError, match="not a recognized"):
+        parse_options("distance=hamming")
+
+
+def test_qtype():
+    assert parse_options("qtype=INT8").qtype is QuantType.I8
+    assert parse_options("qtype=uint8").qtype is QuantType.U8
+    with pytest.raises(VectorConfigError):
+        parse_options("qtype=int4")
+
+
+def test_max_memory_suffixes():
+    # human_to_number (reference :916-933)
+    assert human_to_number("64KB") == 64 * 1024
+    assert human_to_number("50MB") == 50 * 1024 * 1024
+    assert human_to_number("2GB") == 2 * 1024**3
+    assert human_to_number("1.5MB") == int(1.5 * 1024 * 1024)
+    assert human_to_number("123") == 123
+    assert human_to_number("0") == 0
+    assert human_to_number("12XB") == 0  # invalid suffix -> 0
+    assert human_to_number("junk") == 0
+    opts = parse_options("max_memory=50MB")
+    assert opts.max_memory == 50 * 1024 * 1024
+
+
+def test_normalized_parsed_but_unused():
+    opts = parse_options("normalized=1,dimension=4")
+    assert opts.normalized is True  # parsed; never used in computation
+
+
+def test_type_names_roundtrip():
+    for t in VectorType:
+        assert VectorType.from_name(t.value) is t
+    assert VectorType.from_name("float32") is VectorType.F32
