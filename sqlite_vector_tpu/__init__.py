@@ -36,6 +36,7 @@ from sqlite_vector_tpu.codec import (
     array_to_blob,
 )
 from sqlite_vector_tpu.dataset import Dataset, VectorStore
+from sqlite_vector_tpu.parallel import make_mesh
 from sqlite_vector_tpu.version import __version__, version, backend
 
 __all__ = [
@@ -53,6 +54,7 @@ __all__ = [
     "array_to_blob",
     "Dataset",
     "VectorStore",
+    "make_mesh",
     "__version__",
     "version",
     "backend",

@@ -44,6 +44,12 @@ from sqlite_vector_tpu.ops.quantize import (
     resolve_quant_params,
 )
 from sqlite_vector_tpu.ops.scan import scan_distances, scan_topk
+from sqlite_vector_tpu.parallel import (
+    row_sharding,
+    replicated_sharding,
+    sharded_scan_distances,
+    sharded_scan_topk,
+)
 from sqlite_vector_tpu.types import (
     DistanceMetric,
     QuantType,
@@ -55,10 +61,12 @@ from sqlite_vector_tpu.types import (
 MIN_CAPACITY = 1024
 
 
-def _next_capacity(n: int) -> int:
+def _next_capacity(n: int, multiple_of: int = 1) -> int:
     cap = MIN_CAPACITY
     while cap < n:
         cap *= 2
+    if multiple_of > 1:
+        cap = -(-cap // multiple_of) * multiple_of
     return cap
 
 
@@ -87,6 +95,7 @@ class Dataset:
         *,
         device: Any = None,
         sharding: Any = None,
+        mesh: Any = None,
     ):
         if options.dimension <= 0:
             raise VectorConfigError(
@@ -97,6 +106,15 @@ class Dataset:
         self.options = options
         self._device = device
         self._sharding = sharding
+        self._mesh = mesh
+        if mesh is not None:
+            self._row_sharding = row_sharding(mesh)
+            self._repl_sharding = replicated_sharding(mesh)
+            self._mesh_size = int(np.prod(list(mesh.shape.values())))
+        else:
+            self._row_sharding = sharding
+            self._repl_sharding = None
+            self._mesh_size = 1
         self._count = 0
         self._ids = np.zeros((0,), dtype=np.int64)
         self._next_rowid = 1
@@ -209,14 +227,23 @@ class Dataset:
         return np.stack(rows) if rows else np.zeros((0, dim), np_dtype)
 
     def _put(self, arr: np.ndarray) -> jnp.ndarray:
-        if self._sharding is not None:
-            return jax.device_put(arr, self._sharding)
+        """Place a row-partitioned array (database rows / quantized codes)."""
+        if self._row_sharding is not None:
+            return jax.device_put(arr, self._row_sharding)
+        if self._device is not None:
+            return jax.device_put(arr, self._device)
+        return jnp.asarray(arr)
+
+    def _put_query(self, arr: np.ndarray) -> jnp.ndarray:
+        """Place a query batch (replicated across the mesh)."""
+        if self._repl_sharding is not None:
+            return jax.device_put(arr, self._repl_sharding)
         if self._device is not None:
             return jax.device_put(arr, self._device)
         return jnp.asarray(arr)
 
     def _sync_device(self) -> None:
-        cap = _next_capacity(self._count)
+        cap = _next_capacity(self._count, self._mesh_size)
         cur_cap = 0 if self._vectors is None else self._vectors.shape[0]
         if cap != cur_cap:
             padded = np.zeros((cap, self.dimension), self.dtype.np_dtype)
@@ -297,7 +324,17 @@ class Dataset:
         return out_ids, vals
 
     def _search_exact(self, q: np.ndarray, k: int):
-        qd = self._put(q)
+        qd = self._put_query(q)
+        if self._mesh is not None:
+            return sharded_scan_topk(
+                qd,
+                self._vectors,
+                self.metric,
+                k,
+                self._mesh,
+                valid_count=self._count,
+                base_sq_norms=self._exact_sq_norms(),
+            )
         return scan_topk(
             qd,
             self._vectors,
@@ -311,7 +348,9 @@ class Dataset:
         quant = self._require_quant("vector_quantize_scan")
         # quantize the query with the stored scale/offset
         # (src/sqlite-vector.c:2162-2177)
-        qq = quantize_device(self._put(q), quant.scale, quant.offset, quant.qtype)
+        qq = quantize_device(
+            self._put_query(q), quant.scale, quant.offset, quant.qtype
+        )
         if quant.sq_norms is None and self.metric in (
             DistanceMetric.L2,
             DistanceMetric.SQUARED_L2,
@@ -321,6 +360,16 @@ class Dataset:
             quant.sq_norms = jax.jit(
                 lambda x: jnp.sum(x.astype(jnp.int32) * x.astype(jnp.int32), axis=-1)
             )(codes)
+        if self._mesh is not None:
+            return sharded_scan_topk(
+                qq,
+                quant.codes,
+                self.metric,
+                k,
+                self._mesh,
+                valid_count=quant.count,
+                base_sq_norms=quant.sq_norms,
+            )
         return scan_topk(
             qq,
             quant.codes,
@@ -342,17 +391,32 @@ class Dataset:
             out = np.zeros((q.shape[0], 0), np.float32)
             return out[0] if single else out
         if exact:
-            d = scan_distances(
-                self._put(q),
-                self._vectors,
-                self.metric,
-                base_sq_norms=self._exact_sq_norms(),
-            )
+            qd = self._put_query(q)
+            if self._mesh is not None:
+                d = sharded_scan_distances(
+                    qd,
+                    self._vectors,
+                    self.metric,
+                    self._mesh,
+                    base_sq_norms=self._exact_sq_norms(),
+                )
+            else:
+                d = scan_distances(
+                    qd,
+                    self._vectors,
+                    self.metric,
+                    base_sq_norms=self._exact_sq_norms(),
+                )
             d = np.asarray(d)[:, : self._count]
         else:
             quant = self._require_quant("vector_quantize_scan_stream")
-            qq = quantize_device(self._put(q), quant.scale, quant.offset, quant.qtype)
-            d = scan_distances(qq, quant.codes, self.metric)
+            qq = quantize_device(
+                self._put_query(q), quant.scale, quant.offset, quant.qtype
+            )
+            if self._mesh is not None:
+                d = sharded_scan_distances(qq, quant.codes, self.metric, self._mesh)
+            else:
+                d = scan_distances(qq, quant.codes, self.metric)
             d = np.asarray(d)[:, : quant.count]
         return d[0] if single else d
 
@@ -481,7 +545,12 @@ class Dataset:
 
     @classmethod
     def load(
-        cls, directory: str, *, device: Any = None, sharding: Any = None
+        cls,
+        directory: str,
+        *,
+        device: Any = None,
+        sharding: Any = None,
+        mesh: Any = None,
     ) -> "Dataset":
         with open(os.path.join(directory, "manifest.json")) as f:
             manifest = json.load(f)
@@ -492,7 +561,7 @@ class Dataset:
             max_memory=manifest.get("max_memory", 0) or 0,
             distance=DistanceMetric.from_name(manifest["distance"]),
         )
-        ds = cls(manifest["name"], options, device=device, sharding=sharding)
+        ds = cls(manifest["name"], options, device=device, sharding=sharding, mesh=mesh)
         ids = np.load(os.path.join(directory, "ids.npy"))
         vecs = np.load(os.path.join(directory, "vectors.npy"))
         if options.type is VectorType.BF16:
@@ -508,7 +577,7 @@ class Dataset:
             count = q["count"]
             if os.path.exists(codes_path) and count:
                 host_codes = np.load(codes_path)
-                cap = _next_capacity(count)
+                cap = _next_capacity(count, ds._mesh_size)
                 padded = np.zeros((cap, options.dimension), host_codes.dtype)
                 padded[:count] = host_codes
                 codes = ds._put(padded)
@@ -529,10 +598,11 @@ class VectorStore:
 
     Lookups are case-insensitive (vector_context_lookup :1051)."""
 
-    def __init__(self, *, device: Any = None, sharding: Any = None):
+    def __init__(self, *, device: Any = None, sharding: Any = None, mesh: Any = None):
         self._datasets: dict[str, Dataset] = {}
         self._device = device
         self._sharding = sharding
+        self._mesh = mesh
 
     def create(
         self,
@@ -581,7 +651,13 @@ class VectorStore:
                 )
             existing.options.distance = opts.distance
             return existing
-        ds = Dataset(name, opts, device=self._device, sharding=self._sharding)
+        ds = Dataset(
+            name,
+            opts,
+            device=self._device,
+            sharding=self._sharding,
+            mesh=self._mesh,
+        )
         self._datasets[key] = ds
         return ds
 

@@ -1,0 +1,177 @@
+"""Sharded scan executors (shard_map over a 1-D rows mesh).
+
+Why shard_map and not plain jit-with-sharding: under plain jit, `lax.top_k`
+over a row-sharded [B, N] distance matrix forces XLA to all-gather the full
+distance matrix before selecting (O(B*N) bytes over ICI). The explicit
+formulation below communicates only B*k candidates per chip:
+
+    per chip:  fused scan_topk over the local shard   (compute, no comms)
+    merge:     all_gather of [B, k] (vals, global ids) -> [D, B, k]
+               final lax.top_k over the D*k candidates (replicated)
+
+Tie behavior matches the single-chip path: candidates are ordered
+device-major = global row order, and lax.top_k prefers earlier positions on
+equal values, so the earliest-scanned row wins ties exactly like the
+reference's strict `<` replacement loop (src/sqlite-vector.c:2102-2106).
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.sharding import Mesh, PartitionSpec as P
+
+try:  # jax >= 0.6 stable alias
+    from jax import shard_map as _shard_map
+except ImportError:  # pragma: no cover
+    from jax.experimental.shard_map import shard_map as _shard_map
+
+
+def shard_map(f, mesh, in_specs, out_specs):
+    # check_vma/check_rep can't infer that an all_gather-then-top_k result is
+    # replicated; the merge in _local_topk_merge is deterministic from
+    # replicated inputs, so disabling the check is sound.
+    try:
+        return _shard_map(
+            f, mesh=mesh, in_specs=in_specs, out_specs=out_specs, check_vma=False
+        )
+    except TypeError:  # pragma: no cover - older jax spelling
+        return _shard_map(
+            f, mesh=mesh, in_specs=in_specs, out_specs=out_specs, check_rep=False
+        )
+
+from sqlite_vector_tpu.ops.scan import scan_distances, scan_topk
+from sqlite_vector_tpu.ops.topk import topk_ascending
+from sqlite_vector_tpu.parallel.mesh import ROWS_AXIS
+from sqlite_vector_tpu.types import DistanceMetric
+
+
+def _local_topk_merge(
+    q: jnp.ndarray,
+    b: jnp.ndarray,
+    b_sq: jnp.ndarray | None,
+    valid: jnp.ndarray,
+    *,
+    metric: DistanceMetric,
+    k: int,
+    axis: str,
+) -> tuple[jnp.ndarray, jnp.ndarray]:
+    ax = jax.lax.axis_index(axis)
+    shard_rows = b.shape[0]
+    start = (ax * shard_rows).astype(jnp.int32)
+    local_valid = jnp.clip(valid - start, 0, shard_rows)
+    vals, idx = scan_topk(
+        q, b, metric, k, valid_count=local_valid, base_sq_norms=b_sq
+    )
+    gidx = jnp.where(idx >= 0, idx + start, jnp.int32(-1))
+
+    # ICI merge: B*k candidates per chip, device-major order == row order.
+    all_vals = jax.lax.all_gather(vals, axis)  # [D, B, k]
+    all_idx = jax.lax.all_gather(gidx, axis)
+    bsz = q.shape[0]
+    cand_vals = jnp.moveaxis(all_vals, 0, 1).reshape(bsz, -1)
+    cand_idx = jnp.moveaxis(all_idx, 0, 1).reshape(bsz, -1)
+    mvals, pos = topk_ascending(cand_vals, k)
+    mids = jnp.take_along_axis(cand_idx, pos, axis=-1)
+    mids = jnp.where(jnp.isinf(mvals), jnp.int32(-1), mids)
+    return mvals, mids
+
+
+@functools.partial(
+    jax.jit, static_argnames=("metric", "k", "mesh", "axis", "has_sq")
+)
+def _sharded_scan_topk_impl(
+    queries, base, base_sq_norms, valid, *, metric, k, mesh, axis, has_sq
+):
+    body = functools.partial(_local_topk_merge, metric=metric, k=k, axis=axis)
+    if has_sq:
+        fn = shard_map(
+            lambda q, b, s, v: body(q, b, s, v),
+            mesh,
+            in_specs=(P(), P(axis), P(axis), P()),
+            out_specs=(P(), P()),
+        )
+        return fn(queries, base, base_sq_norms, valid)
+    fn = shard_map(
+        lambda q, b, v: body(q, b, None, v),
+        mesh,
+        in_specs=(P(), P(axis), P()),
+        out_specs=(P(), P()),
+    )
+    return fn(queries, base, valid)
+
+
+def sharded_scan_topk(
+    queries: jnp.ndarray,
+    base: jnp.ndarray,
+    metric: DistanceMetric,
+    k: int,
+    mesh: Mesh,
+    *,
+    valid_count: jnp.ndarray | int | None = None,
+    base_sq_norms: jnp.ndarray | None = None,
+    axis: str = ROWS_AXIS,
+) -> tuple[jnp.ndarray, jnp.ndarray]:
+    """Multi-chip fused top-k scan.
+
+    queries: [B, d] replicated; base: [Npad, d] row-sharded over `axis`
+    (Npad must divide evenly by the mesh size — the Dataset layer pads).
+    Returns replicated (distances [B, k], global positions [B, k]) ascending,
+    unfilled slots +inf / -1.
+    """
+    n = base.shape[0]
+    d = mesh.shape[axis]
+    if n % d != 0:
+        raise ValueError(
+            f"sharded_scan_topk: base rows ({n}) must be a multiple of the "
+            f"mesh size ({d}); pad before sharding"
+        )
+    valid = jnp.asarray(n if valid_count is None else valid_count, jnp.int32)
+    return _sharded_scan_topk_impl(
+        queries,
+        base,
+        base_sq_norms,
+        valid,
+        metric=metric,
+        k=k,
+        mesh=mesh,
+        axis=axis,
+        has_sq=base_sq_norms is not None,
+    )
+
+
+def sharded_scan_distances(
+    queries: jnp.ndarray,
+    base: jnp.ndarray,
+    metric: DistanceMetric,
+    mesh: Mesh,
+    *,
+    base_sq_norms: jnp.ndarray | None = None,
+    axis: str = ROWS_AXIS,
+) -> jnp.ndarray:
+    """Full [B, N] distance matrix, column-sharded over the rows mesh.
+
+    The streaming virtual tables' analogue (src/sqlite-vector.c:2243-2373):
+    each chip computes distances for its local rows; the result stays
+    sharded (no gather) until the caller materializes it.
+    """
+    body = functools.partial(
+        lambda q, b, s: scan_distances(q, b, metric, base_sq_norms=s),
+    )
+    if base_sq_norms is not None:
+        fn = shard_map(
+            body,
+            mesh,
+            in_specs=(P(), P(axis), P(axis)),
+            out_specs=P(None, axis),
+        )
+        return fn(queries, base, base_sq_norms)
+    fn = shard_map(
+        lambda q, b: body(q, b, None),
+        mesh,
+        in_specs=(P(), P(axis)),
+        out_specs=P(None, axis),
+    )
+    return fn(queries, base)

@@ -1,0 +1,143 @@
+"""Multi-chip sharding tests on a virtual 8-device CPU mesh.
+
+Exercises the distributed serving path the reference lacks entirely
+(SURVEY.md §2 parallelism block): row-sharded HBM layout, per-chip partial
+top-k, and the ICI all-gather candidate merge — without TPU hardware, via
+XLA_FLAGS=--xla_force_host_platform_device_count=8 (set in conftest.py).
+"""
+
+import jax
+import numpy as np
+import pytest
+
+import sqlite_vector_tpu as svt
+from sqlite_vector_tpu import oracle
+from sqlite_vector_tpu.parallel import (
+    make_mesh,
+    row_sharding,
+    sharded_scan_distances,
+    sharded_scan_topk,
+)
+from sqlite_vector_tpu.types import DistanceMetric, VectorType
+
+pytestmark = pytest.mark.skipif(
+    len(jax.devices()) < 2, reason="needs multiple (virtual) devices"
+)
+
+METRICS = list(DistanceMetric)
+
+
+@pytest.fixture(scope="module")
+def mesh():
+    return make_mesh()
+
+
+def _oracle_topk(base, queries, metric, k):
+    d = oracle.distance(queries, base, metric, VectorType.F32)
+    idx = np.argsort(d, axis=-1, kind="stable")[:, :k]
+    return idx, np.take_along_axis(d, idx, axis=-1)
+
+
+@pytest.mark.parametrize("metric", METRICS)
+def test_sharded_topk_matches_oracle(mesh, metric, rng):
+    n, dim, b, k = 512, 64, 4, 10
+    base = rng.standard_normal((n, dim)).astype(np.float32)
+    queries = rng.standard_normal((b, dim)).astype(np.float32)
+    based = jax.device_put(base, row_sharding(mesh))
+    vals, idx = sharded_scan_topk(jax.device_put(queries), based, metric, k, mesh)
+    oidx, ovals = _oracle_topk(base, queries, metric, k)
+    np.testing.assert_array_equal(np.asarray(idx), oidx)
+    np.testing.assert_allclose(np.asarray(vals), ovals, rtol=2e-4, atol=2e-4)
+
+
+def test_sharded_valid_count_masks_padding(mesh, rng):
+    # valid_count cuts across shard boundaries: only the first 100 of 512
+    # padded rows are real (the rest are zeros that would otherwise win L2).
+    n, dim = 512, 32
+    base = np.zeros((n, dim), np.float32)
+    real = 100
+    base[:real] = rng.standard_normal((real, dim)).astype(np.float32) + 5.0
+    q = np.zeros((1, dim), np.float32)  # zeros are closest to padding rows
+    based = jax.device_put(base, row_sharding(mesh))
+    vals, idx = sharded_scan_topk(
+        jax.device_put(q), based, DistanceMetric.L2, 10, mesh, valid_count=real
+    )
+    idx = np.asarray(idx)
+    assert (idx[0] >= 0).all() and (idx[0] < real).all()
+
+
+def test_sharded_k_larger_than_valid(mesh, rng):
+    n, dim, real, k = 512, 16, 5, 20
+    base = np.zeros((n, dim), np.float32)
+    base[:real] = rng.standard_normal((real, dim)).astype(np.float32)
+    q = rng.standard_normal((1, dim)).astype(np.float32)
+    based = jax.device_put(base, row_sharding(mesh))
+    vals, idx = sharded_scan_topk(
+        jax.device_put(q), based, DistanceMetric.L2, k, mesh, valid_count=real
+    )
+    vals, idx = np.asarray(vals), np.asarray(idx)
+    assert (idx[0, :real] >= 0).all()
+    assert (idx[0, real:] == -1).all()
+    assert np.isinf(vals[0, real:]).all()
+
+
+def test_sharded_distances_matches_single_chip(mesh, rng):
+    n, dim, b = 256, 48, 3
+    base = rng.standard_normal((n, dim)).astype(np.float32)
+    queries = rng.standard_normal((b, dim)).astype(np.float32)
+    based = jax.device_put(base, row_sharding(mesh))
+    d = np.asarray(
+        sharded_scan_distances(
+            jax.device_put(queries), based, DistanceMetric.SQUARED_L2, mesh
+        )
+    )
+    ref = oracle.distance(queries, base, DistanceMetric.SQUARED_L2, VectorType.F32)
+    np.testing.assert_allclose(d, ref, rtol=2e-4, atol=2e-4)
+
+
+def test_dataset_with_mesh_end_to_end(mesh, rng):
+    store = svt.VectorStore(mesh=mesh)
+    ds = store.create("docs", "dimension=96,type=FLOAT32,distance=L2")
+    base = rng.standard_normal((3000, 96)).astype(np.float32)
+    ids = ds.add(base)
+
+    # exact search: self-match at distance 0
+    got, dist = ds.search(base[1234], 5)
+    assert got[0] == ids[1234]
+    assert dist[0] == 0.0
+
+    # neighbor-set parity with the numpy oracle
+    q = rng.standard_normal((2, 96)).astype(np.float32)
+    got_ids, got_d = ds.search(q, 10)
+    oidx, _ = _oracle_topk(base, q, DistanceMetric.L2, 10)
+    np.testing.assert_array_equal(got_ids, ids[oidx])
+
+    # quantized path over the mesh
+    assert ds.quantize() == 3000
+    qt, scale, offset = ds.quant_params
+    ref_qt, ref_scale, ref_offset = oracle.compute_quant_params(
+        base, svt.QuantType.AUTO
+    )
+    assert qt is ref_qt
+    np.testing.assert_allclose(scale, ref_scale, rtol=1e-6)
+    aids, _ = ds.search(base[1234], 5, exact=False)
+    assert aids[0] == ids[1234]
+
+    # streaming distances over the mesh
+    d = ds.distances(q)
+    assert d.shape == (2, 3000)
+
+    # append after quantize marks codes stale but keeps serving
+    ds.add(rng.standard_normal((10, 96)).astype(np.float32))
+    assert ds.quant_stale
+    got2, _ = ds.search(base[1234], 5)
+    assert got2[0] == ids[1234]
+
+
+def test_mesh_capacity_is_shard_multiple(mesh, rng):
+    ds = svt.Dataset(
+        "pad", svt.parse_options("dimension=8,type=FLOAT32"), mesh=mesh
+    )
+    ds.add(rng.standard_normal((1, 8)).astype(np.float32))
+    nshards = int(np.prod(list(mesh.shape.values())))
+    assert ds._vectors.shape[0] % nshards == 0
