@@ -43,7 +43,7 @@ from sqlite_vector_tpu.ops.quantize import (
     quantize_device,
     resolve_quant_params,
 )
-from sqlite_vector_tpu.ops.scan import scan_distances, scan_topk
+from sqlite_vector_tpu.ops.scan import fused_scan_topk, scan_distances
 from sqlite_vector_tpu.parallel import (
     row_sharding,
     replicated_sharding,
@@ -335,7 +335,7 @@ class Dataset:
                 valid_count=self._count,
                 base_sq_norms=self._exact_sq_norms(),
             )
-        return scan_topk(
+        return fused_scan_topk(
             qd,
             self._vectors,
             self.metric,
@@ -370,7 +370,7 @@ class Dataset:
                 valid_count=quant.count,
                 base_sq_norms=quant.sq_norms,
             )
-        return scan_topk(
+        return fused_scan_topk(
             qq,
             quant.codes,
             self.metric,

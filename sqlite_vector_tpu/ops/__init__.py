@@ -14,7 +14,7 @@ is the hand-tiled Pallas kernel used on TPU for the hot configurations.
 
 from sqlite_vector_tpu.ops.distance import pairwise_distance, METRIC_IS_FLOAT_ONLY
 from sqlite_vector_tpu.ops.topk import topk_ascending, merge_topk
-from sqlite_vector_tpu.ops.scan import scan_topk, scan_distances
+from sqlite_vector_tpu.ops.scan import scan_topk, scan_distances, fused_scan_topk
 from sqlite_vector_tpu.ops.quantize import (
     minmax_and_negative,
     quantize_device,
@@ -27,6 +27,7 @@ __all__ = [
     "topk_ascending",
     "merge_topk",
     "scan_topk",
+    "fused_scan_topk",
     "scan_distances",
     "minmax_and_negative",
     "quantize_device",

@@ -52,6 +52,19 @@ def _round_up(x: int, m: int) -> int:
     return -(-x // m) * m
 
 
+def enabled() -> bool:
+    """Pallas path is on for real TPU backends; SVT_FORCE_PALLAS=1 forces the
+    (slow) interpreter path on CPU for debugging, SVT_DISABLE_PALLAS=1 forces
+    the XLA scan everywhere."""
+    import os
+
+    if os.environ.get("SVT_DISABLE_PALLAS") == "1":
+        return False
+    if os.environ.get("SVT_FORCE_PALLAS") == "1":
+        return True
+    return jax.default_backend() == "tpu"
+
+
 def _row_tile(d_pad: int, itemsize: int) -> int:
     tile = _TILE_VMEM_BUDGET // (2 * d_pad * itemsize)
     tile = 1 << int(np.log2(max(tile, 256)))
@@ -261,7 +274,7 @@ def _pallas_topk_candidates(
         ),
         interpret=interpret,
     )(valid_arr, queries, bsq2, base)
-    return vals, idx, kk, b_pad
+    return vals, idx
 
 
 def pallas_scan_topk(
@@ -299,7 +312,7 @@ def pallas_scan_topk(
         else:
             base_sq_norms = jnp.zeros((n,), jnp.float32)
 
-    vals, idx, kk, b_pad = _pallas_topk_candidates(
+    vals, idx = _pallas_topk_candidates(
         queries,
         base,
         base_sq_norms,
@@ -308,7 +321,9 @@ def pallas_scan_topk(
         k=k,
         interpret=interpret,
     )
-    return _merge_candidates(vals, idx, metric=metric, k=k, kk=kk, b=b)
+    return _merge_candidates(
+        vals, idx, metric=metric, k=k, kk=min(k, K_PAD), b=b
+    )
 
 
 @functools.partial(jax.jit, static_argnames=("metric", "k", "kk", "b"))

@@ -107,6 +107,41 @@ def scan_topk(
     return vals, jnp.where(jnp.isinf(vals), -1, idx).astype(jnp.int32)
 
 
+def fused_scan_topk(
+    queries: jnp.ndarray,
+    base: jnp.ndarray,
+    metric: DistanceMetric,
+    k: int,
+    *,
+    valid_count: jnp.ndarray | int | None = None,
+    base_sq_norms: jnp.ndarray | None = None,
+) -> tuple[jnp.ndarray, jnp.ndarray]:
+    """Backend-dispatching top-k scan: the Pallas fused kernel on TPU (the
+    single code path replacing the reference's 25-kernel dispatch table,
+    src/distance-cpu.c:756-792), the XLA chunked scan elsewhere."""
+    from sqlite_vector_tpu.ops import pallas_scan
+
+    if pallas_scan.enabled() and pallas_scan.supports(
+        metric, base.dtype, base.shape[1], k, queries.shape[0]
+    ):
+        return pallas_scan.pallas_scan_topk(
+            queries,
+            base,
+            metric,
+            k,
+            valid_count=valid_count,
+            base_sq_norms=base_sq_norms,
+        )
+    return scan_topk(
+        queries,
+        base,
+        metric,
+        k,
+        valid_count=valid_count,
+        base_sq_norms=base_sq_norms,
+    )
+
+
 @functools.partial(jax.jit, static_argnames=("metric",))
 def scan_distances(
     queries: jnp.ndarray,

@@ -42,7 +42,7 @@ def shard_map(f, mesh, in_specs, out_specs):
             f, mesh=mesh, in_specs=in_specs, out_specs=out_specs, check_rep=False
         )
 
-from sqlite_vector_tpu.ops.scan import scan_distances, scan_topk
+from sqlite_vector_tpu.ops.scan import fused_scan_topk, scan_distances
 from sqlite_vector_tpu.ops.topk import topk_ascending
 from sqlite_vector_tpu.parallel.mesh import ROWS_AXIS
 from sqlite_vector_tpu.types import DistanceMetric
@@ -62,7 +62,7 @@ def _local_topk_merge(
     shard_rows = b.shape[0]
     start = (ax * shard_rows).astype(jnp.int32)
     local_valid = jnp.clip(valid - start, 0, shard_rows)
-    vals, idx = scan_topk(
+    vals, idx = fused_scan_topk(
         q, b, metric, k, valid_count=local_valid, base_sq_norms=b_sq
     )
     gidx = jnp.where(idx >= 0, idx + start, jnp.int32(-1))

@@ -1,0 +1,647 @@
+"""SQLite compatibility surface — the reference's SQL API over the TPU engine.
+
+The reference is a loadable SQLite extension; its whole API is 14 scalar SQL
+functions + 4 table-valued virtual tables (SURVEY.md Appendix A). This module
+reproduces that surface on top of Python's stdlib sqlite3, with the scans
+executed by the TPU engine:
+
+    import sqlite_vector_tpu.sqlite as svs
+    conn = svs.connect("embeddings.db")
+    conn.execute("SELECT vector_init('docs', 'embedding',"
+                 " 'type=FLOAT32,dimension=384,distance=L2')")
+    conn.execute("SELECT vector_quantize('docs', 'embedding')")
+    rows = conn.vector_full_scan("docs", "embedding", query_blob, 20)
+
+Interop guarantees (byte-compatible with databases written by the C
+extension, so either implementation can open the other's files):
+
+  - vector blobs are the same typed little-endian format (codec.py);
+  - `_sqliteai_vector(tblname, colname, key, value)` metadata with keys
+    qtype (int: 1=UINT8, 2=INT8), qscale, qoffset
+    (src/sqlite-vector.c:110-114, 1440-1445);
+  - quantization shadow tables `vector0_<tbl>_<col>(rowid1, rowid2, counter,
+    data)` whose chunk blobs are repeated `[int64-LE rowid][dim x u8/i8]`
+    records in pk order, batched by max_memory/(8+dim) rows
+    (src/sqlite-vector.c:1000-1005, 1117-1145, 1280-1330).
+
+Scalar functions (vector_version, vector_backend, vector_init,
+vector_quantize*, vector_as_*) are registered ON the connection, so plain SQL
+works. The table-valued scans can't be registered through stdlib sqlite3
+(no virtual-table API), so they are exposed as Python methods AND as
+`*_json` scalar functions composable with SQLite's json_each:
+
+    SELECT e.value ->> 'id', e.value ->> 'distance'
+    FROM json_each(vector_full_scan_json('docs','embedding', :q, 20)) AS e;
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import json
+import sqlite3
+import struct
+from typing import Any, Iterator
+
+import jax.numpy as jnp
+import numpy as np
+
+from sqlite_vector_tpu.codec import blob_to_array, vector_as_blob, vector_from_json
+from sqlite_vector_tpu.dataset import Dataset
+from sqlite_vector_tpu.errors import (
+    VectorCodecError,
+    VectorConfigError,
+    VectorStateError,
+)
+from sqlite_vector_tpu.ops.quantize import quantize_device
+from sqlite_vector_tpu.ops.scan import fused_scan_topk, scan_distances
+from sqlite_vector_tpu.types import (
+    DistanceMetric,
+    QuantType,
+    VectorOptions,
+    VectorType,
+    parse_options,
+)
+from sqlite_vector_tpu.version import backend as _backend
+from sqlite_vector_tpu.version import version as _version
+
+# reference enum values (src/distance-cpu.h:46-48)
+_QTYPE_TO_INT = {QuantType.AUTO: 0, QuantType.U8: 1, QuantType.I8: 2}
+_INT_TO_QTYPE = {1: QuantType.U8, 2: QuantType.I8}
+
+_INTERNAL_TABLE_SQL = (
+    "CREATE TABLE IF NOT EXISTS _sqliteai_vector (tblname TEXT, colname TEXT, "
+    "key TEXT, value ANY, PRIMARY KEY(tblname, colname, key));"
+)
+
+
+def _quote(name: str) -> str:
+    """SQLite identifier quoting (the %q analogue for identifiers)."""
+    return '"' + name.replace('"', '""') + '"'
+
+
+def _shadow_name(table: str, column: str) -> str:
+    return f"vector0_{table}_{column}"
+
+
+@dataclasses.dataclass
+class _QuantCache:
+    qtype: QuantType
+    scale: float
+    offset: float
+    codes: Any  # [cap, dim] device u8/i8 (padded) or None until preloaded
+    ids: np.ndarray | None  # rowids aligned with code rows
+    count: int
+    sq_norms: Any = None
+
+
+@dataclasses.dataclass
+class _TableContext:
+    table: str
+    column: str
+    pk: str
+    options: VectorOptions
+    dataset: Dataset | None = None
+    stamp: tuple | None = None
+    quant: _QuantCache | None = None
+    # quant params restored from _sqliteai_vector (sqlite_unserialize parity)
+    stored_qtype: QuantType | None = None
+    stored_scale: float | None = None
+    stored_offset: float | None = None
+
+
+class VectorConnection:
+    """A sqlite3.Connection wrapper with the vector SQL surface registered.
+
+    Mirrors one connection's `vector_context` in the reference
+    (src/sqlite-vector.c:2555-2638): per-connection registry, metadata table
+    creation, scalar-function registration.
+    """
+
+    def __init__(self, conn: sqlite3.Connection, *, device: Any = None, mesh: Any = None):
+        self._conn = conn
+        self._device = device
+        self._mesh = mesh
+        self._contexts: dict[tuple[str, str], _TableContext] = {}
+        conn.execute(_INTERNAL_TABLE_SQL)
+        self._register_functions()
+
+    # -- plumbing -------------------------------------------------------------
+
+    def __getattr__(self, name: str) -> Any:
+        return getattr(self._conn, name)
+
+    def __enter__(self):
+        self._conn.__enter__()
+        return self
+
+    def __exit__(self, *exc):
+        return self._conn.__exit__(*exc)
+
+    @property
+    def connection(self) -> sqlite3.Connection:
+        return self._conn
+
+    def _register_functions(self) -> None:
+        c = self._conn
+        c.create_function("vector_version", 0, lambda: _version(), deterministic=True)
+        c.create_function("vector_backend", 0, lambda: _backend(), deterministic=True)
+        for name, vtype in (
+            ("vector_as_f32", VectorType.F32),
+            ("vector_as_f16", VectorType.F16),
+            ("vector_as_bf16", VectorType.BF16),
+            ("vector_as_i8", VectorType.I8),
+            ("vector_as_u8", VectorType.U8),
+        ):
+            c.create_function(name, -1, _make_vector_as(vtype), deterministic=True)
+        c.create_function("vector_init", 3, self.vector_init)
+        c.create_function("vector_quantize", 2, self.vector_quantize)
+        c.create_function("vector_quantize", 3, self.vector_quantize)
+        c.create_function("vector_quantize_memory", 2, self.vector_quantize_memory)
+        c.create_function("vector_quantize_preload", 2, self.vector_quantize_preload)
+        c.create_function("vector_quantize_cleanup", 2, self.vector_quantize_cleanup)
+        c.create_function("vector_full_scan_json", 4, self._full_scan_json)
+        c.create_function("vector_quantize_scan_json", 4, self._quantize_scan_json)
+
+    def _lookup(self, table: str, column: str, caller: str) -> _TableContext:
+        # case-insensitive lookup (vector_context_lookup :1051)
+        ctx = self._contexts.get((table.lower(), column.lower()))
+        if ctx is None:
+            raise VectorStateError(
+                f"{caller}: table '{table}' column '{column}' was not "
+                "initialized — call vector_init first."
+            )
+        return ctx
+
+    def _table_columns(self, table: str) -> dict[str, str]:
+        rows = self._conn.execute(
+            f"PRAGMA table_info({_quote(table)})"
+        ).fetchall()
+        return {r[1].lower(): (r[2] or "") for r in rows}
+
+    def _resolve_pk(self, table: str) -> str:
+        """rowid, or the single INTEGER pk for WITHOUT ROWID tables
+        (src/sqlite-vector.c:1081-1088, 307-348)."""
+        row = self._conn.execute(
+            "SELECT sql FROM sqlite_master WHERE type='table' AND lower(name)=lower(?)",
+            (table,),
+        ).fetchone()
+        sql = (row[0] or "") if row else ""
+        if "without rowid" not in sql.lower():
+            return "rowid"
+        pks = [
+            r
+            for r in self._conn.execute(
+                f"PRAGMA table_info({_quote(table)})"
+            ).fetchall()
+            if r[5] > 0
+        ]
+        if len(pks) == 1 and (pks[0][2] or "").upper().startswith("INT"):
+            return pks[0][1]
+        raise VectorConfigError(
+            f"Table '{table}' is WITHOUT ROWID and has no single INTEGER "
+            "primary key usable as a row identifier."
+        )
+
+    # -- SQL surface ------------------------------------------------------------
+
+    def vector_init(self, table: str, column: str, options: str) -> None:
+        """vector_init(t, c, opts) (src/sqlite-vector.c:2491-2543)."""
+        cols = self._table_columns(table)
+        if not cols:
+            raise VectorConfigError(f"Table '{table}' does not exist.")
+        if column.lower() not in cols:
+            raise VectorConfigError(
+                f"Column '{column}' does not exist in table '{table}'."
+            )
+        decl = cols[column.lower()].upper()
+        if decl and "BLOB" not in decl:
+            raise VectorConfigError(
+                f"Column '{column}' must have BLOB affinity (declared '{decl}')."
+            )
+        opts = parse_options(options)
+        if opts.dimension <= 0:
+            raise VectorConfigError(
+                "Required 'dimension' option is missing from vector_init."
+            )
+        key = (table.lower(), column.lower())
+        existing = self._contexts.get(key)
+        if existing is not None:
+            # idempotent re-init with consistency checks (:2521-2536)
+            if existing.options.dimension != opts.dimension:
+                raise VectorConfigError(
+                    "A vector dimension mismatch was detected: column was "
+                    f"initialized with dimension {existing.options.dimension}."
+                )
+            if existing.options.type is not opts.type:
+                raise VectorConfigError(
+                    "A vector type mismatch was detected: column was "
+                    f"initialized with type {existing.options.type.value}."
+                )
+            existing.options.distance = opts.distance
+            return None
+        ctx = _TableContext(
+            table=table, column=column, pk=self._resolve_pk(table), options=opts
+        )
+        self._unserialize_quant_params(ctx)
+        self._contexts[key] = ctx
+        return None
+
+    def _unserialize_quant_params(self, ctx: _TableContext) -> None:
+        """Restore qtype/qscale/qoffset (sqlite_unserialize :451-491)."""
+        for key, value in self._conn.execute(
+            "SELECT key, value FROM _sqliteai_vector WHERE tblname=? AND colname=?",
+            (ctx.table, ctx.column),
+        ):
+            if key == "qtype":
+                ctx.stored_qtype = _INT_TO_QTYPE.get(int(value))
+            elif key == "qscale":
+                ctx.stored_scale = float(value)
+            elif key == "qoffset":
+                ctx.stored_offset = float(value)
+
+    # -- data refresh -------------------------------------------------------------
+
+    def _change_stamp(self) -> tuple:
+        dv = self._conn.execute("PRAGMA data_version").fetchone()[0]
+        return (dv, self._conn.total_changes)
+
+    def _refresh(self, ctx: _TableContext) -> Dataset:
+        """(Re)load the table's vectors into the TPU dataset if the database
+        changed. The reference re-walks the B-tree every scan
+        (src/sqlite-vector.c:2071-2117); we reload only on change."""
+        stamp = self._change_stamp()
+        if ctx.dataset is not None and ctx.stamp == stamp:
+            return ctx.dataset
+        dim = ctx.options.dimension
+        itemsize = ctx.options.type.itemsize
+        expected = dim * itemsize
+        ids: list[int] = []
+        blobs: list[bytes] = []
+        uniform = True
+        for rowid, blob in self._conn.execute(
+            f"SELECT {_quote(ctx.pk)}, {_quote(ctx.column)} FROM "
+            f"{_quote(ctx.table)} ORDER BY {_quote(ctx.pk)}"
+        ):
+            if blob is None:
+                continue  # NULL vectors silently skipped (:2093, :1214)
+            if len(blob) < expected:
+                raise VectorCodecError(
+                    f"Invalid vector size for rowid {rowid}: expected at "
+                    f"least {expected} bytes but found {len(blob)}."
+                )
+            if len(blob) != expected:
+                uniform = False
+            ids.append(rowid)
+            blobs.append(blob)
+        ds = Dataset(
+            f"{ctx.table}.{ctx.column}",
+            dataclasses.replace(ctx.options),
+            device=self._device,
+            mesh=self._mesh,
+        )
+        if ids:
+            if uniform:
+                arr = np.frombuffer(b"".join(blobs), dtype=ctx.options.type.np_dtype)
+                arr = arr.reshape(len(ids), dim)
+            else:
+                arr = np.stack(
+                    [blob_to_array(b, ctx.options.type, dim) for b in blobs]
+                )
+            ds.add(arr, np.asarray(ids, np.int64))
+        ctx.dataset = ds
+        ctx.stamp = stamp
+        return ds
+
+    # -- quantization -------------------------------------------------------------
+
+    def vector_quantize(self, table: str, column: str, options: str | None = None) -> int:
+        """vector_quantize(t, c[, opts]) (src/sqlite-vector.c:1406-1459).
+
+        Quantizes on the TPU, then writes the reference-format shadow table
+        and metadata inside a transaction. Returns the quantized row count.
+        """
+        ctx = self._lookup(table, column, "vector_quantize")
+        opts = parse_options(options, ctx.options)
+        ds = self._refresh(ctx)
+        count = ds.quantize(qtype=opts.qtype)
+
+        shadow = _shadow_name(ctx.table, ctx.column)
+        cur = self._conn.cursor()
+        cur.execute("BEGIN")
+        try:
+            cur.execute(f"DROP TABLE IF EXISTS {_quote(shadow)}")
+            cur.execute(
+                f"CREATE TABLE IF NOT EXISTS {_quote(shadow)} "
+                "(rowid1 INTEGER, rowid2 INTEGER, counter INTEGER, data BLOB)"
+            )
+            if count:
+                qtype, scale, offset = ds.quant_params
+                codes = np.asarray(ds._quant.codes)[:count]
+                rowids = ds.ids
+                q_size = 8 + ctx.options.dimension
+                max_vectors = max(int(opts.max_memory) // q_size, 1)
+                for start in range(0, count, max_vectors):
+                    end = min(start + max_vectors, count)
+                    chunk_ids = rowids[start:end]
+                    chunk = bytearray()
+                    for rid, row in zip(chunk_ids, codes[start:end]):
+                        chunk += struct.pack("<q", int(rid))
+                        chunk += row.tobytes()
+                    cur.execute(
+                        f"INSERT INTO {_quote(shadow)} "
+                        "(rowid1, rowid2, counter, data) VALUES (?, ?, ?, ?)",
+                        (
+                            int(chunk_ids[0]),
+                            int(chunk_ids[-1]),
+                            end - start,
+                            bytes(chunk),
+                        ),
+                    )
+            else:
+                qtype = (
+                    QuantType.U8 if opts.qtype is QuantType.AUTO else opts.qtype
+                )
+                scale, offset = 1.0, 0.0
+            for key, val in (
+                ("qtype", _QTYPE_TO_INT[qtype]),
+                ("qscale", float(scale)),
+                ("qoffset", float(offset)),
+            ):
+                cur.execute(
+                    "REPLACE INTO _sqliteai_vector (tblname, colname, key, value) "
+                    "VALUES (?, ?, ?, ?)",
+                    (ctx.table, ctx.column, key, val),
+                )
+            cur.execute("COMMIT")
+        except Exception:
+            cur.execute("ROLLBACK")
+            raise
+        ctx.stored_qtype, ctx.stored_scale, ctx.stored_offset = (
+            qtype,
+            float(scale),
+            float(offset),
+        )
+        # our quantize wrote fresh codes; cache them directly (the reference
+        # re-preloads only if previously preloaded, :1457-1471 — device
+        # residency is the natural state here)
+        if count:
+            ctx.quant = _QuantCache(
+                qtype=qtype,
+                scale=float(scale),
+                offset=float(offset),
+                codes=ds._quant.codes,
+                ids=np.array(rowids, np.int64),
+                count=count,
+                sq_norms=None,
+            )
+        else:
+            ctx.quant = _QuantCache(qtype, float(scale), float(offset), None, None, 0)
+        # refresh the stamp: the shadow-table writes changed the database
+        ctx.stamp = self._change_stamp()
+        return count
+
+    def _shadow_exists(self, ctx: _TableContext) -> bool:
+        row = self._conn.execute(
+            "SELECT 1 FROM sqlite_master WHERE type='table' AND name=?",
+            (_shadow_name(ctx.table, ctx.column),),
+        ).fetchone()
+        return row is not None
+
+    def _load_quant_from_shadow(self, ctx: _TableContext) -> _QuantCache:
+        """Read reference-format shadow chunks into device int8 codes —
+        the interop analogue of vector_quantize_preload
+        (src/sqlite-vector.c:1338-1404)."""
+        if not self._shadow_exists(ctx):
+            raise VectorStateError(
+                "vector_quantize_scan: quantization table not found — run "
+                "vector_quantize first."
+            )
+        if ctx.stored_qtype is None or ctx.stored_scale is None:
+            # re-read: another connection may have quantized since init
+            self._unserialize_quant_params(ctx)
+        if ctx.stored_qtype is None:
+            raise VectorStateError(
+                "vector_quantize_scan: quantization parameters not found in "
+                "_sqliteai_vector — run vector_quantize first."
+            )
+        dim = ctx.options.dimension
+        q_size = 8 + dim
+        all_ids: list[np.ndarray] = []
+        all_codes: list[np.ndarray] = []
+        for counter, data in self._conn.execute(
+            f"SELECT counter, data FROM "
+            f"{_quote(_shadow_name(ctx.table, ctx.column))}"
+        ):
+            rec = np.frombuffer(data, np.uint8).reshape(counter, q_size)
+            all_ids.append(rec[:, :8].copy().view("<i8").reshape(-1))
+            codes = rec[:, 8:]
+            all_codes.append(codes)
+        if all_codes:
+            ids = np.concatenate(all_ids)
+            codes = np.concatenate(all_codes)
+        else:
+            ids = np.zeros((0,), np.int64)
+            codes = np.zeros((0, dim), np.uint8)
+        if ctx.stored_qtype is QuantType.I8:
+            codes = codes.view(np.int8)
+        count = len(ids)
+        cap = max(1 << max(count - 1, 1).bit_length(), 1024)
+        padded = np.zeros((cap, dim), codes.dtype)
+        padded[:count] = codes
+        return _QuantCache(
+            qtype=ctx.stored_qtype,
+            scale=float(ctx.stored_scale),
+            offset=float(ctx.stored_offset or 0.0),
+            codes=jnp.asarray(padded),
+            ids=ids,
+            count=count,
+        )
+
+    def _require_quant(self, ctx: _TableContext) -> _QuantCache:
+        if ctx.quant is not None and (
+            ctx.quant.codes is not None or ctx.quant.count == 0
+        ):
+            return ctx.quant
+        ctx.quant = self._load_quant_from_shadow(ctx)
+        return ctx.quant
+
+    def vector_quantize_memory(self, table: str, column: str) -> int:
+        """SUM(LENGTH(data)) over the shadow table (:1486-1499)."""
+        ctx = self._lookup(table, column, "vector_quantize_memory")
+        if not self._shadow_exists(ctx):
+            raise VectorStateError(
+                "vector_quantize_memory: quantization table not found — run "
+                "vector_quantize first."
+            )
+        row = self._conn.execute(
+            f"SELECT SUM(LENGTH(data)) FROM "
+            f"{_quote(_shadow_name(ctx.table, ctx.column))}"
+        ).fetchone()
+        return int(row[0] or 0)
+
+    def vector_quantize_preload(self, table: str, column: str) -> None:
+        """Pin the quantized codes on-device (:1338-1404)."""
+        ctx = self._lookup(table, column, "vector_quantize_preload")
+        self._require_quant(ctx)
+        return None
+
+    def vector_quantize_cleanup(self, table: str, column: str) -> None:
+        """Free the cache and DROP the shadow table (:1501-1524)."""
+        key = (table.lower(), column.lower())
+        ctx = self._contexts.get(key)
+        if ctx is not None:
+            ctx.quant = None
+        self._conn.execute(
+            f"DROP TABLE IF EXISTS {_quote(_shadow_name(table, column))}"
+        )
+        self._conn.commit()
+        return None
+
+    # -- scans ---------------------------------------------------------------------
+
+    def _coerce_query(self, ctx: _TableContext, value: Any) -> np.ndarray:
+        if isinstance(value, str):
+            return vector_from_json(value, ctx.options.type, ctx.options.dimension)
+        if isinstance(value, (bytes, bytearray, memoryview)):
+            return blob_to_array(bytes(value), ctx.options.type, ctx.options.dimension)
+        arr = np.asarray(value)
+        if arr.shape != (ctx.options.dimension,):
+            raise VectorCodecError(
+                f"Invalid vector dimension: expected {ctx.options.dimension} "
+                f"but found {arr.shape}."
+            )
+        return arr.astype(ctx.options.type.np_dtype)
+
+    def vector_full_scan(
+        self, table: str, column: str, query: Any, k: int
+    ) -> list[tuple[int, float]]:
+        """Exact top-k — the vector_full_scan virtual table
+        (src/sqlite-vector.c:2071-2117). Returns [(rowid, distance)] asc."""
+        ctx = self._lookup(table, column, "vector_full_scan")
+        if k <= 0:
+            return []  # k=0 -> empty (:1796)
+        ds = self._refresh(ctx)
+        q = self._coerce_query(ctx, query)
+        ids, dist = ds.search(q, k)
+        return [(int(i), float(d)) for i, d in zip(ids, dist)]
+
+    def vector_quantize_scan(
+        self, table: str, column: str, query: Any, k: int
+    ) -> list[tuple[int, float]]:
+        """Approximate top-k over the quantized codes
+        (src/sqlite-vector.c:2159-2236). Distances are in the quantized
+        domain, as in the reference."""
+        ctx = self._lookup(table, column, "vector_quantize_scan")
+        if k <= 0:
+            return []
+        quant = self._require_quant(ctx)
+        if quant.count == 0:
+            return []
+        q = self._coerce_query(ctx, query)
+        qq = quantize_device(
+            jnp.asarray(q[None, :].astype(np.float32)),
+            quant.scale,
+            quant.offset,
+            quant.qtype,
+        )
+        if quant.sq_norms is None and ctx.options.distance in (
+            DistanceMetric.L2,
+            DistanceMetric.SQUARED_L2,
+            DistanceMetric.COSINE,
+        ):
+            ci = quant.codes.astype(jnp.int32)
+            quant.sq_norms = jnp.sum(ci * ci, axis=-1)
+        vals, idx = fused_scan_topk(
+            qq,
+            quant.codes,
+            ctx.options.distance,
+            k,
+            valid_count=quant.count,
+            base_sq_norms=quant.sq_norms,
+        )
+        vals = np.asarray(vals)[0]
+        idx = np.asarray(idx)[0]
+        keep = idx >= 0
+        return [
+            (int(quant.ids[i]), float(v)) for i, v in zip(idx[keep], vals[keep])
+        ]
+
+    def vector_full_scan_stream(
+        self, table: str, column: str, query: Any
+    ) -> Iterator[tuple[int, float]]:
+        """Every (rowid, distance), unordered — the *_stream virtual table
+        (src/sqlite-vector.c:2243-2313)."""
+        ctx = self._lookup(table, column, "vector_full_scan_stream")
+        ds = self._refresh(ctx)
+        q = self._coerce_query(ctx, query)
+        dist = ds.distances(q)
+        for rid, d in zip(ds.ids, dist):
+            yield (int(rid), float(d))
+
+    def vector_quantize_scan_stream(
+        self, table: str, column: str, query: Any
+    ) -> Iterator[tuple[int, float]]:
+        """Quantized-domain streaming distances (src/sqlite-vector.c:2315-2365)."""
+        ctx = self._lookup(table, column, "vector_quantize_scan_stream")
+        quant = self._require_quant(ctx)
+        if quant.count == 0:
+            return
+        q = self._coerce_query(ctx, query)
+        qq = quantize_device(
+            jnp.asarray(q[None, :].astype(np.float32)),
+            quant.scale,
+            quant.offset,
+            quant.qtype,
+        )
+        dist = np.asarray(scan_distances(qq, quant.codes, ctx.options.distance))[
+            0, : quant.count
+        ]
+        for rid, d in zip(quant.ids, dist):
+            yield (int(rid), float(d))
+
+    # -- JSON TVF shims ---------------------------------------------------------
+
+    def _full_scan_json(self, table: str, column: str, query: Any, k: int) -> str:
+        return json.dumps(
+            [
+                {"id": i, "distance": d}
+                for i, d in self.vector_full_scan(table, column, query, k)
+            ]
+        )
+
+    def _quantize_scan_json(self, table: str, column: str, query: Any, k: int) -> str:
+        return json.dumps(
+            [
+                {"id": i, "distance": d}
+                for i, d in self.vector_quantize_scan(table, column, query, k)
+            ]
+        )
+
+
+def _make_vector_as(vtype: VectorType):
+    def fn(*args):
+        if not 1 <= len(args) <= 2:
+            raise VectorConfigError(
+                f"vector_as_{vtype.value.lower()} expects 1 or 2 arguments."
+            )
+        dim = int(args[1]) if len(args) == 2 else 0
+        return vector_as_blob(args[0], vtype, dim)
+
+    return fn
+
+
+def connect(
+    database: str, *, device: Any = None, mesh: Any = None, **kwargs: Any
+) -> VectorConnection:
+    """Open a SQLite database with the vector SQL surface registered —
+    the analogue of `.load ./vector` + sqlite3_vector_init
+    (src/sqlite-vector.c:2555-2638)."""
+    conn = sqlite3.connect(database, **kwargs)
+    return VectorConnection(conn, device=device, mesh=mesh)
+
+
+def wrap(
+    conn: sqlite3.Connection, *, device: Any = None, mesh: Any = None
+) -> VectorConnection:
+    """Register the vector SQL surface on an existing connection."""
+    return VectorConnection(conn, device=device, mesh=mesh)

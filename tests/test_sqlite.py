@@ -1,0 +1,315 @@
+"""SQLite compatibility surface tests.
+
+Covers the SQL API inventory of SURVEY.md Appendix A: scalar functions,
+scans, quantize lifecycle, metadata persistence, and — when the compiled C
+reference is available at /tmp/refbuild/vector.so — byte-level interop of the
+shadow-table format in both directions.
+"""
+
+import json
+import os
+import sqlite3
+import struct
+
+import numpy as np
+import pytest
+
+import sqlite_vector_tpu.sqlite as svs
+from sqlite_vector_tpu import oracle
+from sqlite_vector_tpu.errors import VectorConfigError, VectorStateError
+from sqlite_vector_tpu.types import DistanceMetric, QuantType, VectorType
+
+DIM = 32
+N = 300
+
+REF_SO = "/tmp/refbuild/vector.so"
+
+
+@pytest.fixture
+def data(rng):
+    return rng.standard_normal((N, DIM)).astype(np.float32)
+
+
+@pytest.fixture
+def conn(tmp_path, data):
+    c = svs.connect(str(tmp_path / "t.db"))
+    c.execute("CREATE TABLE docs (id INTEGER PRIMARY KEY, v BLOB, label TEXT)")
+    c.executemany(
+        "INSERT INTO docs(v, label) VALUES (?, ?)",
+        ((row.tobytes(), f"row{i}") for i, row in enumerate(data)),
+    )
+    c.commit()
+    c.execute(
+        "SELECT vector_init('docs', 'v', "
+        f"'type=FLOAT32,dimension={DIM},distance=L2')"
+    )
+    return c
+
+
+def test_version_backend_sql(conn):
+    v = conn.execute("SELECT vector_version()").fetchone()[0]
+    b = conn.execute("SELECT vector_backend()").fetchone()[0]
+    assert v and b
+
+
+def test_vector_as_functions(conn):
+    blob = conn.execute("SELECT vector_as_f32('[1, 2.5, -3]')").fetchone()[0]
+    assert np.frombuffer(blob, np.float32).tolist() == [1.0, 2.5, -3.0]
+    blob = conn.execute("SELECT vector_as_u8('[0, 255]', 2)").fetchone()[0]
+    assert list(blob) == [0, 255]
+    with pytest.raises(sqlite3.OperationalError):
+        conn.execute("SELECT vector_as_u8('[300]')").fetchone()
+    # BLOB passthrough with size validation
+    raw = np.arange(4, dtype=np.float32).tobytes()
+    out = conn.execute("SELECT vector_as_f32(?)", (raw,)).fetchone()[0]
+    assert out == raw
+    with pytest.raises(sqlite3.OperationalError):
+        conn.execute("SELECT vector_as_f32(?)", (raw[:-1],)).fetchone()
+
+
+def test_init_validation(conn):
+    with pytest.raises(VectorConfigError):
+        conn.vector_init("missing", "v", f"type=FLOAT32,dimension={DIM}")
+    with pytest.raises(VectorConfigError):
+        conn.vector_init("docs", "nope", f"type=FLOAT32,dimension={DIM}")
+    with pytest.raises(VectorConfigError):
+        conn.vector_init("docs", "label", f"type=FLOAT32,dimension={DIM}")
+    with pytest.raises(VectorConfigError):
+        conn.vector_init("docs", "v", "type=FLOAT32")  # missing dimension
+    # re-init consistency (src/sqlite-vector.c:2521-2536)
+    with pytest.raises(VectorConfigError):
+        conn.vector_init("docs", "v", f"type=FLOAT32,dimension={DIM + 1}")
+    with pytest.raises(VectorConfigError):
+        conn.vector_init("docs", "v", f"type=FLOAT16,dimension={DIM}")
+    conn.vector_init("docs", "v", f"type=FLOAT32,dimension={DIM}")  # ok
+
+
+def test_full_scan_matches_oracle(conn, data):
+    q = data[17]
+    rows = conn.vector_full_scan("docs", "v", q.tobytes(), 10)
+    assert rows[0][0] == 18 and rows[0][1] == 0.0  # rowids are 1-based
+    d = oracle.distance(q, data, DistanceMetric.L2, VectorType.F32)
+    oidx = np.argsort(d, kind="stable")[:10]
+    assert [r[0] for r in rows] == [int(i) + 1 for i in oidx]
+    # JSON query text accepted directly (API.md:189)
+    rows2 = conn.vector_full_scan(
+        "docs", "v", json.dumps([float(x) for x in q]), 10
+    )
+    assert [r[0] for r in rows2] == [r[0] for r in rows]
+    # k=0 -> empty (:1796); k > N -> trimmed to N
+    assert conn.vector_full_scan("docs", "v", q.tobytes(), 0) == []
+    assert len(conn.vector_full_scan("docs", "v", q.tobytes(), N + 50)) == N
+
+
+def test_scan_sees_live_changes(conn, data, rng):
+    q = rng.standard_normal(DIM).astype(np.float32)
+    before = conn.vector_full_scan("docs", "v", q.tobytes(), 5)
+    conn.execute("INSERT INTO docs(v) VALUES (?)", (q.tobytes(),))
+    conn.commit()
+    after = conn.vector_full_scan("docs", "v", q.tobytes(), 5)
+    assert after[0][1] == 0.0 and after != before
+    # NULL vectors silently skipped (:2093)
+    conn.execute("INSERT INTO docs(v) VALUES (NULL)")
+    conn.commit()
+    assert len(conn.vector_full_scan("docs", "v", q.tobytes(), N + 10)) == N + 1
+
+
+def test_quantize_lifecycle(conn, data):
+    with pytest.raises(VectorStateError):
+        conn.vector_quantize_scan("docs", "v", data[0].tobytes(), 5)
+    count = conn.execute("SELECT vector_quantize('docs', 'v')").fetchone()[0]
+    assert count == N
+    # metadata persisted with reference keys/values
+    meta = dict(
+        (k, v)
+        for k, v in conn.execute(
+            "SELECT key, value FROM _sqliteai_vector WHERE tblname='docs'"
+        )
+    )
+    ref_qt, ref_scale, ref_offset = oracle.compute_quant_params(
+        data, QuantType.AUTO
+    )
+    assert meta["qtype"] == 2  # INT8 (data has negatives)
+    np.testing.assert_allclose(meta["qscale"], ref_scale, rtol=1e-6)
+    assert meta["qoffset"] == float(ref_offset)
+    # shadow-table format: [int64 rowid][dim bytes] records
+    counter, blob = conn.execute(
+        "SELECT counter, data FROM vector0_docs_v"
+    ).fetchone()
+    assert counter == N and len(blob) == N * (8 + DIM)
+    rid0 = struct.unpack("<q", blob[:8])[0]
+    assert rid0 == 1
+    codes0 = np.frombuffer(blob[8 : 8 + DIM], np.int8)
+    np.testing.assert_array_equal(
+        codes0, oracle.quantize(data[0], ref_scale, ref_offset, ref_qt)
+    )
+    # memory = SUM(LENGTH(data)) (:1486-1499)
+    assert conn.vector_quantize_memory("docs", "v") == N * (8 + DIM)
+    # quantized scan: self-match first, distances in quantized domain
+    rows = conn.vector_quantize_scan("docs", "v", data[42].tobytes(), 5)
+    assert rows[0][0] == 43
+    assert rows[0][1] == float(int(rows[0][1]))  # integer-valued (int domain)
+    # cleanup drops the shadow table
+    conn.vector_quantize_cleanup("docs", "v")
+    assert (
+        conn.execute(
+            "SELECT 1 FROM sqlite_master WHERE name='vector0_docs_v'"
+        ).fetchone()
+        is None
+    )
+    with pytest.raises(VectorStateError):
+        conn.vector_quantize_scan("docs", "v", data[0].tobytes(), 5)
+
+
+def test_quantized_recall(conn, data):
+    conn.vector_quantize("docs", "v")
+    k, hits, total = 10, 0, 0
+    for i in range(0, N, 29):
+        q = data[i].tobytes()
+        exact = {r[0] for r in conn.vector_full_scan("docs", "v", q, k)}
+        approx = {r[0] for r in conn.vector_quantize_scan("docs", "v", q, k)}
+        hits += len(exact & approx)
+        total += k
+    assert hits / total > 0.9  # QUANTIZATION.md target: > 0.95 on real data
+
+
+def test_fresh_connection_restores_quant(tmp_path, data):
+    path = str(tmp_path / "p.db")
+    c1 = svs.connect(path)
+    c1.execute("CREATE TABLE t (v BLOB)")
+    c1.executemany("INSERT INTO t(v) VALUES (?)", ((r.tobytes(),) for r in data))
+    c1.commit()
+    c1.vector_init("t", "v", f"type=FLOAT32,dimension={DIM}")
+    c1.vector_quantize("t", "v")
+    expected = c1.vector_quantize_scan("t", "v", data[7].tobytes(), 5)
+    c1.close()
+    # a fresh connection restores scale/offset + codes from the database
+    # without re-quantizing (sqlite_unserialize parity, :451-491)
+    c2 = svs.connect(path)
+    c2.vector_init("t", "v", f"type=FLOAT32,dimension={DIM}")
+    got = c2.vector_quantize_scan("t", "v", data[7].tobytes(), 5)
+    assert got == expected
+    c2.close()
+
+
+def test_stream_scans(conn, data):
+    q = data[3]
+    rows = list(conn.vector_full_scan_stream("docs", "v", q.tobytes()))
+    assert len(rows) == N
+    d = dict(rows)
+    assert d[4] == 0.0
+    conn.vector_quantize("docs", "v")
+    qrows = list(conn.vector_quantize_scan_stream("docs", "v", q.tobytes()))
+    assert len(qrows) == N
+
+
+def test_json_tvf_shim(conn, data):
+    rows = conn.execute(
+        "SELECT e.value ->> 'id', e.value ->> 'distance' "
+        "FROM json_each(vector_full_scan_json('docs', 'v', ?, 5)) AS e",
+        (data[0].tobytes(),),
+    ).fetchall()
+    assert len(rows) == 5 and rows[0][0] == 1 and rows[0][1] == 0.0
+
+
+def test_without_rowid_table(tmp_path, data):
+    c = svs.connect(str(tmp_path / "wr.db"))
+    c.execute(
+        "CREATE TABLE wr (pk INTEGER PRIMARY KEY, v BLOB) WITHOUT ROWID"
+    )
+    c.executemany(
+        "INSERT INTO wr(pk, v) VALUES (?, ?)",
+        ((i + 100, r.tobytes()) for i, r in enumerate(data[:50])),
+    )
+    c.commit()
+    c.vector_init("wr", "v", f"type=FLOAT32,dimension={DIM}")
+    rows = c.vector_full_scan("wr", "v", data[10].tobytes(), 3)
+    assert rows[0][0] == 110 and rows[0][1] == 0.0
+    c.close()
+
+
+# ---------------------------------------------------------------------------
+# byte-level interop with the compiled C reference (optional, local only)
+# ---------------------------------------------------------------------------
+
+
+def _ref_available():
+    if not os.path.exists(REF_SO):
+        return False
+    try:
+        c = sqlite3.connect(":memory:")
+        c.enable_load_extension(True)
+        c.load_extension(REF_SO[:-3])
+        return True
+    except Exception:
+        return False
+
+
+@pytest.mark.skipif(not _ref_available(), reason="C reference not built")
+def test_interop_c_reference_reads_our_db(tmp_path, data):
+    """The C extension must be able to quantized-scan a DB we quantized."""
+    path = str(tmp_path / "x.db")
+    c = svs.connect(path)
+    c.execute("CREATE TABLE t (v BLOB)")
+    c.executemany("INSERT INTO t(v) VALUES (?)", ((r.tobytes(),) for r in data))
+    c.commit()
+    c.vector_init("t", "v", f"type=FLOAT32,dimension={DIM}")
+    c.vector_quantize("t", "v")
+    ours = c.vector_quantize_scan("t", "v", data[5].tobytes(), 10)
+    exact_ours = c.vector_full_scan("t", "v", data[5].tobytes(), 10)
+    c.close()
+
+    rc = sqlite3.connect(path)
+    rc.enable_load_extension(True)
+    rc.load_extension(REF_SO[:-3])
+    rc.execute(
+        f"SELECT vector_init('t','v','type=FLOAT32,dimension={DIM},distance=L2')"
+    )
+    theirs = rc.execute(
+        "SELECT id, distance FROM vector_quantize_scan('t','v',?,10)",
+        (data[5].tobytes(),),
+    ).fetchall()
+    exact_theirs = rc.execute(
+        "SELECT id, distance FROM vector_full_scan('t','v',?,10)",
+        (data[5].tobytes(),),
+    ).fetchall()
+    rc.close()
+    assert [r[0] for r in theirs] == [r[0] for r in ours]
+    np.testing.assert_allclose(
+        [r[1] for r in theirs], [r[1] for r in ours], rtol=1e-5
+    )
+    assert [r[0] for r in exact_theirs] == [r[0] for r in exact_ours]
+    np.testing.assert_allclose(
+        [r[1] for r in exact_theirs], [r[1] for r in exact_ours], rtol=1e-4, atol=1e-4
+    )
+
+
+@pytest.mark.skipif(not _ref_available(), reason="C reference not built")
+def test_interop_we_read_c_reference_db(tmp_path, data):
+    """We must be able to quantized-scan a DB the C extension quantized."""
+    path = str(tmp_path / "y.db")
+    rc = sqlite3.connect(path)
+    rc.enable_load_extension(True)
+    rc.load_extension(REF_SO[:-3])
+    rc.execute("CREATE TABLE t (v BLOB)")
+    rc.executemany("INSERT INTO t(v) VALUES (?)", ((r.tobytes(),) for r in data))
+    rc.commit()
+    rc.execute(
+        f"SELECT vector_init('t','v','type=FLOAT32,dimension={DIM},distance=L2')"
+    )
+    rc.execute("SELECT vector_quantize('t','v')")
+    theirs = rc.execute(
+        "SELECT id, distance FROM vector_quantize_scan('t','v',?,10)",
+        (data[9].tobytes(),),
+    ).fetchall()
+    rc.commit()
+    rc.close()
+
+    c = svs.connect(path)
+    c.vector_init("t", "v", f"type=FLOAT32,dimension={DIM},distance=L2")
+    ours = c.vector_quantize_scan("t", "v", data[9].tobytes(), 10)
+    c.close()
+    assert [r[0] for r in ours] == [r[0] for r in theirs]
+    np.testing.assert_allclose(
+        [r[1] for r in ours], [r[1] for r in theirs], rtol=1e-5
+    )
