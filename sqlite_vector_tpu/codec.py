@@ -85,6 +85,13 @@ def vector_from_json(
         out = _native_parse(json_text, vtype, dimension)
         if out is not None:
             return out
+    return _parse_python(json_text, vtype, dimension)
+
+
+def _parse_python(
+    json_text: str, vtype: VectorType, dimension: int = 0
+) -> np.ndarray:
+    """Pure-Python reference parser (the fallback for the native fast path)."""
     s = json_text
     n = len(s)
     p = 0

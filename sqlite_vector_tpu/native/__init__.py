@@ -1,0 +1,115 @@
+"""Native (C++) runtime bindings with transparent build + pure-Python fallback.
+
+The compiled module `_svt_native` provides the host-runtime hot paths (JSON
+codec, bulk SQLite blob loading — see csrc/svt_native.cpp). It is compiled
+on first import with g++ if a toolchain is available; every caller has a
+pure-Python fallback, so the package works without it.
+"""
+
+from __future__ import annotations
+
+import os
+import subprocess
+import sys
+import sysconfig
+
+import numpy as np
+
+_here = os.path.dirname(os.path.abspath(__file__))
+_repo = os.path.dirname(os.path.dirname(_here))
+_src = os.path.join(_repo, "csrc", "svt_native.cpp")
+_so = os.path.join(_here, "_svt_native.so")
+
+_native = None
+
+
+def _build() -> bool:
+    if not os.path.exists(_src):
+        return False
+    if os.path.exists(_so) and os.path.getmtime(_so) >= os.path.getmtime(_src):
+        return True
+    include = sysconfig.get_paths()["include"]
+    cmd = [
+        "g++",
+        "-O2",
+        "-shared",
+        "-fPIC",
+        "-std=c++17",
+        f"-I{include}",
+        _src,
+        "-o",
+        _so,
+        "-ldl",
+    ]
+    try:
+        subprocess.run(
+            cmd, check=True, capture_output=True, timeout=120
+        )
+        return True
+    except Exception:
+        return False
+
+
+def _load():
+    global _native
+    if _native is not None:
+        return _native
+    if not _build():
+        return None
+    if _here not in sys.path:
+        sys.path.insert(0, _here)
+    try:
+        import _svt_native  # noqa: F401
+
+        _native = _svt_native
+    except Exception:
+        _native = None
+    return _native
+
+
+def available() -> bool:
+    return _load() is not None
+
+
+def parse_json_vector(json_text: str, vtype, dimension: int = 0):
+    """Native vector_from_json fast path. Returns the typed numpy vector, or
+    None to signal 'use the pure-Python parser'. Raises VectorCodecError on
+    malformed input (same messages as the Python parser)."""
+    native = _load()
+    if native is None:
+        return None
+    from sqlite_vector_tpu.errors import VectorCodecError
+    from sqlite_vector_tpu.types import VectorType
+
+    check = 1 if vtype is VectorType.U8 else 2 if vtype is VectorType.I8 else 0
+    try:
+        buf = native.parse_json_f64(json_text, check)
+    except ValueError as e:
+        raise VectorCodecError(str(e)) from None
+    arr64 = np.frombuffer(buf, dtype="<f8")
+    if dimension > 0 and dimension != arr64.size:
+        raise VectorCodecError(
+            f"Invalid JSON vector dimension: expected {dimension} but found "
+            f"{arr64.size}."
+        )
+    if vtype in (VectorType.U8, VectorType.I8):
+        return arr64.astype(vtype.np_dtype)  # C truncation toward zero
+    return arr64.astype(np.float32).astype(vtype.np_dtype)
+
+
+def load_blobs(db_path: str, query: str, expected_bytes: int):
+    """Native bulk (rowid, blob) loader. Returns (ids int64 [N], data bytes,
+    count) or None to signal 'use the Python sqlite3 row loop'."""
+    native = _load()
+    if native is None:
+        return None
+    from sqlite_vector_tpu.errors import VectorCodecError
+
+    try:
+        ids_bytes, data, count = native.load_blobs(db_path, query, expected_bytes)
+    except ValueError as e:
+        raise VectorCodecError(str(e)) from None
+    except OSError:
+        return None
+    ids = np.frombuffer(ids_bytes, dtype="<i8")
+    return ids, data, count

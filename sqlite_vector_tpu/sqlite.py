@@ -39,13 +39,13 @@ from __future__ import annotations
 import dataclasses
 import json
 import sqlite3
-import struct
 from typing import Any, Iterator
 
 import jax.numpy as jnp
 import numpy as np
 
 from sqlite_vector_tpu.codec import blob_to_array, vector_as_blob, vector_from_json
+from sqlite_vector_tpu.native import load_blobs as native_load_blobs
 from sqlite_vector_tpu.dataset import Dataset
 from sqlite_vector_tpu.errors import (
     VectorCodecError,
@@ -275,42 +275,58 @@ class VectorConnection:
         dim = ctx.options.dimension
         itemsize = ctx.options.type.itemsize
         expected = dim * itemsize
-        ids: list[int] = []
-        blobs: list[bytes] = []
-        uniform = True
-        for rowid, blob in self._conn.execute(
+        query = (
             f"SELECT {_quote(ctx.pk)}, {_quote(ctx.column)} FROM "
             f"{_quote(ctx.table)} ORDER BY {_quote(ctx.pk)}"
-        ):
-            if blob is None:
-                continue  # NULL vectors silently skipped (:2093, :1214)
-            if len(blob) < expected:
-                raise VectorCodecError(
-                    f"Invalid vector size for rowid {rowid}: expected at "
-                    f"least {expected} bytes but found {len(blob)}."
-                )
-            if len(blob) != expected:
-                uniform = False
-            ids.append(rowid)
-            blobs.append(blob)
+        )
+
+        id_arr: np.ndarray | None = None
+        arr: np.ndarray | None = None
+        # native bulk loader (csrc/svt_native.cpp): only safe against the
+        # committed on-disk state, so skip it for :memory: DBs and open
+        # transactions
+        path = self._db_path()
+        if path is not None and not self._conn.in_transaction:
+            loaded = native_load_blobs(path, query, expected)
+            if loaded is not None:
+                id_arr, data, count = loaded
+                arr = np.frombuffer(data, dtype=ctx.options.type.np_dtype)
+                arr = arr.reshape(count, dim) if count else arr.reshape(0, dim)
+
+        if arr is None:
+            ids: list[int] = []
+            blobs: list[bytes] = []
+            for rowid, blob in self._conn.execute(query):
+                if blob is None:
+                    continue  # NULL vectors silently skipped (:2093, :1214)
+                if len(blob) < expected:
+                    raise VectorCodecError(
+                        f"Invalid vector size for rowid {rowid}: expected at "
+                        f"least {expected} bytes but found {len(blob)}."
+                    )
+                ids.append(rowid)
+                blobs.append(blob[:expected])
+            id_arr = np.asarray(ids, np.int64)
+            arr = np.frombuffer(b"".join(blobs), dtype=ctx.options.type.np_dtype)
+            arr = arr.reshape(len(ids), dim) if ids else arr.reshape(0, dim)
+
         ds = Dataset(
             f"{ctx.table}.{ctx.column}",
             dataclasses.replace(ctx.options),
             device=self._device,
             mesh=self._mesh,
         )
-        if ids:
-            if uniform:
-                arr = np.frombuffer(b"".join(blobs), dtype=ctx.options.type.np_dtype)
-                arr = arr.reshape(len(ids), dim)
-            else:
-                arr = np.stack(
-                    [blob_to_array(b, ctx.options.type, dim) for b in blobs]
-                )
-            ds.add(arr, np.asarray(ids, np.int64))
+        if len(id_arr):
+            ds.add(arr, id_arr)
         ctx.dataset = ds
         ctx.stamp = stamp
         return ds
+
+    def _db_path(self) -> str | None:
+        for _, name, path in self._conn.execute("PRAGMA database_list"):
+            if name == "main":
+                return path or None
+        return None
 
     # -- quantization -------------------------------------------------------------
 
@@ -343,10 +359,14 @@ class VectorConnection:
                 for start in range(0, count, max_vectors):
                     end = min(start + max_vectors, count)
                     chunk_ids = rowids[start:end]
-                    chunk = bytearray()
-                    for rid, row in zip(chunk_ids, codes[start:end]):
-                        chunk += struct.pack("<q", int(rid))
-                        chunk += row.tobytes()
+                    # vectorized record packing: [int64-LE rowid][dim codes]
+                    recs = np.empty((end - start, 8 + ctx.options.dimension), np.uint8)
+                    recs[:, :8] = (
+                        np.ascontiguousarray(chunk_ids.astype("<i8"))
+                        .view(np.uint8)
+                        .reshape(-1, 8)
+                    )
+                    recs[:, 8:] = codes[start:end].view(np.uint8)
                     cur.execute(
                         f"INSERT INTO {_quote(shadow)} "
                         "(rowid1, rowid2, counter, data) VALUES (?, ?, ?, ?)",
@@ -354,7 +374,7 @@ class VectorConnection:
                             int(chunk_ids[0]),
                             int(chunk_ids[-1]),
                             end - start,
-                            bytes(chunk),
+                            recs.tobytes(),
                         ),
                     )
             else:
