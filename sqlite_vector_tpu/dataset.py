@@ -96,14 +96,24 @@ class Dataset:
         device: Any = None,
         sharding: Any = None,
         mesh: Any = None,
+        storage: str = "hbm",
     ):
         if options.dimension <= 0:
             raise VectorConfigError(
                 "Required 'dimension' option is missing (it must be specified "
                 "in vector_init)."
             )
+        if storage not in ("hbm", "host"):
+            raise VectorConfigError(
+                f"storage must be 'hbm' or 'host', got '{storage}'"
+            )
         self.name = name
         self.options = options
+        # 'hbm' pins the matrix on device (the reference's preloaded mode);
+        # 'host' keeps it in host RAM and streams row tiles per query (the
+        # analogue of the non-preloaded disk-chunk path,
+        # src/sqlite-vector.c:1967-1997) — for datasets larger than HBM.
+        self._storage = storage
         self._device = device
         self._sharding = sharding
         self._mesh = mesh
@@ -243,17 +253,14 @@ class Dataset:
         return jnp.asarray(arr)
 
     def _sync_device(self) -> None:
+        if self._storage == "host":
+            self._vectors = None
+            self._sq_norms = None
+            return
         cap = _next_capacity(self._count, self._mesh_size)
-        cur_cap = 0 if self._vectors is None else self._vectors.shape[0]
-        if cap != cur_cap:
-            padded = np.zeros((cap, self.dimension), self.dtype.np_dtype)
-            padded[: self._count] = self._host_vectors
-            self._vectors = self._put(padded)
-        else:
-            # capacity unchanged: re-upload only happens on growth batches
-            padded = np.zeros((cap, self.dimension), self.dtype.np_dtype)
-            padded[: self._count] = self._host_vectors
-            self._vectors = self._put(padded)
+        padded = np.zeros((cap, self.dimension), self.dtype.np_dtype)
+        padded[: self._count] = self._host_vectors
+        self._vectors = self._put(padded)
         self._sq_norms = None  # recomputed lazily
 
     # -- queries --------------------------------------------------------------
@@ -324,6 +331,17 @@ class Dataset:
         return out_ids, vals
 
     def _search_exact(self, q: np.ndarray, k: int):
+        if self._storage == "host":
+            from sqlite_vector_tpu.ops.streaming import streaming_scan_topk
+
+            return streaming_scan_topk(
+                q,
+                self._host_vectors,
+                self.metric,
+                k,
+                valid_count=self._count,
+                device=self._device,
+            )
         qd = self._put_query(q)
         if self._mesh is not None:
             return sharded_scan_topk(
@@ -346,6 +364,21 @@ class Dataset:
 
     def _search_quantized(self, q: np.ndarray, k: int):
         quant = self._require_quant("vector_quantize_scan")
+        if self._storage == "host":
+            from sqlite_vector_tpu.oracle import quantize as oracle_quantize
+            from sqlite_vector_tpu.ops.streaming import streaming_scan_topk
+
+            qq = oracle_quantize(
+                q.astype(np.float32), quant.scale, quant.offset, quant.qtype
+            )
+            return streaming_scan_topk(
+                qq,
+                quant.codes,
+                self.metric,
+                k,
+                valid_count=quant.count,
+                device=self._device,
+            )
         # quantize the query with the stored scale/offset
         # (src/sqlite-vector.c:2162-2177)
         qq = quantize_device(
@@ -390,6 +423,31 @@ class Dataset:
         if self._count == 0:
             out = np.zeros((q.shape[0], 0), np.float32)
             return out[0] if single else out
+        if self._storage == "host":
+            from sqlite_vector_tpu.oracle import quantize as oracle_quantize
+            from sqlite_vector_tpu.ops.streaming import streaming_scan_distances
+
+            if exact:
+                d = streaming_scan_distances(
+                    q,
+                    self._host_vectors,
+                    self.metric,
+                    valid_count=self._count,
+                    device=self._device,
+                )
+            else:
+                quant = self._require_quant("vector_quantize_scan_stream")
+                qq = oracle_quantize(
+                    q.astype(np.float32), quant.scale, quant.offset, quant.qtype
+                )
+                d = streaming_scan_distances(
+                    qq,
+                    quant.codes,
+                    self.metric,
+                    valid_count=quant.count,
+                    device=self._device,
+                )
+            return d[0] if single else d
         if exact:
             qd = self._put_query(q)
             if self._mesh is not None:
@@ -452,6 +510,18 @@ class Dataset:
                 resolved, np.float32(1.0), np.float32(0.0), None, 0
             )
             return 0
+        if self._storage == "host":
+            # host-resident build: numpy pipeline with identical semantics
+            # (oracle mirrors q_round/scale formulas bit-for-bit)
+            from sqlite_vector_tpu import oracle
+
+            vals = self._host_vectors[: self._count]
+            rqtype, scale, offset = oracle.compute_quant_params(
+                vals.astype(np.float32), opts.qtype
+            )
+            codes = oracle.quantize(vals.astype(np.float32), scale, offset, rqtype)
+            self._quant = _QuantState(rqtype, scale, offset, codes, self._count)
+            return self._count
         mn, mx, neg = minmax_and_negative(
             self._vectors, self._count, valid_is_full=False
         )

@@ -80,11 +80,18 @@ def _pairwise_float(
         d = jnp.sum(jnp.abs(qf[:, None, :] - bf[None, :, :]), axis=-1)
         return _snap(d) if snap else d
 
+    # f32 inputs must not be decomposed into bf16 MXU passes (the TPU default)
+    # — exact-scan parity with the C reference requires true f32 products.
+    # bf16 inputs use the native MXU path (their products are exact in f32).
+    precision = (
+        None if q.dtype == jnp.bfloat16 else jax.lax.Precision.HIGHEST
+    )
     dot = jax.lax.dot_general(
         q,
         b,
         dimension_numbers=(((1,), (1,)), ((), ())),
         preferred_element_type=acc,
+        precision=precision,
     )  # [B, N]
 
     if metric is DistanceMetric.DOT:

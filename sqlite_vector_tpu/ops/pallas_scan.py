@@ -161,11 +161,16 @@ def _distance_block(q, tile, bsq, metric: DistanceMetric, is_int: bool):
     if q.dtype == jnp.float16:
         mm_in = q.astype(jnp.float32)
         mm_tile = tile.astype(jnp.float32)
+    # f32 products must be exact (not the default 1-pass bf16 decomposition)
+    precision = (
+        None if mm_in.dtype == jnp.bfloat16 else jax.lax.Precision.HIGHEST
+    )
     dot = jax.lax.dot_general(
         mm_in,
         mm_tile,
         dimension_numbers=(((1,), (1,)), ((), ())),
         preferred_element_type=jnp.float32,
+        precision=precision,
     )
     qf = q.astype(jnp.float32)
     qsq = jnp.sum(qf * qf, axis=-1, keepdims=True)  # [B, 1]

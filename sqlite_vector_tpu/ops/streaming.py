@@ -1,0 +1,132 @@
+"""Host→HBM streaming scan for datasets larger than device memory.
+
+The TPU analogue of the reference's disk-chunk streaming path (quantized
+scans without preload walk `SELECT counter, data FROM vector0_*` chunk blobs,
+src/sqlite-vector.c:1967-1997, 2186-2227): the database lives in host RAM
+(or a memory-mapped .npy), and each query streams fixed-size row tiles
+through HBM with a running top-k carry.
+
+Double buffering: `jax.device_put` is asynchronous, so tile i+1's host→HBM
+transfer is issued before tile i's scan is consumed — the transfer rides
+under the compute the same way the reference's SQLite pager read-ahead rides
+under the SIMD loop. All tiles share one shape (the last is zero-padded), so
+the scan body compiles exactly once.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from sqlite_vector_tpu.ops.scan import fused_scan_topk
+from sqlite_vector_tpu.ops.topk import merge_topk
+from sqlite_vector_tpu.types import DistanceMetric
+
+# Default rows per streamed tile: big enough to amortize transfer latency,
+# small enough that two tiles + results fit easily in HBM headroom.
+DEFAULT_STREAM_ROWS = 262144
+
+
+def _merge(run_vals, run_ids, vals, ids, k):
+    return jax.jit(merge_topk, static_argnames=("k",))(
+        run_vals, run_ids, vals, ids, k
+    )
+
+
+def streaming_scan_topk(
+    queries: np.ndarray,
+    host_vectors: np.ndarray,
+    metric: DistanceMetric,
+    k: int,
+    *,
+    valid_count: int | None = None,
+    tile_rows: int = DEFAULT_STREAM_ROWS,
+    device=None,
+) -> tuple[jnp.ndarray, jnp.ndarray]:
+    """Fused top-k over a host-resident [N, dim] array, streamed by tiles.
+
+    Same contract as scan_topk: (distances [B, k], positions [B, k]),
+    ascending, +inf / -1 padding. `host_vectors` may be any array-like with
+    numpy slicing (including np.memmap)."""
+    n = host_vectors.shape[0] if valid_count is None else int(valid_count)
+    b = queries.shape[0]
+    put = (lambda a: jax.device_put(a, device)) if device is not None else jax.device_put
+    qd = put(np.ascontiguousarray(queries))
+
+    if n == 0:
+        return (
+            jnp.full((b, k), jnp.inf, jnp.float32),
+            jnp.full((b, k), -1, jnp.int32),
+        )
+    if n <= tile_rows:
+        return fused_scan_topk(
+            qd, put(np.ascontiguousarray(host_vectors[:n])), metric, k,
+            valid_count=n,
+        )
+
+    ntiles = -(-n // tile_rows)
+
+    def tile(i: int):
+        start = i * tile_rows
+        rows = min(tile_rows, n - start)
+        t = np.ascontiguousarray(host_vectors[start : start + rows])
+        if rows < tile_rows:  # zero-pad: single compiled shape for all tiles
+            t = np.concatenate(
+                [t, np.zeros((tile_rows - rows, t.shape[1]), t.dtype)]
+            )
+        return put(t), rows
+
+    run_vals = jnp.full((b, k), jnp.inf, jnp.float32)
+    run_ids = jnp.full((b, k), -1, jnp.int32)
+    next_dev = tile(0)
+    for i in range(ntiles):
+        cur_dev, cur_rows = next_dev
+        if i + 1 < ntiles:
+            next_dev = tile(i + 1)  # async: overlaps with this tile's scan
+        vals, idx = fused_scan_topk(
+            qd, cur_dev, metric, min(k, tile_rows), valid_count=cur_rows
+        )
+        gidx = jnp.where(idx >= 0, idx + i * tile_rows, -1)
+        run_vals, run_ids = _merge(run_vals, run_ids, vals, gidx, k)
+    run_ids = jnp.where(jnp.isinf(run_vals), -1, run_ids)
+    return run_vals, run_ids.astype(jnp.int32)
+
+
+def streaming_scan_distances(
+    queries: np.ndarray,
+    host_vectors: np.ndarray,
+    metric: DistanceMetric,
+    *,
+    valid_count: int | None = None,
+    tile_rows: int = DEFAULT_STREAM_ROWS,
+    device=None,
+) -> np.ndarray:
+    """Full [B, N] distances over a host-resident array, computed per tile
+    (the *_stream virtual tables for out-of-HBM datasets)."""
+    from sqlite_vector_tpu.ops.scan import scan_distances
+
+    n = host_vectors.shape[0] if valid_count is None else int(valid_count)
+    b = queries.shape[0]
+    put = (lambda a: jax.device_put(a, device)) if device is not None else jax.device_put
+    qd = put(np.ascontiguousarray(queries))
+    if n == 0:
+        return np.zeros((b, 0), np.float32)
+    ntiles = -(-n // tile_rows)
+    out = np.empty((b, n), np.float32)
+    next_dev = put(np.ascontiguousarray(host_vectors[0:min(tile_rows, n)]))
+    for i in range(ntiles):
+        start = i * tile_rows
+        rows = min(tile_rows, n - start)
+        cur = next_dev
+        if i + 1 < ntiles:
+            nstart = (i + 1) * tile_rows
+            next_dev = put(
+                np.ascontiguousarray(
+                    host_vectors[nstart : nstart + min(tile_rows, n - nstart)]
+                )
+            )
+        out[:, start : start + rows] = np.asarray(
+            scan_distances(qd, cur, metric)
+        )
+    return out

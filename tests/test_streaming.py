@@ -1,0 +1,81 @@
+"""Host→HBM streaming scan tests (the >HBM-dataset path)."""
+
+import numpy as np
+import pytest
+
+import sqlite_vector_tpu as svt
+from sqlite_vector_tpu import oracle
+from sqlite_vector_tpu.ops.streaming import (
+    streaming_scan_distances,
+    streaming_scan_topk,
+)
+from sqlite_vector_tpu.types import DistanceMetric, VectorType
+
+
+def _oracle_topk(base, queries, metric, k):
+    d = oracle.distance(queries, base, metric, VectorType.F32)
+    idx = np.argsort(d, axis=-1, kind="stable")[:, :k]
+    return idx, np.take_along_axis(d, idx, axis=-1)
+
+
+@pytest.mark.parametrize("metric", [DistanceMetric.L2, DistanceMetric.DOT])
+def test_streaming_topk_matches_oracle(metric, rng):
+    n, dim, b, k = 3000, 48, 3, 12
+    base = rng.standard_normal((n, dim)).astype(np.float32)
+    q = rng.standard_normal((b, dim)).astype(np.float32)
+    vals, idx = streaming_scan_topk(q, base, metric, k, tile_rows=700)
+    oidx, ovals = _oracle_topk(base, q, metric, k)
+    np.testing.assert_array_equal(np.asarray(idx), oidx)
+    np.testing.assert_allclose(np.asarray(vals), ovals, rtol=2e-4, atol=2e-4)
+
+
+def test_streaming_k_exceeds_tile(rng):
+    # k larger than a single tile's rows: per-tile candidates are capped at
+    # tile_rows and the merge must still assemble the global top-k
+    n, dim, k = 1000, 16, 300
+    base = rng.standard_normal((n, dim)).astype(np.float32)
+    q = rng.standard_normal((1, dim)).astype(np.float32)
+    vals, idx = streaming_scan_topk(q, base, DistanceMetric.L2, k, tile_rows=128)
+    oidx, ovals = _oracle_topk(base, q, DistanceMetric.L2, k)
+    np.testing.assert_array_equal(np.asarray(idx)[0], oidx[0])
+
+
+def test_streaming_distances(rng):
+    n, dim = 2500, 32
+    base = rng.standard_normal((n, dim)).astype(np.float32)
+    q = rng.standard_normal((2, dim)).astype(np.float32)
+    d = streaming_scan_distances(q, base, DistanceMetric.SQUARED_L2, tile_rows=600)
+    ref = oracle.distance(q, base, DistanceMetric.SQUARED_L2, VectorType.F32)
+    np.testing.assert_allclose(d, ref, rtol=2e-4, atol=2e-4)
+
+
+def test_host_storage_dataset(rng):
+    ds = svt.Dataset(
+        "big",
+        svt.parse_options("dimension=64,type=FLOAT32,distance=L2"),
+        storage="host",
+    )
+    base = rng.standard_normal((5000, 64)).astype(np.float32)
+    ids = ds.add(base)
+    assert ds._vectors is None  # nothing pinned in device memory
+    got, dist = ds.search(base[777], 5)
+    assert got[0] == ids[777] and dist[0] == 0.0
+    q = rng.standard_normal((2, 64)).astype(np.float32)
+    got_ids, _ = ds.search(q, 10)
+    oidx, _ = _oracle_topk(base, q, DistanceMetric.L2, 10)
+    np.testing.assert_array_equal(got_ids, ids[oidx])
+    # quantized path streams host-resident codes
+    assert ds.quantize() == 5000
+    aids, avals = ds.search(base[777], 5, exact=False)
+    assert aids[0] == ids[777]
+
+
+def test_host_storage_quantized_codes_stay_host(rng):
+    import jax.numpy as jnp
+
+    ds = svt.Dataset(
+        "hostq", svt.parse_options("dimension=16,type=FLOAT32"), storage="host"
+    )
+    ds.add(rng.standard_normal((100, 16)).astype(np.float32))
+    ds.quantize()
+    assert not isinstance(ds._quant.codes, jnp.ndarray)
