@@ -131,6 +131,8 @@ class Dataset:
         self._vectors: jnp.ndarray | None = None  # [cap, dim] device array
         self._sq_norms: jnp.ndarray | None = None  # cached f32 row sq-norms
         self._quant: _QuantState | None = None
+        # optional observability hook (utils.profiling.timed_search)
+        self.stats_recorder = None
         # host mirror for persistence / streaming appends
         self._host_vectors = np.zeros((0, options.dimension), options.type.np_dtype)
 
