@@ -24,6 +24,7 @@ Design translation from the reference (SURVEY.md section 7):
 from __future__ import annotations
 
 import dataclasses
+import functools
 import json
 import os
 from typing import Any, Sequence
@@ -68,6 +69,11 @@ def _next_capacity(n: int, multiple_of: int = 1) -> int:
     if multiple_of > 1:
         cap = -(-cap // multiple_of) * multiple_of
     return cap
+
+
+@functools.partial(jax.jit, donate_argnums=(0,))
+def _device_row_update(vectors, new_rows, start):
+    return jax.lax.dynamic_update_slice_in_dim(vectors, new_rows, start, axis=0)
 
 
 @dataclasses.dataclass
@@ -203,13 +209,26 @@ class Dataset:
                 raise VectorConfigError("ids must have one entry per vector")
         self._next_rowid = max(self._next_rowid, int(new_ids.max()) + 1)
 
-        self._host_vectors = np.concatenate([self._host_vectors, arr], axis=0)
+        start = self._count
+        self._host_append(arr)
         self._ids = np.concatenate([self._ids, new_ids])
         self._count += n_new
-        self._sync_device()
+        self._sync_device(start)
         if self._quant is not None:
             self._quant.stale = True
         return new_ids
+
+    def _host_append(self, arr: np.ndarray) -> None:
+        """Amortized host-mirror append (capacity doubling, no O(N) copy per
+        insert — the reference's zero-cost-update contract, README.md:117)."""
+        need = self._count + arr.shape[0]
+        cap = self._host_vectors.shape[0]
+        if need > cap:
+            new_cap = max(_next_capacity(need), cap * 2)
+            grown = np.zeros((new_cap, self.dimension), self.dtype.np_dtype)
+            grown[: self._count] = self._host_vectors[: self._count]
+            self._host_vectors = grown
+        self._host_vectors[self._count : need] = arr
 
     def _coerce_batch(self, vectors: Any) -> np.ndarray:
         dim = self.dimension
@@ -254,15 +273,27 @@ class Dataset:
             return jax.device_put(arr, self._device)
         return jnp.asarray(arr)
 
-    def _sync_device(self) -> None:
+    def _sync_device(self, start: int = 0) -> None:
         if self._storage == "host":
             self._vectors = None
             self._sq_norms = None
             return
         cap = _next_capacity(self._count, self._mesh_size)
-        padded = np.zeros((cap, self.dimension), self.dtype.np_dtype)
-        padded[: self._count] = self._host_vectors
-        self._vectors = self._put(padded)
+        cur_cap = 0 if self._vectors is None else self._vectors.shape[0]
+        if cap != cur_cap or self._mesh is not None:
+            # capacity change: full (re)upload at the new padded size
+            padded = np.zeros((cap, self.dimension), self.dtype.np_dtype)
+            padded[: self._count] = self._host_vectors[: self._count]
+            self._vectors = self._put(padded)
+        else:
+            # amortized append: device-side slice update of the new rows only
+            # (no host->device transfer of the existing matrix)
+            new_rows = np.ascontiguousarray(
+                self._host_vectors[start : self._count]
+            )
+            self._vectors = _device_row_update(
+                self._vectors, self._put_query(new_rows), start
+            )
         self._sq_norms = None  # recomputed lazily
 
     # -- queries --------------------------------------------------------------
