@@ -230,6 +230,59 @@ class Dataset:
             self._host_vectors = grown
         self._host_vectors[self._count : need] = arr
 
+    def remove(self, ids: Sequence[int] | np.ndarray) -> int:
+        """Delete rows by id; returns the number removed.
+
+        The reference gets deletes for free through SQL DELETE on the base
+        table (zero-cost updates, README.md:117); here the host mirror is
+        compacted and the device matrix re-synced. Quantized codes go stale
+        (approximate scans keep serving the old codes until quantize()
+        re-runs, same contract as the reference)."""
+        ids = np.asarray(ids, np.int64)
+        if ids.size == 0 or self._count == 0:
+            return 0
+        mask = ~np.isin(self._ids[: self._count], ids)
+        removed = int(self._count - mask.sum())
+        if removed == 0:
+            return 0
+        kept = self._host_vectors[: self._count][mask]
+        self._host_vectors = np.zeros(
+            (_next_capacity(len(kept)), self.dimension), self.dtype.np_dtype
+        )
+        self._host_vectors[: len(kept)] = kept
+        self._ids = self._ids[: self._count][mask]
+        self._count = len(kept)
+        self._vectors = None  # force full re-upload at the new size
+        self._sync_device()
+        if self._quant is not None:
+            self._quant.stale = True
+        return removed
+
+    def update(
+        self, ids: Sequence[int] | np.ndarray, vectors: np.ndarray | Sequence[Any]
+    ) -> int:
+        """Replace the vectors of existing rows in place; returns the count.
+
+        Unknown ids raise (the analogue of UPDATE matching zero rows being
+        surfaced, rather than silently inserting)."""
+        ids = np.asarray(ids, np.int64)
+        arr = self._coerce_batch(vectors)
+        if arr.shape[0] != ids.size:
+            raise VectorConfigError("ids must have one entry per vector")
+        if ids.size == 0:
+            return 0
+        id_to_pos = {int(v): i for i, v in enumerate(self._ids[: self._count])}
+        try:
+            pos = np.asarray([id_to_pos[int(i)] for i in ids], np.int64)
+        except KeyError as e:
+            raise VectorStateError(f"update: unknown row id {e.args[0]}") from None
+        self._host_vectors[pos] = arr
+        self._vectors = None
+        self._sync_device()
+        if self._quant is not None:
+            self._quant.stale = True
+        return int(ids.size)
+
     def _coerce_batch(self, vectors: Any) -> np.ndarray:
         dim = self.dimension
         np_dtype = self.dtype.np_dtype

@@ -158,3 +158,46 @@ def test_store_kwargs_api():
 def test_memory_bytes(rng):
     ds, _, _ = _mk(rng, n=100, d=16)
     assert ds.memory_bytes() >= 100 * 16 * 4
+
+
+def test_remove_rows(rng):
+    import sqlite_vector_tpu as svt
+
+    ds = svt.Dataset("rm", svt.parse_options("dimension=8,type=FLOAT32"))
+    base = rng.standard_normal((50, 8)).astype("float32")
+    ids = ds.add(base)
+    assert ds.remove(ids[10:20]) == 10
+    assert len(ds) == 40
+    got, dist = ds.search(base[15], 1)
+    assert dist[0] > 0.0  # row 15's exact vector is gone
+    got, dist = ds.search(base[5], 1)
+    assert got[0] == ids[5] and dist[0] == 0.0
+    assert ds.remove([99999]) == 0
+
+
+def test_update_rows(rng):
+    import numpy as np
+    import pytest
+    import sqlite_vector_tpu as svt
+    from sqlite_vector_tpu.errors import VectorStateError
+
+    ds = svt.Dataset("up", svt.parse_options("dimension=8,type=FLOAT32"))
+    base = rng.standard_normal((20, 8)).astype("float32")
+    ids = ds.add(base)
+    new_vec = rng.standard_normal((1, 8)).astype("float32")
+    assert ds.update([ids[3]], new_vec) == 1
+    got, dist = ds.search(new_vec[0], 1)
+    assert got[0] == ids[3] and dist[0] == 0.0
+    with pytest.raises(VectorStateError, match="unknown row id"):
+        ds.update([123456], new_vec)
+
+
+def test_quant_stale_after_remove(rng):
+    import sqlite_vector_tpu as svt
+
+    ds = svt.Dataset("st", svt.parse_options("dimension=8,type=FLOAT32"))
+    ids = ds.add(rng.standard_normal((30, 8)).astype("float32"))
+    ds.quantize()
+    assert not ds.quant_stale
+    ds.remove(ids[:5])
+    assert ds.quant_stale
