@@ -62,6 +62,17 @@ from sqlite_vector_tpu.types import (
 MIN_CAPACITY = 1024
 
 
+def _npy_rows(path: str) -> int:
+    """Row count of a .npy file from its header (no data read)."""
+    try:
+        with open(path, "rb") as f:
+            version = np.lib.format.read_magic(f)
+            shape, _, _ = np.lib.format._read_array_header(f, version)
+        return shape[0] if shape else 0
+    except Exception:
+        return -1
+
+
 def _next_capacity(n: int, multiple_of: int = 1) -> int:
     cap = MIN_CAPACITY
     while cap < n:
@@ -218,11 +229,22 @@ class Dataset:
             self._quant.stale = True
         return new_ids
 
+    def _attach_host(self, vecs: np.ndarray, ids: np.ndarray) -> None:
+        """Adopt an existing (possibly memory-mapped, read-only) host array
+        without copying — the load path for >RAM datasets."""
+        self._host_vectors = vecs
+        self._ids = np.asarray(ids, np.int64)
+        self._count = len(ids)
+        self._next_rowid = int(self._ids.max()) + 1 if len(ids) else 1
+        self._sync_device()
+
     def _host_append(self, arr: np.ndarray) -> None:
         """Amortized host-mirror append (capacity doubling, no O(N) copy per
         insert — the reference's zero-cost-update contract, README.md:117)."""
         need = self._count + arr.shape[0]
         cap = self._host_vectors.shape[0]
+        if not self._host_vectors.flags.writeable:
+            cap = -1  # read-only mmap: materialize a writable copy
         if need > cap:
             new_cap = max(_next_capacity(need), cap * 2)
             grown = np.zeros((new_cap, self.dimension), self.dtype.np_dtype)
@@ -655,16 +677,19 @@ class Dataset:
 
     # -- persistence -----------------------------------------------------------
 
-    def save(self, directory: str) -> None:
-        """Persist to a directory: manifest.json + npy shards.
+    def save(self, directory: str, *, shard_rows: int | None = None) -> None:
+        """Persist to a directory: manifest.json + npy shard files.
 
         The analogue of the `_sqliteai_vector` metadata table plus the
         vector0_* shadow tables (src/sqlite-vector.c:114, 1000-1026).
+        `shard_rows` splits the matrix into multiple files (checkpointed
+        builds of >RAM datasets write shard-by-shard and survive partial
+        failure: completed shards are not rewritten on resume).
         """
         os.makedirs(directory, exist_ok=True)
         manifest = {
             "name": self.name,
-            "version": 1,
+            "version": 2,
             "type": self.options.type.value,
             "dimension": self.options.dimension,
             "distance": self.options.distance.value,
@@ -678,9 +703,21 @@ class Dataset:
         vecs = self._host_vectors[: self._count]
         # bfloat16 isn't a numpy-native dtype: store the raw uint16 bits
         if self.options.type is VectorType.BF16:
-            np.save(
-                os.path.join(directory, "vectors.npy"), vecs.view(np.uint16)
-            )
+            vecs = vecs.view(np.uint16)
+        if shard_rows:
+            shards = []
+            for i, start in enumerate(range(0, max(self._count, 1), shard_rows)):
+                name = f"vectors-{i:05d}.npy"
+                part = vecs[start : start + shard_rows]
+                path = os.path.join(directory, name)
+                # resumable: skip shards already on disk with the right size
+                if not (
+                    os.path.exists(path)
+                    and _npy_rows(path) == len(part)
+                ):
+                    np.save(path, part)
+                shards.append({"file": name, "rows": len(part)})
+            manifest["vector_shards"] = shards
         else:
             np.save(os.path.join(directory, "vectors.npy"), vecs)
         if self._quant is not None:
@@ -707,6 +744,8 @@ class Dataset:
         device: Any = None,
         sharding: Any = None,
         mesh: Any = None,
+        storage: str = "hbm",
+        mmap: bool = False,
     ) -> "Dataset":
         with open(os.path.join(directory, "manifest.json")) as f:
             manifest = json.load(f)
@@ -717,13 +756,50 @@ class Dataset:
             max_memory=manifest.get("max_memory", 0) or 0,
             distance=DistanceMetric.from_name(manifest["distance"]),
         )
-        ds = cls(manifest["name"], options, device=device, sharding=sharding, mesh=mesh)
+        ds = cls(
+            manifest["name"],
+            options,
+            device=device,
+            sharding=sharding,
+            mesh=mesh,
+            storage=storage,
+        )
         ids = np.load(os.path.join(directory, "ids.npy"))
-        vecs = np.load(os.path.join(directory, "vectors.npy"))
-        if options.type is VectorType.BF16:
-            vecs = vecs.view(options.type.np_dtype)
-        if len(ids):
-            ds.add(vecs, ids)
+        shards = manifest.get("vector_shards")
+        if shards:
+            if mmap and storage == "host":
+                parts = [
+                    np.load(os.path.join(directory, sh["file"]), mmap_mode="r")
+                    for sh in shards
+                ]
+                vecs = None  # attached shard-by-shard below
+            else:
+                parts = [
+                    np.load(os.path.join(directory, sh["file"])) for sh in shards
+                ]
+                vecs = np.concatenate(parts) if parts else None
+        elif mmap and storage == "host":
+            vecs = np.load(
+                os.path.join(directory, "vectors.npy"), mmap_mode="r"
+            )
+        else:
+            vecs = np.load(os.path.join(directory, "vectors.npy"))
+        if vecs is None and shards:
+            # host+mmap sharded: keep the memory maps, no RAM copy
+            total = int(sum(sh["rows"] for sh in shards))
+            if total:
+                joined = parts[0] if len(parts) == 1 else np.concatenate(parts)
+                ds._attach_host(joined, ids)
+        elif mmap and storage == "host":
+            if options.type is VectorType.BF16:
+                vecs = vecs.view(options.type.np_dtype)
+            if len(ids):
+                ds._attach_host(vecs, ids)
+        else:
+            if options.type is VectorType.BF16 and vecs is not None:
+                vecs = vecs.view(options.type.np_dtype)
+            if len(ids):
+                ds.add(vecs, ids)
         ds._next_rowid = manifest.get("next_rowid", ds._next_rowid)
         q = manifest.get("quant")
         if q:

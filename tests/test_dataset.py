@@ -201,3 +201,47 @@ def test_quant_stale_after_remove(rng):
     assert not ds.quant_stale
     ds.remove(ids[:5])
     assert ds.quant_stale
+
+
+def test_sharded_save_and_mmap_load(tmp_path, rng):
+    import numpy as np
+    import sqlite_vector_tpu as svt
+
+    ds = svt.Dataset("sh", svt.parse_options("dimension=12,type=FLOAT32"))
+    base = rng.standard_normal((2500, 12)).astype("float32")
+    ids = ds.add(base)
+    ds.quantize()
+    d = str(tmp_path / "sharded")
+    ds.save(d, shard_rows=1000)
+    import os
+
+    assert sorted(f for f in os.listdir(d) if f.startswith("vectors-")) == [
+        "vectors-00000.npy",
+        "vectors-00001.npy",
+        "vectors-00002.npy",
+    ]
+    # plain load (hbm)
+    ds2 = svt.Dataset.load(d)
+    got, dist = ds2.search(base[77], 3)
+    assert got[0] == ids[77] and dist[0] == 0.0
+    # host + mmap load: no RAM copy of the matrix
+    ds3 = svt.Dataset.load(d, storage="host", mmap=True)
+    got, dist = ds3.search(base[77], 3)
+    assert got[0] == ids[77] and dist[0] == 0.0
+    # append after mmap load materializes a writable copy
+    new_ids = ds3.add(base[:2])
+    assert len(ds3) == 2502 and new_ids[0] == ids[-1] + 1
+
+
+def test_mmap_load_single_file(tmp_path, rng):
+    import sqlite_vector_tpu as svt
+
+    ds = svt.Dataset("mm", svt.parse_options("dimension=8,type=FLOAT32"))
+    base = rng.standard_normal((100, 8)).astype("float32")
+    ids = ds.add(base)
+    d = str(tmp_path / "plain")
+    ds.save(d)
+    ds2 = svt.Dataset.load(d, storage="host", mmap=True)
+    assert not ds2._host_vectors.flags.writeable  #true memory map
+    got, dist = ds2.search(base[5], 1)
+    assert got[0] == ids[5] and dist[0] == 0.0
