@@ -26,7 +26,7 @@ sys.path.insert(0, os.path.join(os.path.dirname(__file__), "..", ".."))
 import numpy as np  # noqa: E402
 
 import sqlite_vector_tpu.sqlite as svs  # noqa: E402
-from embedder import DIM, get_embedder  # noqa: E402
+from sqlite_vector_tpu.models import DIM, get_embedder  # noqa: E402
 
 DB_PATH = os.path.join(os.path.dirname(__file__), "search.db")
 
