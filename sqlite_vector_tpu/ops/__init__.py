@@ -15,6 +15,10 @@ is the hand-tiled Pallas kernel used on TPU for the hot configurations.
 from sqlite_vector_tpu.ops.distance import pairwise_distance, METRIC_IS_FLOAT_ONLY
 from sqlite_vector_tpu.ops.topk import topk_ascending, merge_topk
 from sqlite_vector_tpu.ops.scan import scan_topk, scan_distances, fused_scan_topk
+from sqlite_vector_tpu.ops.streaming import (
+    streaming_scan_topk,
+    streaming_scan_distances,
+)
 from sqlite_vector_tpu.ops.quantize import (
     minmax_and_negative,
     quantize_device,
@@ -29,6 +33,8 @@ __all__ = [
     "scan_topk",
     "fused_scan_topk",
     "scan_distances",
+    "streaming_scan_topk",
+    "streaming_scan_distances",
     "minmax_and_negative",
     "quantize_device",
     "resolve_quant_params",

@@ -313,3 +313,58 @@ def test_interop_we_read_c_reference_db(tmp_path, data):
     np.testing.assert_allclose(
         [r[1] for r in ours], [r[1] for r in theirs], rtol=1e-5
     )
+
+
+@pytest.mark.skipif(not _ref_available(), reason="C reference not built")
+@pytest.mark.parametrize(
+    "vtype,as_fn",
+    [
+        (VectorType.F16, "vector_as_f16"),
+        (VectorType.BF16, "vector_as_bf16"),
+        (VectorType.I8, "vector_as_i8"),
+        (VectorType.U8, "vector_as_u8"),
+    ],
+)
+def test_interop_dtypes(tmp_path, rng, vtype, as_fn):
+    """Exact + quantized interop across every non-f32 element type."""
+    if vtype is VectorType.U8:
+        data = rng.integers(0, 256, (120, DIM)).astype(np.uint8)
+    elif vtype is VectorType.I8:
+        data = rng.integers(-128, 128, (120, DIM)).astype(np.int8)
+    else:
+        data = (rng.standard_normal((120, DIM)) * 2).astype(vtype.np_dtype)
+    blobs = [np.ascontiguousarray(r).tobytes() for r in data]
+
+    path = str(tmp_path / f"dt_{vtype.value}.db")
+    rc = sqlite3.connect(path)
+    rc.enable_load_extension(True)
+    rc.load_extension(REF_SO[:-3])
+    rc.execute("CREATE TABLE t (v BLOB)")
+    rc.executemany("INSERT INTO t(v) VALUES (?)", ((b,) for b in blobs))
+    rc.commit()
+    rc.execute(
+        f"SELECT vector_init('t','v','type={vtype.value},dimension={DIM},distance=L2')"
+    )
+    rc.execute("SELECT vector_quantize('t','v')")
+    ref_exact = rc.execute(
+        "SELECT id, distance FROM vector_full_scan('t','v',?,8)", (blobs[3],)
+    ).fetchall()
+    ref_quant = rc.execute(
+        "SELECT id, distance FROM vector_quantize_scan('t','v',?,8)", (blobs[3],)
+    ).fetchall()
+    rc.commit()
+    rc.close()
+
+    c = svs.connect(path)
+    c.vector_init("t", "v", f"type={vtype.value},dimension={DIM},distance=L2")
+    ours_exact = c.vector_full_scan("t", "v", blobs[3], 8)
+    ours_quant = c.vector_quantize_scan("t", "v", blobs[3], 8)
+    c.close()
+    assert [r[0] for r in ours_exact] == [r[0] for r in ref_exact]
+    np.testing.assert_allclose(
+        [r[1] for r in ours_exact], [r[1] for r in ref_exact], rtol=2e-3, atol=2e-3
+    )
+    assert [r[0] for r in ours_quant] == [r[0] for r in ref_quant]
+    np.testing.assert_allclose(
+        [r[1] for r in ours_quant], [r[1] for r in ref_quant], rtol=1e-5
+    )
