@@ -472,7 +472,10 @@ class Dataset:
 
     def _search_quantized(self, q: np.ndarray, k: int):
         quant = self._require_quant("vector_quantize_scan")
-        if self._storage == "host":
+        # host-mode codes stream per query UNLESS preload() pinned them in
+        # HBM — the reference's preloaded-vs-disk split (4-5x speedup,
+        # QUANTIZATION.md:15,23)
+        if self._storage == "host" and not isinstance(quant.codes, jnp.ndarray):
             from sqlite_vector_tpu.oracle import quantize as oracle_quantize
             from sqlite_vector_tpu.ops.streaming import streaming_scan_topk
 
@@ -652,15 +655,22 @@ class Dataset:
         return quant.count * (8 + self.dimension)
 
     def preload(self) -> None:
-        """Ensure the quantized codes are device-resident.
+        """Pin the quantized codes in HBM.
 
-        In this design codes are uploaded at quantize() time, so this is a
-        cheap no-op unless the dataset was loaded from disk lazily.
-        (reference: vector_quantize_preload, src/sqlite-vector.c:1338-1404).
+        A no-op for hbm-storage datasets (codes are uploaded at quantize()
+        time). For host-storage datasets this is the reference's
+        vector_quantize_preload (src/sqlite-vector.c:1338-1404): quantized
+        scans switch from per-query host->HBM streaming to the resident
+        fused path — the 4-5x speedup the reference documents.
         """
         quant = self._require_quant("vector_quantize_preload")
         if quant.codes is not None and not isinstance(quant.codes, jnp.ndarray):
-            quant.codes = self._put(np.asarray(quant.codes))
+            codes = np.asarray(quant.codes)
+            cap = _next_capacity(quant.count, self._mesh_size)
+            padded = np.zeros((cap, self.dimension), codes.dtype)
+            padded[: quant.count] = codes[: quant.count]
+            quant.codes = self._put(padded)
+            quant.sq_norms = None
 
     def drop_quantization(self) -> None:
         """Free quantized codes (reference: vector_quantize_cleanup :1501-1524).

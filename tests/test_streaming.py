@@ -79,3 +79,21 @@ def test_host_storage_quantized_codes_stay_host(rng):
     ds.add(rng.standard_normal((100, 16)).astype(np.float32))
     ds.quantize()
     assert not isinstance(ds._quant.codes, jnp.ndarray)
+
+
+def test_host_preload_pins_codes_in_hbm(rng):
+    import jax.numpy as jnp
+
+    ds = svt.Dataset(
+        "pre", svt.parse_options("dimension=16,type=FLOAT32"), storage="host"
+    )
+    base = rng.standard_normal((500, 16)).astype(np.float32)
+    ids = ds.add(base)
+    ds.quantize()
+    assert not isinstance(ds._quant.codes, jnp.ndarray)
+    before, _ = ds.search(base[9], 3, exact=False)
+    ds.preload()  # the reference's vector_quantize_preload
+    assert isinstance(ds._quant.codes, jnp.ndarray)
+    after, _ = ds.search(base[9], 3, exact=False)
+    np.testing.assert_array_equal(before, after)
+    assert after[0] == ids[9]
