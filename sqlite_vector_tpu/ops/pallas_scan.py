@@ -66,9 +66,17 @@ def enabled() -> bool:
 
 
 def _row_tile(d_pad: int, itemsize: int) -> int:
-    tile = _TILE_VMEM_BUDGET // (2 * d_pad * itemsize)
+    import os
+
+    override = os.environ.get("SVT_PALLAS_TILE_ROWS")
+    if override:
+        return int(override)
+    budget = int(
+        os.environ.get("SVT_PALLAS_VMEM_BUDGET", _TILE_VMEM_BUDGET)
+    )
+    tile = budget // (2 * d_pad * itemsize)
     tile = 1 << int(np.log2(max(tile, 256)))
-    return int(min(tile, 4096))
+    return int(min(tile, 8192))
 
 
 def supports(
