@@ -403,7 +403,12 @@ class Dataset:
         return self._sq_norms
 
     def search(
-        self, queries: Any, k: int, *, exact: bool = True
+        self,
+        queries: Any,
+        k: int,
+        *,
+        exact: bool = True,
+        ids_filter: Sequence[int] | np.ndarray | None = None,
     ) -> tuple[np.ndarray, np.ndarray]:
         """Top-k nearest neighbors.
 
@@ -412,6 +417,10 @@ class Dataset:
         id -1 / distance +inf (the reference trims them;
         src/sqlite-vector.c:1816-1817). Single-vector queries return [k]
         shaped results with unfilled slots trimmed.
+
+        ids_filter restricts the search to the given row ids — filtered
+        search, the TPU-native form of the reference's "streaming vtab +
+        SQL WHERE" composition (src/sqlite-vector.c:2243-2373).
         """
         if k < 0:
             raise VectorConfigError("k must be >= 0")
@@ -424,11 +433,16 @@ class Dataset:
                 np.full((q.shape[0], k), -1, np.int64),
                 np.full((q.shape[0], k), np.inf, np.float32),
             )
+        mask = None
+        if ids_filter is not None:
+            mask = np.isin(
+                self._ids[: self._count], np.asarray(ids_filter, np.int64)
+            )
 
         if exact:
-            vals, idx = self._search_exact(q, k)
+            vals, idx = self._search_exact(q, k, mask)
         else:
-            vals, idx = self._search_quantized(q, k)
+            vals, idx = self._search_quantized(q, k, mask)
 
         vals = np.asarray(vals)
         idx = np.asarray(idx)
@@ -438,7 +452,14 @@ class Dataset:
             return out_ids[0][keep], vals[0][keep]
         return out_ids, vals
 
-    def _search_exact(self, q: np.ndarray, k: int):
+    def _pad_mask(self, mask: np.ndarray | None, cap: int, count: int):
+        if mask is None:
+            return None
+        out = np.zeros((cap,), bool)
+        out[:count] = mask[:count]
+        return self._put(out)
+
+    def _search_exact(self, q: np.ndarray, k: int, mask: np.ndarray | None = None):
         if self._storage == "host":
             from sqlite_vector_tpu.ops.streaming import streaming_scan_topk
 
@@ -448,9 +469,11 @@ class Dataset:
                 self.metric,
                 k,
                 valid_count=self._count,
+                row_mask=mask,
                 device=self._device,
             )
         qd = self._put_query(q)
+        dmask = self._pad_mask(mask, self._vectors.shape[0], self._count)
         if self._mesh is not None:
             return sharded_scan_topk(
                 qd,
@@ -460,6 +483,7 @@ class Dataset:
                 self._mesh,
                 valid_count=self._count,
                 base_sq_norms=self._exact_sq_norms(),
+                row_mask=dmask,
             )
         return fused_scan_topk(
             qd,
@@ -468,9 +492,12 @@ class Dataset:
             k,
             valid_count=self._count,
             base_sq_norms=self._exact_sq_norms(),
+            row_mask=dmask,
         )
 
-    def _search_quantized(self, q: np.ndarray, k: int):
+    def _search_quantized(
+        self, q: np.ndarray, k: int, mask: np.ndarray | None = None
+    ):
         quant = self._require_quant("vector_quantize_scan")
         # host-mode codes stream per query UNLESS preload() pinned them in
         # HBM — the reference's preloaded-vs-disk split (4-5x speedup,
@@ -488,6 +515,7 @@ class Dataset:
                 self.metric,
                 k,
                 valid_count=quant.count,
+                row_mask=mask,
                 device=self._device,
             )
         # quantize the query with the stored scale/offset
@@ -504,6 +532,7 @@ class Dataset:
             quant.sq_norms = jax.jit(
                 lambda x: jnp.sum(x.astype(jnp.int32) * x.astype(jnp.int32), axis=-1)
             )(codes)
+        dmask = self._pad_mask(mask, quant.codes.shape[0], quant.count)
         if self._mesh is not None:
             return sharded_scan_topk(
                 qq,
@@ -513,6 +542,7 @@ class Dataset:
                 self._mesh,
                 valid_count=quant.count,
                 base_sq_norms=quant.sq_norms,
+                row_mask=dmask,
             )
         return fused_scan_topk(
             qq,
@@ -521,6 +551,7 @@ class Dataset:
             k,
             valid_count=quant.count,
             base_sq_norms=quant.sq_norms,
+            row_mask=dmask,
         )
 
     def distances(self, queries: Any, *, exact: bool = True) -> np.ndarray:

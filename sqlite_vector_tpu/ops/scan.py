@@ -48,14 +48,17 @@ def scan_topk(
     *,
     valid_count: jnp.ndarray | int | None = None,
     base_sq_norms: jnp.ndarray | None = None,
+    row_mask: jnp.ndarray | None = None,
     row_tile: int | None = None,
 ) -> tuple[jnp.ndarray, jnp.ndarray]:
     """Fused top-k scan.
 
     queries: [B, d]; base: [Npad, d] (rows >= valid_count are padding and are
     masked to +inf — the analogue of skipping NULL rows in the reference scan,
-    src/sqlite-vector.c:2093). Returns (distances [B, k], positions [B, k])
-    sorted ascending; unfilled slots hold +inf / -1
+    src/sqlite-vector.c:2093). row_mask ([N] bool, optional) excludes rows
+    where False — filtered search, the TPU-native form of composing the
+    streaming vtabs with a SQL WHERE clause. Returns (distances [B, k],
+    positions [B, k]) sorted ascending; unfilled slots hold +inf / -1
     (trim behavior: src/sqlite-vector.c:1816-1817).
     """
     b, d = queries.shape
@@ -68,6 +71,8 @@ def scan_topk(
         dist = pairwise_distance(queries, base, metric, base_sq_norms=base_sq_norms)
         row_idx = jnp.arange(n, dtype=jnp.int32)
         dist = jnp.where(row_idx[None, :] < valid, dist, jnp.inf)
+        if row_mask is not None:
+            dist = jnp.where(row_mask[None, :], dist, jnp.inf)
         vals, idx = topk_ascending(dist, k)
         return vals, jnp.where(jnp.isinf(vals), -1, idx).astype(jnp.int32)
 
@@ -78,6 +83,8 @@ def scan_topk(
         base = jnp.pad(base, ((0, npad - n), (0, 0)))
         if base_sq_norms is not None:
             base_sq_norms = jnp.pad(base_sq_norms, (0, npad - n))
+        if row_mask is not None:
+            row_mask = jnp.pad(row_mask, (0, npad - n))
 
     kk = min(k, row_tile)
     init_vals = jnp.full((b, k), jnp.inf, jnp.float32)
@@ -95,6 +102,9 @@ def scan_topk(
         dist = pairwise_distance(queries, tile, metric, base_sq_norms=tile_sq)
         row_idx = start + jnp.arange(row_tile, dtype=jnp.int32)
         dist = jnp.where(row_idx[None, :] < valid, dist, jnp.inf)
+        if row_mask is not None:
+            tile_mask = jax.lax.dynamic_slice_in_dim(row_mask, start, row_tile)
+            dist = jnp.where(tile_mask[None, :], dist, jnp.inf)
         vals, idx = topk_ascending(dist, kk)
         run_vals, run_ids = merge_topk(
             run_vals, run_ids, vals, (start + idx).astype(jnp.int32), k
@@ -115,13 +125,15 @@ def fused_scan_topk(
     *,
     valid_count: jnp.ndarray | int | None = None,
     base_sq_norms: jnp.ndarray | None = None,
+    row_mask: jnp.ndarray | None = None,
 ) -> tuple[jnp.ndarray, jnp.ndarray]:
     """Backend-dispatching top-k scan: the Pallas fused kernel on TPU (the
     single code path replacing the reference's 25-kernel dispatch table,
-    src/distance-cpu.c:756-792), the XLA chunked scan elsewhere."""
+    src/distance-cpu.c:756-792), the XLA chunked scan elsewhere. Masked
+    (filtered) searches use the XLA path."""
     from sqlite_vector_tpu.ops import pallas_scan
 
-    if pallas_scan.enabled() and pallas_scan.supports(
+    if row_mask is None and pallas_scan.enabled() and pallas_scan.supports(
         metric, base.dtype, base.shape[1], k, queries.shape[0]
     ):
         return pallas_scan.pallas_scan_topk(
@@ -139,6 +151,7 @@ def fused_scan_topk(
         k,
         valid_count=valid_count,
         base_sq_norms=base_sq_norms,
+        row_mask=row_mask,
     )
 
 

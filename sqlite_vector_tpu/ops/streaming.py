@@ -41,13 +41,15 @@ def streaming_scan_topk(
     k: int,
     *,
     valid_count: int | None = None,
+    row_mask=None,
     tile_rows: int = DEFAULT_STREAM_ROWS,
     device=None,
 ) -> tuple[jnp.ndarray, jnp.ndarray]:
     """Fused top-k over a host-resident [N, dim] array, streamed by tiles.
 
     Same contract as scan_topk: (distances [B, k], positions [B, k]),
-    ascending, +inf / -1 padding. `host_vectors` may be any array-like with
+    ascending, +inf / -1 padding. row_mask ([N] bool host array, optional)
+    excludes rows where False. `host_vectors` may be any array-like with
     numpy slicing (including np.memmap)."""
     n = host_vectors.shape[0] if valid_count is None else int(valid_count)
     b = queries.shape[0]
@@ -63,6 +65,7 @@ def streaming_scan_topk(
         return fused_scan_topk(
             qd, put(np.ascontiguousarray(host_vectors[:n])), metric, k,
             valid_count=n,
+            row_mask=None if row_mask is None else put(np.asarray(row_mask[:n])),
         )
 
     ntiles = -(-n // tile_rows)
@@ -71,21 +74,26 @@ def streaming_scan_topk(
         start = i * tile_rows
         rows = min(tile_rows, n - start)
         t = np.ascontiguousarray(host_vectors[start : start + rows])
+        m = None
+        if row_mask is not None:
+            m = np.zeros((tile_rows,), bool)
+            m[:rows] = row_mask[start : start + rows]
         if rows < tile_rows:  # zero-pad: single compiled shape for all tiles
             t = np.concatenate(
                 [t, np.zeros((tile_rows - rows, t.shape[1]), t.dtype)]
             )
-        return put(t), rows
+        return put(t), rows, (None if m is None else put(m))
 
     run_vals = jnp.full((b, k), jnp.inf, jnp.float32)
     run_ids = jnp.full((b, k), -1, jnp.int32)
     next_dev = tile(0)
     for i in range(ntiles):
-        cur_dev, cur_rows = next_dev
+        cur_dev, cur_rows, cur_mask = next_dev
         if i + 1 < ntiles:
             next_dev = tile(i + 1)  # async: overlaps with this tile's scan
         vals, idx = fused_scan_topk(
-            qd, cur_dev, metric, min(k, tile_rows), valid_count=cur_rows
+            qd, cur_dev, metric, min(k, tile_rows), valid_count=cur_rows,
+            row_mask=cur_mask,
         )
         gidx = jnp.where(idx >= 0, idx + i * tile_rows, -1)
         run_vals, run_ids = _merge(run_vals, run_ids, vals, gidx, k)

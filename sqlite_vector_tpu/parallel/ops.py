@@ -53,6 +53,7 @@ def _local_topk_merge(
     b: jnp.ndarray,
     b_sq: jnp.ndarray | None,
     valid: jnp.ndarray,
+    mask: jnp.ndarray | None = None,
     *,
     metric: DistanceMetric,
     k: int,
@@ -63,7 +64,8 @@ def _local_topk_merge(
     start = (ax * shard_rows).astype(jnp.int32)
     local_valid = jnp.clip(valid - start, 0, shard_rows)
     vals, idx = fused_scan_topk(
-        q, b, metric, k, valid_count=local_valid, base_sq_norms=b_sq
+        q, b, metric, k, valid_count=local_valid, base_sq_norms=b_sq,
+        row_mask=mask,
     )
     gidx = jnp.where(idx >= 0, idx + start, jnp.int32(-1))
 
@@ -80,27 +82,45 @@ def _local_topk_merge(
 
 
 @functools.partial(
-    jax.jit, static_argnames=("metric", "k", "mesh", "axis", "has_sq")
+    jax.jit,
+    static_argnames=("metric", "k", "mesh", "axis", "has_sq", "has_mask"),
 )
 def _sharded_scan_topk_impl(
-    queries, base, base_sq_norms, valid, *, metric, k, mesh, axis, has_sq
+    queries,
+    base,
+    base_sq_norms,
+    valid,
+    row_mask,
+    *,
+    metric,
+    k,
+    mesh,
+    axis,
+    has_sq,
+    has_mask,
 ):
     body = functools.partial(_local_topk_merge, metric=metric, k=k, axis=axis)
+    specs = [P(), P(axis)]
+    args = [queries, base]
     if has_sq:
-        fn = shard_map(
-            lambda q, b, s, v: body(q, b, s, v),
-            mesh,
-            in_specs=(P(), P(axis), P(axis), P()),
-            out_specs=(P(), P()),
-        )
-        return fn(queries, base, base_sq_norms, valid)
-    fn = shard_map(
-        lambda q, b, v: body(q, b, None, v),
-        mesh,
-        in_specs=(P(), P(axis), P()),
-        out_specs=(P(), P()),
-    )
-    return fn(queries, base, valid)
+        specs.append(P(axis))
+        args.append(base_sq_norms)
+    specs.append(P())
+    args.append(valid)
+    if has_mask:
+        specs.append(P(axis))
+        args.append(row_mask)
+
+    def wrapper(*a):
+        i = 2
+        sq = a[i] if has_sq else None
+        i += 1 if has_sq else 0
+        v = a[i]
+        m = a[i + 1] if has_mask else None
+        return body(a[0], a[1], sq, v, m)
+
+    fn = shard_map(wrapper, mesh, in_specs=tuple(specs), out_specs=(P(), P()))
+    return fn(*args)
 
 
 def sharded_scan_topk(
@@ -112,6 +132,7 @@ def sharded_scan_topk(
     *,
     valid_count: jnp.ndarray | int | None = None,
     base_sq_norms: jnp.ndarray | None = None,
+    row_mask: jnp.ndarray | None = None,
     axis: str = ROWS_AXIS,
 ) -> tuple[jnp.ndarray, jnp.ndarray]:
     """Multi-chip fused top-k scan.
@@ -134,11 +155,13 @@ def sharded_scan_topk(
         base,
         base_sq_norms,
         valid,
+        row_mask,
         metric=metric,
         k=k,
         mesh=mesh,
         axis=axis,
         has_sq=base_sq_norms is not None,
+        has_mask=row_mask is not None,
     )
 
 

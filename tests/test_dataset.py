@@ -245,3 +245,27 @@ def test_mmap_load_single_file(tmp_path, rng):
     assert not ds2._host_vectors.flags.writeable  #true memory map
     got, dist = ds2.search(base[5], 1)
     assert got[0] == ids[5] and dist[0] == 0.0
+
+
+def test_ids_filter_search(rng):
+    import numpy as np
+    import sqlite_vector_tpu as svt
+
+    ds = svt.Dataset("fil", svt.parse_options("dimension=16,type=FLOAT32"))
+    base = rng.standard_normal((200, 16)).astype("float32")
+    ids = ds.add(base)
+    q = base[10]
+    # unfiltered: row 10 wins
+    got, dist = ds.search(q, 3)
+    assert got[0] == ids[10]
+    # filter row 10 out: it must not appear
+    allowed = ids[(ids != ids[10])]
+    got, dist = ds.search(q, 3, ids_filter=allowed)
+    assert ids[10] not in got and dist[0] > 0
+    # tiny allowlist: results restricted exactly
+    got, dist = ds.search(q, 10, ids_filter=ids[:4])
+    assert set(got.tolist()) <= set(ids[:4].tolist())
+    # quantized path honors the filter too
+    ds.quantize()
+    got, _ = ds.search(q, 3, exact=False, ids_filter=allowed)
+    assert ids[10] not in got

@@ -141,3 +141,15 @@ def test_mesh_capacity_is_shard_multiple(mesh, rng):
     ds.add(rng.standard_normal((1, 8)).astype(np.float32))
     nshards = int(np.prod(list(mesh.shape.values())))
     assert ds._vectors.shape[0] % nshards == 0
+
+
+def test_sharded_ids_filter(mesh, rng):
+    store = svt.VectorStore(mesh=mesh)
+    ds = store.create("filt", "dimension=32,type=FLOAT32,distance=L2")
+    base = rng.standard_normal((600, 32)).astype(np.float32)
+    ids = ds.add(base)
+    q = base[50]
+    got, _ = ds.search(q, 3)
+    assert got[0] == ids[50]
+    got, dist = ds.search(q, 3, ids_filter=ids[ids != ids[50]])
+    assert ids[50] not in got and dist[0] > 0

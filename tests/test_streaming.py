@@ -97,3 +97,14 @@ def test_host_preload_pins_codes_in_hbm(rng):
     after, _ = ds.search(base[9], 3, exact=False)
     np.testing.assert_array_equal(before, after)
     assert after[0] == ids[9]
+
+
+def test_host_storage_ids_filter(rng):
+    ds = svt.Dataset(
+        "hf", svt.parse_options("dimension=16,type=FLOAT32"), storage="host"
+    )
+    base = rng.standard_normal((3000, 16)).astype(np.float32)
+    ids = ds.add(base)
+    q = base[100]
+    got, dist = ds.search(q, 3, ids_filter=ids[ids != ids[100]])
+    assert ids[100] not in got and dist[0] > 0
