@@ -444,6 +444,8 @@ class Dataset:
         else:
             vals, idx = self._search_quantized(q, k, mask)
 
+        # single device->host fetch for both outputs (one round trip)
+        vals, idx = jax.device_get((vals, idx))
         vals = np.asarray(vals)
         idx = np.asarray(idx)
         out_ids = np.where(idx >= 0, self._ids[np.clip(idx, 0, None)], -1)

@@ -1,0 +1,58 @@
+"""Observability utilities and misc surface tests."""
+
+import sqlite3
+
+import numpy as np
+
+import sqlite_vector_tpu as svt
+import sqlite_vector_tpu.sqlite as svs
+from sqlite_vector_tpu.utils import (
+    QueryStats,
+    StatsRecorder,
+    Timer,
+    format_bytes,
+    timed_search,
+)
+
+
+def test_timed_search_and_recorder(rng):
+    ds = svt.VectorStore().create("obs", "dimension=16,type=FLOAT32")
+    ds.stats_recorder = StatsRecorder(capacity=4)
+    ds.add(rng.standard_normal((128, 16)).astype(np.float32))
+    for _ in range(6):
+        ids, dist, stats = timed_search(ds, rng.standard_normal(16).astype(np.float32), 5)
+        assert stats.n_rows == 128 and stats.k == 5 and stats.exact
+        assert stats.qps > 0 and stats.bytes_scanned == 128 * 16 * 4
+    summary = ds.stats_recorder.summary()
+    assert summary["count"] == 4  # ring buffer capped
+    assert summary["median_ms"] > 0
+    assert "exact" in str(stats)
+
+
+def test_timer_and_format_bytes():
+    with Timer() as t:
+        sum(range(1000))
+    assert t.elapsed >= 0
+    assert format_bytes(512) == "512B"
+    assert format_bytes(2048) == "2.0KB"
+    assert format_bytes(3 * 1024**3) == "3.0GB"
+
+
+def test_query_stats_str():
+    s = QueryStats(wall_s=0.002, n_rows=1000, n_queries=4, k=10, exact=False,
+                   bytes_scanned=1000 * 384)
+    assert "quantized" in str(s) and "2000" in str(s).replace(".00", "0")
+
+
+def test_sqlite_wrap_existing_connection(tmp_path, rng):
+    raw = sqlite3.connect(str(tmp_path / "w.db"))
+    raw.execute("CREATE TABLE t (v BLOB)")
+    data = rng.standard_normal((50, 8)).astype(np.float32)
+    raw.executemany("INSERT INTO t(v) VALUES (?)", ((r.tobytes(),) for r in data))
+    raw.commit()
+    conn = svs.wrap(raw)
+    conn.vector_init("t", "v", "type=FLOAT32,dimension=8")
+    rows = conn.vector_full_scan("t", "v", data[3].tobytes(), 2)
+    assert rows[0][0] == 4 and rows[0][1] == 0.0
+    # registered SQL functions available on the wrapped connection
+    assert raw.execute("SELECT vector_version()").fetchone()[0]
