@@ -37,6 +37,7 @@ from sqlite_vector_tpu.codec import (
 )
 from sqlite_vector_tpu.dataset import Dataset, VectorStore
 from sqlite_vector_tpu.parallel import make_mesh
+from sqlite_vector_tpu.serving import BatchingSearcher, serve
 from sqlite_vector_tpu.version import __version__, version, backend
 
 __all__ = [
@@ -55,6 +56,8 @@ __all__ = [
     "Dataset",
     "VectorStore",
     "make_mesh",
+    "BatchingSearcher",
+    "serve",
     "__version__",
     "version",
     "backend",
