@@ -30,6 +30,25 @@ from sqlite_vector_tpu.types import DistanceMetric
 FLT_EPSILON = 1.1920929e-07
 NEARLY_ZERO = 8.0 * FLT_EPSILON
 
+
+def matmul_precision():
+    """MXU precision for f32 distance matmuls.
+
+    The TPU default decomposes f32 matmuls into ONE bf16 pass (~1e-4 relative
+    error — breaks exact-neighbor parity and non-zero self-distances), so the
+    default here is HIGHEST (6-pass, true f32 products). SVT_PRECISION=high
+    selects the 3-pass decomposition: ~2x faster matmul at ~1e-7 relative
+    error, still ranking-safe for virtually all datasets.
+    """
+    import os
+
+    mode = os.environ.get("SVT_PRECISION", "highest").lower()
+    if mode == "high":
+        return jax.lax.Precision.HIGH
+    if mode == "default":
+        return None
+    return jax.lax.Precision.HIGHEST
+
 # Metrics that have no matmul decomposition and stay on the VPU.
 METRIC_IS_FLOAT_ONLY = {DistanceMetric.L1}
 
@@ -80,12 +99,7 @@ def _pairwise_float(
         d = jnp.sum(jnp.abs(qf[:, None, :] - bf[None, :, :]), axis=-1)
         return _snap(d) if snap else d
 
-    # f32 inputs must not be decomposed into bf16 MXU passes (the TPU default)
-    # — exact-scan parity with the C reference requires true f32 products.
-    # bf16 inputs use the native MXU path (their products are exact in f32).
-    precision = (
-        None if q.dtype == jnp.bfloat16 else jax.lax.Precision.HIGHEST
-    )
+    precision = None if q.dtype == jnp.bfloat16 else matmul_precision()
     dot = jax.lax.dot_general(
         q,
         b,

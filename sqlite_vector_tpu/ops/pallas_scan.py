@@ -169,10 +169,11 @@ def _distance_block(q, tile, bsq, metric: DistanceMetric, is_int: bool):
     if q.dtype == jnp.float16:
         mm_in = q.astype(jnp.float32)
         mm_tile = tile.astype(jnp.float32)
-    # f32 products must be exact (not the default 1-pass bf16 decomposition)
-    precision = (
-        None if mm_in.dtype == jnp.bfloat16 else jax.lax.Precision.HIGHEST
-    )
+    # f32 products must be exact (not the default 1-pass bf16 decomposition);
+    # see ops.distance.matmul_precision for the SVT_PRECISION escape hatch
+    from sqlite_vector_tpu.ops.distance import matmul_precision
+
+    precision = None if mm_in.dtype == jnp.bfloat16 else matmul_precision()
     dot = jax.lax.dot_general(
         mm_in,
         mm_tile,
