@@ -252,6 +252,80 @@ class Dataset:
             self._host_vectors = grown
         self._host_vectors[self._count : need] = arr
 
+    def get(self, ids: Sequence[int] | np.ndarray) -> np.ndarray:
+        """Fetch stored vectors by row id (the `SELECT col FROM tbl WHERE
+        rowid IN (...)` analogue). Unknown ids raise."""
+        ids = np.atleast_1d(np.asarray(ids, np.int64))
+        id_to_pos = {int(v): i for i, v in enumerate(self._ids[: self._count])}
+        try:
+            pos = np.asarray([id_to_pos[int(i)] for i in ids], np.int64)
+        except KeyError as e:
+            raise VectorStateError(f"get: unknown row id {e.args[0]}") from None
+        return np.array(self._host_vectors[pos])
+
+    def to_sqlite(
+        self, database: str, table: str, column: str = "vector"
+    ) -> None:
+        """Export into a reference-compatible SQLite database file.
+
+        Writes the vectors as typed little-endian BLOBs with this dataset's
+        row ids as rowids, plus (when quantized) the `vector0_*` shadow table
+        and `_sqliteai_vector` metadata — the resulting file is directly
+        usable by the C extension (vector_init + vector_quantize_scan with no
+        re-quantization) and by `sqlite_vector_tpu.sqlite`."""
+        import sqlite_vector_tpu.sqlite as svs
+
+        conn = svs.connect(database)
+        try:
+            q = svs._quote(table)
+            conn.execute(f"CREATE TABLE IF NOT EXISTS {q} ({svs._quote(column)} BLOB)")
+            conn.execute(f"DELETE FROM {q}")
+            rows = self._host_vectors[: self._count]
+            conn.executemany(
+                f"INSERT INTO {q} (rowid, {svs._quote(column)}) VALUES (?, ?)",
+                (
+                    (int(rid), np.ascontiguousarray(row).tobytes())
+                    for rid, row in zip(self._ids[: self._count], rows)
+                ),
+            )
+            conn.commit()
+            opts = (
+                f"type={self.options.type.value},dimension={self.dimension},"
+                f"distance={self.options.distance.value}"
+            )
+            conn.vector_init(table, column, opts)
+            if self._quant is not None and self._quant.count:
+                conn.vector_quantize(
+                    table, column, f"qtype={self._quant.qtype.value}"
+                )
+        finally:
+            conn.close()
+
+    @classmethod
+    def from_sqlite(
+        cls,
+        database: str,
+        table: str,
+        column: str,
+        options: str,
+        **kwargs: Any,
+    ) -> "Dataset":
+        """Import a (table, column) from a SQLite database file — including
+        files written by the C extension."""
+        import sqlite_vector_tpu.sqlite as svs
+
+        conn = svs.connect(database)
+        try:
+            conn.vector_init(table, column, options)
+            ctx = conn._lookup(table, column, "from_sqlite")
+            src = conn._refresh(ctx)
+            ds = cls(f"{table}.{column}", dataclasses.replace(src.options), **kwargs)
+            if len(src):
+                ds.add(src._host_vectors[: len(src)], src.ids)
+            return ds
+        finally:
+            conn.close()
+
     def remove(self, ids: Sequence[int] | np.ndarray) -> int:
         """Delete rows by id; returns the number removed.
 

@@ -269,3 +269,50 @@ def test_ids_filter_search(rng):
     ds.quantize()
     got, _ = ds.search(q, 3, exact=False, ids_filter=allowed)
     assert ids[10] not in got
+
+
+def test_get_vectors_by_id(rng):
+    import numpy as np
+    import pytest
+    import sqlite_vector_tpu as svt
+    from sqlite_vector_tpu.errors import VectorStateError
+
+    ds = svt.Dataset("g", svt.parse_options("dimension=8,type=FLOAT32"))
+    base = rng.standard_normal((20, 8)).astype("float32")
+    ids = ds.add(base)
+    np.testing.assert_array_equal(ds.get(ids[5]), base[5:6])
+    np.testing.assert_array_equal(ds.get(ids[[3, 7]]), base[[3, 7]])
+    with pytest.raises(VectorStateError, match="unknown row id"):
+        ds.get([424242])
+
+
+def test_sqlite_roundtrip_export_import(tmp_path, rng):
+    import numpy as np
+    import sqlite_vector_tpu as svt
+
+    ds = svt.Dataset("x", svt.parse_options("dimension=12,type=FLOAT32"))
+    base = rng.standard_normal((80, 12)).astype("float32")
+    ids = ds.add(base)
+    ds.quantize()
+    path = str(tmp_path / "export.db")
+    ds.to_sqlite(path, "vectors")
+
+    # the exported file is directly scannable through the compat layer
+    import sqlite_vector_tpu.sqlite as svs
+
+    conn = svs.connect(path)
+    conn.vector_init("vectors", "vector", "type=FLOAT32,dimension=12")
+    rows = conn.vector_full_scan("vectors", "vector", base[3].tobytes(), 3)
+    assert rows[0][0] == int(ids[3]) and rows[0][1] == 0.0
+    # quantization was exported too: scan without re-quantizing
+    qrows = conn.vector_quantize_scan("vectors", "vector", base[3].tobytes(), 3)
+    assert qrows[0][0] == int(ids[3])
+    conn.close()
+
+    # and re-importable as a native Dataset
+    ds2 = svt.Dataset.from_sqlite(
+        path, "vectors", "vector", "type=FLOAT32,dimension=12"
+    )
+    assert len(ds2) == 80
+    got, dist = ds2.search(base[3], 1)
+    assert got[0] == int(ids[3]) and dist[0] == 0.0
