@@ -482,6 +482,8 @@ class Dataset:
         k: int,
         *,
         exact: bool = True,
+        mode: str | None = None,
+        expand: int = 4,
         ids_filter: Sequence[int] | np.ndarray | None = None,
     ) -> tuple[np.ndarray, np.ndarray]:
         """Top-k nearest neighbors.
@@ -495,9 +497,24 @@ class Dataset:
         ids_filter restricts the search to the given row ids — filtered
         search, the TPU-native form of the reference's "streaming vtab +
         SQL WHERE" composition (src/sqlite-vector.c:2243-2373).
+
+        mode selects the execution strategy (overrides `exact`):
+          "exact"     full-precision scan (vector_full_scan);
+          "quantized" int8 scan, integer-domain distances
+                      (vector_quantize_scan);
+          "rerank"    two-stage mixed precision: int8 prefilter of
+                      k*expand candidates + exact rescoring — true float
+                      distances at near-int8 scan cost (beyond the
+                      reference; see ops/rerank.py).
         """
         if k < 0:
             raise VectorConfigError("k must be >= 0")
+        if mode is None:
+            mode = "exact" if exact else "quantized"
+        if mode not in ("exact", "quantized", "rerank"):
+            raise VectorConfigError(
+                f"mode must be exact|quantized|rerank, got '{mode}'"
+            )
         q, single = self._coerce_queries(queries)
         if k == 0 or self._count == 0:
             # k=0 -> empty result (reference :1796)
@@ -513,10 +530,12 @@ class Dataset:
                 self._ids[: self._count], np.asarray(ids_filter, np.int64)
             )
 
-        if exact:
+        if mode == "exact":
             vals, idx = self._search_exact(q, k, mask)
-        else:
+        elif mode == "quantized":
             vals, idx = self._search_quantized(q, k, mask)
+        else:
+            vals, idx = self._search_rerank(q, k, mask, expand)
 
         # single device->host fetch for both outputs (one round trip)
         vals, idx = jax.device_get((vals, idx))
@@ -629,6 +648,34 @@ class Dataset:
             base_sq_norms=quant.sq_norms,
             row_mask=dmask,
         )
+
+    def _search_rerank(
+        self, q: np.ndarray, k: int, mask: np.ndarray | None, expand: int
+    ):
+        """int8 prefilter + exact rescore (see ops/rerank.py). The rescore
+        runs host-side over the tiny candidate set, so it works uniformly
+        across hbm/host/mesh storage."""
+        from sqlite_vector_tpu import oracle
+
+        ke = max(k * expand, k)
+        _, idx = self._search_quantized(q, ke, mask)
+        idx = np.asarray(idx)
+        b = q.shape[0]
+        out_vals = np.full((b, k), np.inf, np.float32)
+        out_idx = np.full((b, k), -1, np.int32)
+        qf = q.astype(np.float32)
+        for bi in range(b):
+            cand_pos = idx[bi][idx[bi] >= 0]
+            if cand_pos.size == 0:
+                continue
+            cand = self._host_vectors[cand_pos].astype(np.float32)
+            d = oracle.snap_zero(
+                oracle.distance(qf[bi], cand, self.metric, VectorType.F32)
+            )
+            order = np.argsort(d, kind="stable")[:k]
+            out_vals[bi, : len(order)] = d[order]
+            out_idx[bi, : len(order)] = cand_pos[order]
+        return out_vals, out_idx
 
     def distances(self, queries: Any, *, exact: bool = True) -> np.ndarray:
         """Full distance vector(s) — the *_stream virtual tables.

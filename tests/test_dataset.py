@@ -316,3 +316,44 @@ def test_sqlite_roundtrip_export_import(tmp_path, rng):
     assert len(ds2) == 80
     got, dist = ds2.search(base[3], 1)
     assert got[0] == int(ids[3]) and dist[0] == 0.0
+
+
+def test_rerank_mode_exact_distances(rng):
+    import numpy as np
+    import sqlite_vector_tpu as svt
+    from sqlite_vector_tpu import oracle
+    from sqlite_vector_tpu.types import DistanceMetric, VectorType
+
+    ds = svt.Dataset("rr", svt.parse_options("dimension=24,type=FLOAT32"))
+    base = rng.standard_normal((2000, 24)).astype("float32")
+    ids = ds.add(base)
+    ds.quantize()
+    q = rng.standard_normal((3, 24)).astype("float32")
+
+    got_ids, got_vals = ds.search(q, 10, mode="rerank", expand=4)
+    # distances are TRUE float L2 values (not quantized-domain integers)
+    ref = oracle.distance(q, base, DistanceMetric.L2, VectorType.F32)
+    for bi in range(3):
+        oidx = np.argsort(ref[bi], kind="stable")[:10]
+        # near-perfect agreement with the exact scan at expand=4
+        overlap = len(set(got_ids[bi].tolist()) & set(ids[oidx].tolist()))
+        assert overlap >= 9
+        np.testing.assert_allclose(
+            got_vals[bi],
+            np.sort(
+                oracle.snap_zero(
+                    ref[bi][np.searchsorted(ids, got_ids[bi])]
+                )
+            ),
+            rtol=1e-4, atol=1e-4,
+        )
+    # rerank respects ids_filter
+    got_ids, _ = ds.search(q[0], 5, mode="rerank", ids_filter=ids[:50])
+    assert set(got_ids.tolist()) <= set(ids[:50].tolist())
+    # requires quantization
+    ds.drop_quantization()
+    import pytest
+    from sqlite_vector_tpu.errors import VectorStateError
+
+    with pytest.raises(VectorStateError):
+        ds.search(q[0], 5, mode="rerank")
