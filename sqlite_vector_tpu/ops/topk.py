@@ -16,6 +16,49 @@ import jax
 import jax.numpy as jnp
 
 
+# Block width for the hierarchical selection (the VPU lane count).
+_HIER_BLOCK = 128
+# Below this size a direct lax.top_k is cheaper than the two-level pass.
+_HIER_MIN_N = 16384
+
+
+def _hierarchical_smallest_k(dist: jnp.ndarray, kk: int):
+    """Exact two-level top-k for large N.
+
+    `lax.top_k` sorts the full reduction axis — measured at ~2/3 of total
+    scan time on TPU for N=1M. This reduces the sort domain 128x:
+
+      1. block minima over [B, G, 128]  (one memory-bound VPU pass)
+      2. top-kk GROUPS by minimum       (top_k over G = N/128)
+      3. exact top-kk over the kk*128 candidate elements
+
+    Exactness: if element v in group g is among the true kk smallest but g is
+    not among the kk smallest-minimum groups, then kk groups each contain an
+    element < min(g) <= v — i.e. kk elements smaller than v, contradiction.
+    Group indices are re-sorted ascending before the gather so candidates
+    stay in global row order and ties keep resolving to the earliest row
+    (the reference's strict `<` replacement, src/sqlite-vector.c:2102-2106).
+    """
+    b, n = dist.shape
+    g = -(-n // _HIER_BLOCK)
+    npad = g * _HIER_BLOCK
+    if npad != n:
+        dist = jnp.pad(dist, ((0, 0), (0, npad - n)), constant_values=jnp.inf)
+    blocks = dist.reshape(b, g, _HIER_BLOCK)
+    mins = jnp.min(blocks, axis=-1)  # [B, G]
+    kg = min(kk, g)
+    _, gidx = jax.lax.top_k(-mins, kg)  # [B, kg]
+    gidx = jnp.sort(gidx, axis=-1)  # ascending row order for tie parity
+    cand = jnp.take_along_axis(blocks, gidx[:, :, None], axis=1)  # [B,kg,128]
+    cand = cand.reshape(b, kg * _HIER_BLOCK)
+    neg_vals, cpos = jax.lax.top_k(-cand, kk)
+    pos = (
+        jnp.take_along_axis(gidx, cpos // _HIER_BLOCK, axis=-1) * _HIER_BLOCK
+        + cpos % _HIER_BLOCK
+    )
+    return -neg_vals, pos
+
+
 def topk_ascending(
     distances: jnp.ndarray, k: int, ids: jnp.ndarray | None = None
 ) -> tuple[jnp.ndarray, jnp.ndarray]:
@@ -27,8 +70,15 @@ def topk_ascending(
     """
     n = distances.shape[-1]
     kk = min(k, n)
-    neg_vals, idx = jax.lax.top_k(-distances, kk)
-    vals = -neg_vals
+    if (
+        distances.ndim == 2
+        and n >= _HIER_MIN_N
+        and kk * _HIER_BLOCK * 4 <= n
+    ):
+        vals, idx = _hierarchical_smallest_k(distances, kk)
+    else:
+        neg_vals, idx = jax.lax.top_k(-distances, kk)
+        vals = -neg_vals
     if ids is not None:
         out_ids = ids[idx]
     else:

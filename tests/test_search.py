@@ -81,3 +81,41 @@ def test_scan_topk_int_domain(rng):
     for bi in range(2):
         w_idx, w_vals = oracle.topk_reference(want[bi], 5)
         np.testing.assert_array_equal(np.sort(np.asarray(vals)[bi]), np.sort(w_vals))
+
+
+def test_hierarchical_topk_exact(rng):
+    """The two-level selection must be exactly equal to lax.top_k."""
+    import jax.numpy as jnp
+
+    from sqlite_vector_tpu.ops.topk import _hierarchical_smallest_k
+
+    for trial in range(5):
+        n = int(rng.integers(16384, 80000))
+        b = int(rng.integers(1, 4))
+        k = int(rng.integers(1, 64))
+        d = rng.standard_normal((b, n)).astype(np.float32)
+        if trial == 2:  # heavy duplicates stress tie handling
+            d = np.round(d, 1)
+        if trial == 3:  # clustered: many near-equal minima in one block
+            d[:, :256] = 0.001
+        vals, idx = _hierarchical_smallest_k(jnp.asarray(d), k)
+        vals, idx = np.asarray(vals), np.asarray(idx)
+        order = np.argsort(d, axis=-1, kind="stable")[:, :k]
+        want = np.take_along_axis(d, order, axis=-1)
+        np.testing.assert_array_equal(vals, want)
+        # tie-parity: earliest index wins
+        np.testing.assert_array_equal(idx, order)
+
+
+def test_topk_ascending_large_n_matches_small_path(rng):
+    import jax.numpy as jnp
+
+    from sqlite_vector_tpu.ops.topk import topk_ascending
+
+    d = rng.standard_normal((2, 40000)).astype(np.float32)
+    vals, idx = topk_ascending(jnp.asarray(d), 15)
+    order = np.argsort(d, axis=-1, kind="stable")[:, :15]
+    np.testing.assert_array_equal(np.asarray(idx), order)
+    np.testing.assert_array_equal(
+        np.asarray(vals), np.take_along_axis(d, order, axis=-1)
+    )
