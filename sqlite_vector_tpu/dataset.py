@@ -87,6 +87,26 @@ def _device_row_update(vectors, new_rows, start):
     return jax.lax.dynamic_update_slice_in_dim(vectors, new_rows, start, axis=0)
 
 
+@functools.partial(
+    jax.jit, static_argnames=("metric", "k", "qtype", "has_mask")
+)
+def _quantize_and_scan(
+    q, codes, scale, offset, valid, sq, mask, *, metric, k, qtype, has_mask
+):
+    """Query quantization fused into the scan: one device dispatch per
+    quantized search instead of two (matters on high-latency links)."""
+    qq = quantize_device(q, scale, offset, qtype)
+    return fused_scan_topk(
+        qq,
+        codes,
+        metric,
+        k,
+        valid_count=valid,
+        base_sq_norms=sq,
+        row_mask=mask if has_mask else None,
+    )
+
+
 @dataclasses.dataclass
 class _QuantState:
     qtype: QuantType
@@ -613,11 +633,6 @@ class Dataset:
                 row_mask=mask,
                 device=self._device,
             )
-        # quantize the query with the stored scale/offset
-        # (src/sqlite-vector.c:2162-2177)
-        qq = quantize_device(
-            self._put_query(q), quant.scale, quant.offset, quant.qtype
-        )
         if quant.sq_norms is None and self.metric in (
             DistanceMetric.L2,
             DistanceMetric.SQUARED_L2,
@@ -629,6 +644,11 @@ class Dataset:
             )(codes)
         dmask = self._pad_mask(mask, quant.codes.shape[0], quant.count)
         if self._mesh is not None:
+            # quantize the query with the stored scale/offset
+            # (src/sqlite-vector.c:2162-2177)
+            qq = quantize_device(
+                self._put_query(q), quant.scale, quant.offset, quant.qtype
+            )
             return sharded_scan_topk(
                 qq,
                 quant.codes,
@@ -639,14 +659,23 @@ class Dataset:
                 base_sq_norms=quant.sq_norms,
                 row_mask=dmask,
             )
-        return fused_scan_topk(
-            qq,
+        # query quantization (src/sqlite-vector.c:2162-2177) is fused into
+        # the scan dispatch — one round trip per search
+        dummy = (
+            jnp.zeros((0,), bool) if dmask is None else dmask
+        )
+        return _quantize_and_scan(
+            self._put_query(q.astype(np.float32)),
             quant.codes,
-            self.metric,
-            k,
-            valid_count=quant.count,
-            base_sq_norms=quant.sq_norms,
-            row_mask=dmask,
+            jnp.float32(quant.scale),
+            jnp.float32(quant.offset),
+            jnp.int32(quant.count),
+            quant.sq_norms,
+            dummy,
+            metric=self.metric,
+            k=k,
+            qtype=quant.qtype,
+            has_mask=dmask is not None,
         )
 
     def _search_rerank(
