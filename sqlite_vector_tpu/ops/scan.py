@@ -28,11 +28,22 @@ from sqlite_vector_tpu.ops.distance import pairwise_distance
 from sqlite_vector_tpu.ops.topk import merge_topk, topk_ascending
 from sqlite_vector_tpu.types import DistanceMetric
 
-# Row-tile size for the chunked executor. Large enough to keep the MXU busy,
-# small enough that the [B, TILE] distance block and L1's fused broadcast stay
-# comfortably in VMEM after XLA fusion.
+# Row-tile size for the chunked executor. Measured on v5e: the un-tiled
+# formulation (one matmul + hierarchical top-k over the full [B, N] block) is
+# ~2.2x faster than a lax.scan over row tiles, so the tile is sized to put
+# the whole scan in ONE tile whenever the [B, N] f32 intermediate fits the
+# budget; tiling only kicks in to bound that intermediate for large B*N.
 DEFAULT_ROW_TILE = 131072
 L1_ROW_TILE = 8192
+# cap on the [B, N] f32 distance intermediate (bytes)
+INTERMEDIATE_BUDGET = 256 * 1024 * 1024
+
+
+def _auto_row_tile(n: int, b: int, metric: DistanceMetric) -> int:
+    if metric is DistanceMetric.L1:
+        return L1_ROW_TILE
+    by_budget = INTERMEDIATE_BUDGET // (4 * max(b, 1))
+    return int(max(DEFAULT_ROW_TILE, min(n, by_budget)))
 
 
 def _num_tiles(n: int, tile: int) -> int:
@@ -64,7 +75,7 @@ def scan_topk(
     b, d = queries.shape
     n = base.shape[0]
     if row_tile is None:
-        row_tile = L1_ROW_TILE if metric is DistanceMetric.L1 else DEFAULT_ROW_TILE
+        row_tile = _auto_row_tile(n, b, metric)
     valid = jnp.asarray(n if valid_count is None else valid_count, jnp.int32)
 
     if n <= row_tile:
@@ -127,14 +138,27 @@ def fused_scan_topk(
     base_sq_norms: jnp.ndarray | None = None,
     row_mask: jnp.ndarray | None = None,
 ) -> tuple[jnp.ndarray, jnp.ndarray]:
-    """Backend-dispatching top-k scan: the Pallas fused kernel on TPU (the
-    single code path replacing the reference's 25-kernel dispatch table,
-    src/distance-cpu.c:756-792), the XLA chunked scan elsewhere. Masked
-    (filtered) searches use the XLA path."""
+    """Backend-dispatching top-k scan (the single code path replacing the
+    reference's 25-kernel dispatch table, src/distance-cpu.c:756-792).
+
+    Routing, by measurement on v5e: the XLA formulation (one matmul +
+    hierarchical top-k) wins while its [B, N] f32 intermediate fits the
+    budget; beyond that the Pallas fused kernel takes over — it never
+    materializes the distance matrix, so its footprint is O(B·k) regardless
+    of N. Masked (filtered) searches use the XLA path."""
     from sqlite_vector_tpu.ops import pallas_scan
 
-    if row_mask is None and pallas_scan.enabled() and pallas_scan.supports(
-        metric, base.dtype, base.shape[1], k, queries.shape[0]
+    import os
+
+    b = queries.shape[0]
+    n = base.shape[0]
+    intermediate_ok = 4 * b * n <= INTERMEDIATE_BUDGET
+    force = os.environ.get("SVT_FORCE_PALLAS") == "1"
+    if (
+        row_mask is None
+        and (force or not intermediate_ok)
+        and pallas_scan.enabled()
+        and pallas_scan.supports(metric, base.dtype, base.shape[1], k, b)
     ):
         return pallas_scan.pallas_scan_topk(
             queries,
