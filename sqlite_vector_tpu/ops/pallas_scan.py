@@ -38,6 +38,8 @@ from sqlite_vector_tpu.types import DistanceMetric
 
 # Per-tile candidate column count (output lane dimension). k <= K_PAD.
 K_PAD = 128
+# VPU lane count (block width of the two-level selection)
+_LANES = 128
 
 # VMEM budget for the double-buffered row tile (bytes).
 _TILE_VMEM_BUDGET = 8 * 1024 * 1024
@@ -100,26 +102,55 @@ def supports(
 
 
 def _select_topk(dist, kk: int, tile_n: int, b_pad: int):
-    """In-VMEM top-k: kk rounds of (min, first-argmin, mask-out)."""
-    iota_n = jax.lax.broadcasted_iota(jnp.int32, (b_pad, tile_n), 1)
+    """In-VMEM exact top-k via two-level selection.
+
+    A naive kk-round (min, argmin, mask) over the full [B, TILE_N] block costs
+    kk full cross-lane reductions. This version reduces once to per-128-block
+    minima [B, G], then each round touches only the winning 128-lane block:
+    argmin over G, extract that block (per-row aligned dynamic slice), pick
+    the element, mask it, and update just that block's minimum. Ties resolve
+    to the lowest block then lowest lane = lowest row index, matching the
+    reference's strict `<` replacement (src/sqlite-vector.c:2102-2106).
+    """
+    g_cnt = tile_n // _LANES
+    blocks_min = jnp.min(dist.reshape(b_pad, g_cnt, _LANES), axis=-1)  # [B,G]
+    iota_g = jax.lax.broadcasted_iota(jnp.int32, (b_pad, g_cnt), 1)
     iota_k = jax.lax.broadcasted_iota(jnp.int32, (b_pad, K_PAD), 1)
+    iota_l = jax.lax.broadcasted_iota(jnp.int32, (b_pad, _LANES), 1)
     init_vals = jnp.full((b_pad, K_PAD), jnp.inf, jnp.float32)
     init_idx = jnp.full((b_pad, K_PAD), -1, jnp.int32)
 
     def body(j, carry):
-        dist, sel_vals, sel_idx = carry
-        m = jnp.min(dist, axis=-1, keepdims=True)  # [B, 1]
-        am = jnp.min(
-            jnp.where(dist == m, iota_n, tile_n), axis=-1, keepdims=True
-        )  # first (lowest-index) argmin, [B, 1]
+        dist, m, sel_vals, sel_idx = carry
+        v = jnp.min(m, axis=-1, keepdims=True)  # [B, 1]
+        g = jnp.min(
+            jnp.where(m == v, iota_g, g_cnt), axis=-1, keepdims=True
+        )  # first winning block, [B, 1]
+        # extract the winning 128-lane block per query row (aligned slices)
+        rows = []
+        for bb in range(b_pad):
+            start = pl.multiple_of(g[bb, 0] * _LANES, _LANES)
+            rows.append(jax.lax.dynamic_slice(dist, (bb, start), (1, _LANES)))
+        row = jnp.concatenate(rows, axis=0)  # [B, 128]
+        e = jnp.min(
+            jnp.where(row == v, iota_l, _LANES), axis=-1, keepdims=True
+        )
         hot = iota_k == j
-        sel_vals = jnp.where(hot, m, sel_vals)
-        sel_idx = jnp.where(hot, am, sel_idx)
-        dist = jnp.where(iota_n == am, jnp.inf, dist)
-        return dist, sel_vals, sel_idx
+        sel_vals = jnp.where(hot, v, sel_vals)
+        sel_idx = jnp.where(hot, g * _LANES + e, sel_idx)
+        # mask the chosen element, refresh that block's min everywhere
+        row2 = jnp.where(iota_l == e, jnp.inf, row)
+        for bb in range(b_pad):
+            start = pl.multiple_of(g[bb, 0] * _LANES, _LANES)
+            dist = jax.lax.dynamic_update_slice(
+                dist, row2[bb : bb + 1], (bb, start)
+            )
+        newmin = jnp.min(row2, axis=-1, keepdims=True)
+        m = jnp.where(iota_g == g, newmin, m)
+        return dist, m, sel_vals, sel_idx
 
-    _, sel_vals, sel_idx = jax.lax.fori_loop(
-        0, kk, body, (dist, init_vals, init_idx)
+    _, _, sel_vals, sel_idx = jax.lax.fori_loop(
+        0, kk, body, (dist, blocks_min, init_vals, init_idx)
     )
     return sel_vals, sel_idx
 
