@@ -368,3 +368,44 @@ def test_interop_dtypes(tmp_path, rng, vtype, as_fn):
     np.testing.assert_allclose(
         [r[1] for r in ours_quant], [r[1] for r in ref_quant], rtol=1e-5
     )
+
+
+def test_python_loader_fallback(tmp_path, data, monkeypatch):
+    """Without the native bulk loader the Python row loop must agree."""
+    import sqlite_vector_tpu.sqlite as svs_mod
+
+    monkeypatch.setattr(svs_mod, "native_load_blobs", lambda *a: None)
+    c = svs_mod.connect(str(tmp_path / "fb.db"))
+    c.execute("CREATE TABLE t (v BLOB)")
+    c.executemany("INSERT INTO t(v) VALUES (?)", ((r.tobytes(),) for r in data))
+    # oversized blob: scan reads the first dim elements (reference semantics)
+    c.execute(
+        "INSERT INTO t(v) VALUES (?)",
+        (data[0].tobytes() + b"\x00\x00\x00\x00",),
+    )
+    c.commit()
+    c.vector_init("t", "v", f"type=FLOAT32,dimension={DIM}")
+    rows = c.vector_full_scan("t", "v", data[0].tobytes(), 2)
+    assert rows[0][1] == 0.0 and rows[1][1] == 0.0  # row 1 and the oversized copy
+    # short blob raises with the rowid
+    c.execute("INSERT INTO t(v) VALUES (?)", (b"\x00" * 7,))
+    c.commit()
+    import pytest as _pytest
+
+    from sqlite_vector_tpu.errors import VectorCodecError
+
+    with _pytest.raises(VectorCodecError, match="rowid"):
+        c.vector_full_scan("t", "v", data[0].tobytes(), 2)
+    c.close()
+
+
+def test_memory_db_uses_python_loader(data):
+    """:memory: databases can't be re-opened by path — fallback must kick in."""
+    c = svs.connect(":memory:")
+    c.execute("CREATE TABLE t (v BLOB)")
+    c.executemany("INSERT INTO t(v) VALUES (?)", ((r.tobytes(),) for r in data))
+    c.commit()
+    c.vector_init("t", "v", f"type=FLOAT32,dimension={DIM}")
+    rows = c.vector_full_scan("t", "v", data[9].tobytes(), 1)
+    assert rows[0][0] == 10 and rows[0][1] == 0.0
+    c.close()
