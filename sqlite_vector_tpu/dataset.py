@@ -114,6 +114,9 @@ class _QuantState:
     offset: np.float32
     codes: jnp.ndarray | None  # [cap, dim] u8/i8 on device
     count: int  # rows quantized
+    ids: np.ndarray | None = None  # row ids AT QUANTIZE TIME (codes may be
+    # stale relative to the live table after add/remove — the reference's
+    # shadow table keeps its own rowids for exactly this reason)
     sq_norms: jnp.ndarray | None = None  # cached int32 |b|^2 for L2/cosine
     stale: bool = False  # set when rows are added/changed after quantize
 
@@ -162,6 +165,12 @@ class Dataset:
             self._row_sharding = sharding
             self._repl_sharding = None
             self._mesh_size = 1
+        import threading
+
+        # serializes mutators (add/remove/update/quantize) against each
+        # other; searches snapshot immutable arrays, so a mutation lock is
+        # sufficient for the coalesced-serving model (see serving.py)
+        self._mutate_lock = threading.RLock()
         self._count = 0
         self._ids = np.zeros((0,), dtype=np.int64)
         self._next_rowid = 1
@@ -226,6 +235,10 @@ class Dataset:
         no index rebuild; the quantized codes are merely marked stale
         (reference contract: README.md:117, API.md:242).
         """
+        with self._mutate_lock:
+            return self._add_locked(vectors, ids)
+
+    def _add_locked(self, vectors, ids):
         arr = self._coerce_batch(vectors)
         n_new = arr.shape[0]
         if n_new == 0:
@@ -243,8 +256,10 @@ class Dataset:
         start = self._count
         self._host_append(arr)
         self._ids = np.concatenate([self._ids, new_ids])
+        # device first, then publish the count — concurrent searches never
+        # see a count covering rows the device matrix doesn't have yet
+        self._sync_device(start, count=self._count + n_new)
         self._count += n_new
-        self._sync_device(start)
         if self._quant is not None:
             self._quant.stale = True
         return new_ids
@@ -354,6 +369,10 @@ class Dataset:
         compacted and the device matrix re-synced. Quantized codes go stale
         (approximate scans keep serving the old codes until quantize()
         re-runs, same contract as the reference)."""
+        with self._mutate_lock:
+            return self._remove_locked(ids)
+
+    def _remove_locked(self, ids) -> int:
         ids = np.asarray(ids, np.int64)
         if ids.size == 0 or self._count == 0:
             return 0
@@ -381,6 +400,10 @@ class Dataset:
 
         Unknown ids raise (the analogue of UPDATE matching zero rows being
         surfaced, rather than silently inserting)."""
+        with self._mutate_lock:
+            return self._update_locked(ids, vectors)
+
+    def _update_locked(self, ids, vectors) -> int:
         ids = np.asarray(ids, np.int64)
         arr = self._coerce_batch(vectors)
         if arr.shape[0] != ids.size:
@@ -392,6 +415,9 @@ class Dataset:
             pos = np.asarray([id_to_pos[int(i)] for i in ids], np.int64)
         except KeyError as e:
             raise VectorStateError(f"update: unknown row id {e.args[0]}") from None
+        if not self._host_vectors.flags.writeable:
+            # mmap-loaded matrix: materialize a writable copy first
+            self._host_vectors = np.array(self._host_vectors)
         self._host_vectors[pos] = arr
         self._vectors = None
         self._sync_device()
@@ -442,24 +468,24 @@ class Dataset:
             return jax.device_put(arr, self._device)
         return jnp.asarray(arr)
 
-    def _sync_device(self, start: int = 0) -> None:
+    def _sync_device(self, start: int = 0, count: int | None = None) -> None:
+        if count is None:
+            count = self._count
         if self._storage == "host":
             self._vectors = None
             self._sq_norms = None
             return
-        cap = _next_capacity(self._count, self._mesh_size)
+        cap = _next_capacity(count, self._mesh_size)
         cur_cap = 0 if self._vectors is None else self._vectors.shape[0]
         if cap != cur_cap or self._mesh is not None:
             # capacity change: full (re)upload at the new padded size
             padded = np.zeros((cap, self.dimension), self.dtype.np_dtype)
-            padded[: self._count] = self._host_vectors[: self._count]
+            padded[:count] = self._host_vectors[:count]
             self._vectors = self._put(padded)
         else:
             # amortized append: device-side slice update of the new rows only
             # (no host->device transfer of the existing matrix)
-            new_rows = np.ascontiguousarray(
-                self._host_vectors[start : self._count]
-            )
+            new_rows = np.ascontiguousarray(self._host_vectors[start:count])
             self._vectors = _device_row_update(
                 self._vectors, self._put_query(new_rows), start
             )
@@ -546,9 +572,13 @@ class Dataset:
             )
         mask = None
         if ids_filter is not None:
-            mask = np.isin(
-                self._ids[: self._count], np.asarray(ids_filter, np.int64)
-            )
+            flt = np.asarray(ids_filter, np.int64)
+            if mode == "exact":
+                mask = np.isin(self._ids[: self._count], flt)
+            else:
+                qids = self._quant_id_map()
+                qcount = self._quant.count if self._quant else 0
+                mask = np.isin(qids[:qcount], flt)
 
         if mode == "exact":
             vals, idx = self._search_exact(q, k, mask)
@@ -561,11 +591,26 @@ class Dataset:
         vals, idx = jax.device_get((vals, idx))
         vals = np.asarray(vals)
         idx = np.asarray(idx)
-        out_ids = np.where(idx >= 0, self._ids[np.clip(idx, 0, None)], -1)
+        if mode == "quantized":
+            # quantized positions index the codes AT QUANTIZE TIME — map
+            # through the snapshot ids, not the (possibly compacted) live ids
+            id_map = self._quant_id_map()
+        else:  # exact and rerank positions index the live rows
+            id_map = self._ids
+        out_ids = np.where(idx >= 0, id_map[np.clip(idx, 0, None)], -1)
         if single:
             keep = idx[0] >= 0
             return out_ids[0][keep], vals[0][keep]
         return out_ids, vals
+
+    def _quant_id_map(self) -> np.ndarray:
+        quant = self._quant
+        if quant is not None and quant.ids is not None:
+            # pad so np indexing with clipped positions stays in bounds
+            if len(quant.ids) == 0:
+                return np.full((1,), -1, np.int64)
+            return quant.ids
+        return self._ids
 
     def _pad_mask(self, mask: np.ndarray | None, cap: int, count: int):
         if mask is None:
@@ -681,20 +726,71 @@ class Dataset:
     def _search_rerank(
         self, q: np.ndarray, k: int, mask: np.ndarray | None, expand: int
     ):
-        """int8 prefilter + exact rescore (see ops/rerank.py). The rescore
-        runs host-side over the tiny candidate set, so it works uniformly
-        across hbm/host/mesh storage."""
+        """int8 prefilter + exact rescore.
+
+        Fast path: when the codes are fresh (not stale) and both matrices are
+        HBM-resident on a single chip, the fused device kernel
+        (ops/rerank.py) runs both stages in one dispatch. Otherwise stage 1
+        runs through the regular quantized scan and the tiny candidate set is
+        rescored host-side (works uniformly across hbm/host/mesh and across
+        stale snapshots, where quantize-time positions must be re-mapped)."""
         from sqlite_vector_tpu import oracle
+
+        quant = self._require_quant("rerank")
+        if (
+            not quant.stale
+            and self._storage == "hbm"
+            and self._mesh is None
+            and mask is None
+            and isinstance(quant.codes, jnp.ndarray)
+        ):
+            from sqlite_vector_tpu.ops.rerank import rerank_topk
+
+            if quant.sq_norms is None and self.metric in (
+                DistanceMetric.L2,
+                DistanceMetric.SQUARED_L2,
+                DistanceMetric.COSINE,
+            ):
+                codes = quant.codes
+                quant.sq_norms = jax.jit(
+                    lambda x: jnp.sum(
+                        x.astype(jnp.int32) * x.astype(jnp.int32), axis=-1
+                    )
+                )(codes)
+            qq = np.asarray(
+                oracle.quantize(
+                    q.astype(np.float32), quant.scale, quant.offset, quant.qtype
+                )
+            )
+            return rerank_topk(
+                self._put_query(q.astype(np.float32)),
+                self._vectors,
+                self._put_query(qq),
+                quant.codes,
+                self.metric,
+                k,
+                expand=expand,
+                valid_count=quant.count,
+                codes_sq_norms=quant.sq_norms,
+            )
 
         ke = max(k * expand, k)
         _, idx = self._search_quantized(q, ke, mask)
         idx = np.asarray(idx)
+        # stage-1 positions index the quantize-time snapshot; map them to
+        # CURRENT row positions via ids (rows may have moved/been removed)
+        qids = self._quant_id_map()
+        live = {int(v): i for i, v in enumerate(self._ids[: self._count])}
         b = q.shape[0]
         out_vals = np.full((b, k), np.inf, np.float32)
         out_idx = np.full((b, k), -1, np.int32)
         qf = q.astype(np.float32)
         for bi in range(b):
-            cand_pos = idx[bi][idx[bi] >= 0]
+            qpos = idx[bi][idx[bi] >= 0]
+            cand_pos = np.asarray(
+                [live[int(qids[p])] for p in qpos if int(qids[p]) in live],
+                np.int64,
+            )
             if cand_pos.size == 0:
                 continue
             cand = self._host_vectors[cand_pos].astype(np.float32)
@@ -801,7 +897,8 @@ class Dataset:
                 QuantType.U8 if opts.qtype is QuantType.AUTO else opts.qtype
             )
             self._quant = _QuantState(
-                resolved, np.float32(1.0), np.float32(0.0), None, 0
+                resolved, np.float32(1.0), np.float32(0.0), None, 0,
+                ids=np.zeros((0,), np.int64),
             )
             return 0
         if self._storage == "host":
@@ -814,7 +911,10 @@ class Dataset:
                 vals.astype(np.float32), opts.qtype
             )
             codes = oracle.quantize(vals.astype(np.float32), scale, offset, rqtype)
-            self._quant = _QuantState(rqtype, scale, offset, codes, self._count)
+            self._quant = _QuantState(
+                rqtype, scale, offset, codes, self._count,
+                ids=self._ids[: self._count].copy(),
+            )
             return self._count
         mn, mx, neg = minmax_and_negative(
             self._vectors, self._count, valid_is_full=False
@@ -823,7 +923,10 @@ class Dataset:
             float(mn), float(mx), bool(neg), opts.qtype
         )
         codes = quantize_device(self._vectors, scale, offset, rqtype)
-        self._quant = _QuantState(rqtype, scale, offset, codes, self._count)
+        self._quant = _QuantState(
+            rqtype, scale, offset, codes, self._count,
+            ids=self._ids[: self._count].copy(),
+        )
         return self._count
 
     def quantize_memory(self) -> int:
@@ -870,14 +973,21 @@ class Dataset:
 
     # -- persistence -----------------------------------------------------------
 
-    def save(self, directory: str, *, shard_rows: int | None = None) -> None:
+    def save(
+        self,
+        directory: str,
+        *,
+        shard_rows: int | None = None,
+        resume: bool = False,
+    ) -> None:
         """Persist to a directory: manifest.json + npy shard files.
 
         The analogue of the `_sqliteai_vector` metadata table plus the
         vector0_* shadow tables (src/sqlite-vector.c:114, 1000-1026).
-        `shard_rows` splits the matrix into multiple files (checkpointed
-        builds of >RAM datasets write shard-by-shard and survive partial
-        failure: completed shards are not rewritten on resume).
+        `shard_rows` splits the matrix into multiple files. `resume=True`
+        skips shards already on disk with the right row count — use ONLY to
+        restart an interrupted save of append-only data (rows that changed
+        via update()/remove() since the failed save would NOT be rewritten).
         """
         os.makedirs(directory, exist_ok=True)
         manifest = {
@@ -903,9 +1013,10 @@ class Dataset:
                 name = f"vectors-{i:05d}.npy"
                 part = vecs[start : start + shard_rows]
                 path = os.path.join(directory, name)
-                # resumable: skip shards already on disk with the right size
+                # resume mode: skip shards already on disk (append-only data)
                 if not (
-                    os.path.exists(path)
+                    resume
+                    and os.path.exists(path)
                     and _npy_rows(path) == len(part)
                 ):
                     np.save(path, part)
@@ -926,6 +1037,8 @@ class Dataset:
                     os.path.join(directory, "qcodes.npy"),
                     np.asarray(self._quant.codes)[: self._quant.count],
                 )
+            if self._quant.ids is not None:
+                np.save(os.path.join(directory, "qids.npy"), self._quant.ids)
         with open(os.path.join(directory, "manifest.json"), "w") as f:
             json.dump(manifest, f, indent=2)
 
@@ -982,6 +1095,8 @@ class Dataset:
             total = int(sum(sh["rows"] for sh in shards))
             if total:
                 joined = parts[0] if len(parts) == 1 else np.concatenate(parts)
+                if options.type is VectorType.BF16:
+                    joined = joined.view(options.type.np_dtype)
                 ds._attach_host(joined, ids)
         elif mmap and storage == "host":
             if options.type is VectorType.BF16:
@@ -1006,12 +1121,15 @@ class Dataset:
                 padded = np.zeros((cap, options.dimension), host_codes.dtype)
                 padded[:count] = host_codes
                 codes = ds._put(padded)
+            qids_path = os.path.join(directory, "qids.npy")
+            qids = np.load(qids_path) if os.path.exists(qids_path) else None
             ds._quant = _QuantState(
                 qtype,
                 np.float32(q["scale"]),
                 np.float32(q["offset"]),
                 codes,
                 count,
+                ids=qids,
                 stale=q.get("stale", False),
             )
         return ds

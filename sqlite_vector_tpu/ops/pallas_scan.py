@@ -113,44 +113,41 @@ def _select_topk(dist, kk: int, tile_n: int, b_pad: int):
     reference's strict `<` replacement (src/sqlite-vector.c:2102-2106).
     """
     g_cnt = tile_n // _LANES
-    blocks_min = jnp.min(dist.reshape(b_pad, g_cnt, _LANES), axis=-1)  # [B,G]
+    blocks = dist.reshape(b_pad, g_cnt, _LANES)
+    m0 = jnp.min(blocks, axis=-1)  # [B, G]
     iota_g = jax.lax.broadcasted_iota(jnp.int32, (b_pad, g_cnt), 1)
+    iota_g3 = jax.lax.broadcasted_iota(jnp.int32, (b_pad, g_cnt, _LANES), 1)
     iota_k = jax.lax.broadcasted_iota(jnp.int32, (b_pad, K_PAD), 1)
     iota_l = jax.lax.broadcasted_iota(jnp.int32, (b_pad, _LANES), 1)
+    iota_l3 = jax.lax.broadcasted_iota(jnp.int32, (b_pad, g_cnt, _LANES), 2)
     init_vals = jnp.full((b_pad, K_PAD), jnp.inf, jnp.float32)
     init_idx = jnp.full((b_pad, K_PAD), -1, jnp.int32)
 
     def body(j, carry):
-        dist, m, sel_vals, sel_idx = carry
+        blocks, m, sel_vals, sel_idx = carry
         v = jnp.min(m, axis=-1, keepdims=True)  # [B, 1]
         g = jnp.min(
             jnp.where(m == v, iota_g, g_cnt), axis=-1, keepdims=True
         )  # first winning block, [B, 1]
-        # extract the winning 128-lane block per query row (aligned slices)
-        rows = []
-        for bb in range(b_pad):
-            start = pl.multiple_of(g[bb, 0] * _LANES, _LANES)
-            rows.append(jax.lax.dynamic_slice(dist, (bb, start), (1, _LANES)))
-        row = jnp.concatenate(rows, axis=0)  # [B, 128]
+        # extract the winning block by masked sublane reduction (Mosaic has
+        # no dynamic_slice on values; reducing over G is a cheap sublane op)
+        in_g = iota_g3 == g[:, :, None]  # [B, G, L]
+        row = jnp.min(jnp.where(in_g, blocks, jnp.inf), axis=1)  # [B, L]
         e = jnp.min(
             jnp.where(row == v, iota_l, _LANES), axis=-1, keepdims=True
-        )
+        )  # first winning lane, [B, 1]
         hot = iota_k == j
         sel_vals = jnp.where(hot, v, sel_vals)
         sel_idx = jnp.where(hot, g * _LANES + e, sel_idx)
-        # mask the chosen element, refresh that block's min everywhere
+        # mask the chosen element, refresh that block's cached min
+        blocks = jnp.where(in_g & (iota_l3 == e[:, :, None]), jnp.inf, blocks)
         row2 = jnp.where(iota_l == e, jnp.inf, row)
-        for bb in range(b_pad):
-            start = pl.multiple_of(g[bb, 0] * _LANES, _LANES)
-            dist = jax.lax.dynamic_update_slice(
-                dist, row2[bb : bb + 1], (bb, start)
-            )
         newmin = jnp.min(row2, axis=-1, keepdims=True)
         m = jnp.where(iota_g == g, newmin, m)
-        return dist, m, sel_vals, sel_idx
+        return blocks, m, sel_vals, sel_idx
 
     _, _, sel_vals, sel_idx = jax.lax.fori_loop(
-        0, kk, body, (dist, blocks_min, init_vals, init_idx)
+        0, kk, body, (blocks, m0, init_vals, init_idx)
     )
     return sel_vals, sel_idx
 

@@ -43,7 +43,9 @@ def _auto_row_tile(n: int, b: int, metric: DistanceMetric) -> int:
     if metric is DistanceMetric.L1:
         return L1_ROW_TILE
     by_budget = INTERMEDIATE_BUDGET // (4 * max(b, 1))
-    return int(max(DEFAULT_ROW_TILE, min(n, by_budget)))
+    # budget is the hard cap (large B shrinks the tile); 8192 keeps tiles
+    # efficient when B is huge
+    return int(min(max(n, 1), max(8192, by_budget)))
 
 
 def _num_tiles(n: int, tile: int) -> int:

@@ -28,10 +28,7 @@ from sqlite_vector_tpu.types import DistanceMetric
 DEFAULT_STREAM_ROWS = 262144
 
 
-def _merge(run_vals, run_ids, vals, ids, k):
-    return jax.jit(merge_topk, static_argnames=("k",))(
-        run_vals, run_ids, vals, ids, k
-    )
+_merge = jax.jit(merge_topk, static_argnames=("k",))
 
 
 def streaming_scan_topk(

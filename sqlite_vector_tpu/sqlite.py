@@ -343,7 +343,10 @@ class VectorConnection:
 
         shadow = _shadow_name(ctx.table, ctx.column)
         cur = self._conn.cursor()
-        cur.execute("BEGIN")
+        # SAVEPOINT (not BEGIN): works standalone AND inside a caller's open
+        # transaction, like the reference's quantize running under SQLite's
+        # statement journal (src/sqlite-vector.c:1418-1437)
+        cur.execute("SAVEPOINT svt_quantize")
         try:
             cur.execute(f"DROP TABLE IF EXISTS {_quote(shadow)}")
             cur.execute(
@@ -392,9 +395,14 @@ class VectorConnection:
                     "VALUES (?, ?, ?, ?)",
                     (ctx.table, ctx.column, key, val),
                 )
-            cur.execute("COMMIT")
+            cur.execute("RELEASE svt_quantize")
+            if not self._conn.in_transaction:
+                pass  # already durable (autocommit released the savepoint)
+            else:
+                self._conn.commit()
         except Exception:
-            cur.execute("ROLLBACK")
+            cur.execute("ROLLBACK TO svt_quantize")
+            cur.execute("RELEASE svt_quantize")
             raise
         ctx.stored_qtype, ctx.stored_scale, ctx.stored_offset = (
             qtype,

@@ -256,7 +256,7 @@ def _apply_option(opts: VectorOptions, key: str, value: str) -> None:
             opts.normalized = False
     elif k == "max_memory":
         mm = human_to_number(value)
-        if mm >= 0:
+        if mm > 0:  # 0 = parse failure -> keep the default (reference :916)
             opts.max_memory = mm
     elif k == "qtype":
         opts.qtype = QuantType.from_name(value)

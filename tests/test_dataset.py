@@ -357,3 +357,79 @@ def test_rerank_mode_exact_distances(rng):
 
     with pytest.raises(VectorStateError):
         ds.search(q[0], 5, mode="rerank")
+
+
+def test_quantized_search_after_remove(rng):
+    """Stale codes keep serving with THEIR OWN ids after rows are removed
+    (the reference's shadow table keeps its rowids the same way)."""
+    import numpy as np
+    import sqlite_vector_tpu as svt
+
+    ds = svt.Dataset("qr", svt.parse_options("dimension=16,type=FLOAT32"))
+    base = rng.standard_normal((50, 16)).astype("float32")
+    ids = ds.add(base)
+    ds.quantize()
+    ds.remove(ids[:20])
+    # quantized scan serves the OLD codes and must return the OLD ids
+    got, dist = ds.search(base[30], 3, exact=False)
+    assert got[0] == ids[30]
+    got5, _ = ds.search(base[5], 1, exact=False)  # removed row, old codes
+    assert got5[0] == ids[5]  # quantized snapshot still contains it
+    # exact scan reflects the live table
+    egot, edist = ds.search(base[5], 1)
+    assert egot[0] != ids[5] or edist[0] > 0
+    # rerank maps candidates to live rows (removed rows drop out)
+    rgot, rdist = ds.search(base[30], 3, mode="rerank")
+    assert rgot[0] == ids[30] and rdist[0] == 0.0
+    assert ids[5] not in rgot
+    # quantized filter applies in snapshot space
+    fgot, _ = ds.search(base[30], 3, exact=False, ids_filter=ids[25:])
+    assert set(fgot.tolist()) <= set(ids[25:].tolist())
+
+
+def test_resave_after_update_not_stale(tmp_path, rng):
+    """save() must rewrite shards by default after rows change."""
+    import numpy as np
+    import sqlite_vector_tpu as svt
+
+    ds = svt.Dataset("rs", svt.parse_options("dimension=8,type=FLOAT32"))
+    base = rng.standard_normal((10, 8)).astype("float32")
+    ids = ds.add(base)
+    d = str(tmp_path / "ck")
+    ds.save(d, shard_rows=4)
+    new_vec = rng.standard_normal((1, 8)).astype("float32")
+    ds.update([ids[0]], new_vec)
+    ds.save(d, shard_rows=4)
+    ds2 = svt.Dataset.load(d)
+    np.testing.assert_array_equal(ds2.get(ids[0]), new_vec)
+
+
+def test_bf16_sharded_mmap_load(tmp_path, rng):
+    import numpy as np
+    import sqlite_vector_tpu as svt
+
+    ds = svt.Dataset("bfm", svt.parse_options("dimension=8,type=FLOATB16"))
+    base = rng.standard_normal((9, 8)).astype(svt.VectorType.BF16.np_dtype)
+    ids = ds.add(base)
+    d = str(tmp_path / "bf")
+    ds.save(d, shard_rows=4)
+    ds2 = svt.Dataset.load(d, storage="host", mmap=True)
+    assert ds2._host_vectors.dtype == svt.VectorType.BF16.np_dtype
+    got, dist = ds2.search(base[2], 1)
+    assert got[0] == ids[2] and dist[0] == 0.0
+
+
+def test_update_after_mmap_load(tmp_path, rng):
+    import numpy as np
+    import sqlite_vector_tpu as svt
+
+    ds = svt.Dataset("um", svt.parse_options("dimension=8,type=FLOAT32"))
+    base = rng.standard_normal((20, 8)).astype("float32")
+    ids = ds.add(base)
+    d = str(tmp_path / "um")
+    ds.save(d)
+    ds2 = svt.Dataset.load(d, storage="host", mmap=True)
+    new_vec = rng.standard_normal((1, 8)).astype("float32")
+    assert ds2.update([ids[4]], new_vec) == 1  # must materialize, not crash
+    got, dist = ds2.search(new_vec[0], 1)
+    assert got[0] == ids[4] and dist[0] == 0.0

@@ -409,3 +409,40 @@ def test_memory_db_uses_python_loader(data):
     rows = c.vector_full_scan("t", "v", data[9].tobytes(), 1)
     assert rows[0][0] == 10 and rows[0][1] == 0.0
     c.close()
+
+
+def test_quantize_inside_open_transaction(tmp_path, data):
+    """The C reference quantizes fine under a caller's transaction; the
+    compat layer must too (SAVEPOINT, not a bare BEGIN)."""
+    c = svs.connect(str(tmp_path / "txn.db"))
+    c.execute("CREATE TABLE t (v BLOB)")
+    c.executemany("INSERT INTO t(v) VALUES (?)", ((r.tobytes(),) for r in data))
+    c.commit()
+    c.vector_init("t", "v", f"type=FLOAT32,dimension={DIM}")
+    # open an implicit transaction with a pending INSERT, then quantize
+    c.execute("INSERT INTO t(v) VALUES (?)", (data[0].tobytes(),))
+    assert c.in_transaction
+    count = c.vector_quantize("t", "v")
+    assert count == N + 1
+    c.commit()
+    rows = c.vector_quantize_scan("t", "v", data[3].tobytes(), 3)
+    assert rows[0][0] == 4
+    c.close()
+
+
+def test_max_memory_chunking_and_bad_value(tmp_path, data):
+    c = svs.connect(str(tmp_path / "mm.db"))
+    c.execute("CREATE TABLE t (v BLOB)")
+    c.executemany("INSERT INTO t(v) VALUES (?)", ((r.tobytes(),) for r in data))
+    c.commit()
+    c.vector_init("t", "v", f"type=FLOAT32,dimension={DIM}")
+    # small max_memory -> multiple reference-format chunks
+    chunk_rows = 100 * (8 + DIM)
+    c.vector_quantize("t", "v", f"max_memory={chunk_rows}")
+    n_chunks = c.execute("SELECT COUNT(*) FROM vector0_t_v").fetchone()[0]
+    assert n_chunks == -(-N // 100)
+    # invalid max_memory string -> default 30MB (single chunk), not 0
+    c.vector_quantize("t", "v", "max_memory=banana")
+    n_chunks = c.execute("SELECT COUNT(*) FROM vector0_t_v").fetchone()[0]
+    assert n_chunks == 1
+    c.close()
