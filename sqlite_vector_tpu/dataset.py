@@ -530,6 +530,7 @@ class Dataset:
         exact: bool = True,
         mode: str | None = None,
         expand: int = 4,
+        recall_target: float = 0.95,
         ids_filter: Sequence[int] | np.ndarray | None = None,
     ) -> tuple[np.ndarray, np.ndarray]:
         """Top-k nearest neighbors.
@@ -557,9 +558,9 @@ class Dataset:
             raise VectorConfigError("k must be >= 0")
         if mode is None:
             mode = "exact" if exact else "quantized"
-        if mode not in ("exact", "quantized", "rerank"):
+        if mode not in ("exact", "quantized", "rerank", "approx"):
             raise VectorConfigError(
-                f"mode must be exact|quantized|rerank, got '{mode}'"
+                f"mode must be exact|quantized|rerank|approx, got '{mode}'"
             )
         q, single = self._coerce_queries(queries)
         if k == 0 or self._count == 0:
@@ -584,6 +585,8 @@ class Dataset:
             vals, idx = self._search_exact(q, k, mask)
         elif mode == "quantized":
             vals, idx = self._search_quantized(q, k, mask)
+        elif mode == "approx":
+            vals, idx = self._search_approx(q, k, mask, recall_target)
         else:
             vals, idx = self._search_rerank(q, k, mask, expand)
 
@@ -721,6 +724,25 @@ class Dataset:
             k=k,
             qtype=quant.qtype,
             has_mask=dmask is not None,
+        )
+
+    def _search_approx(
+        self, q: np.ndarray, k: int, mask: np.ndarray | None, recall_target: float
+    ):
+        from sqlite_vector_tpu.ops.scan import approx_scan_topk
+
+        if self._storage == "host" or self._mesh is not None or mask is not None:
+            # approx selection is a single-chip HBM fast path; other layouts
+            # fall back to the exact scan (still correct, recall = 1)
+            return self._search_exact(q, k, mask)
+        return approx_scan_topk(
+            self._put_query(q),
+            self._vectors,
+            self.metric,
+            k,
+            valid_count=self._count,
+            base_sq_norms=self._exact_sq_norms(),
+            recall_target=recall_target,
         )
 
     def _search_rerank(

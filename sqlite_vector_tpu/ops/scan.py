@@ -181,6 +181,40 @@ def fused_scan_topk(
     )
 
 
+@functools.partial(
+    jax.jit, static_argnames=("metric", "k", "recall_target")
+)
+def approx_scan_topk(
+    queries: jnp.ndarray,
+    base: jnp.ndarray,
+    metric: DistanceMetric,
+    k: int,
+    *,
+    valid_count: jnp.ndarray | int | None = None,
+    base_sq_norms: jnp.ndarray | None = None,
+    recall_target: float = 0.95,
+) -> tuple[jnp.ndarray, jnp.ndarray]:
+    """Approximate top-k via the TPU PartialReduce op (lax.approx_min_k).
+
+    Beyond the reference: tunable per-query recall at maximum selection
+    throughput — the hardware-accelerated selection from
+    https://arxiv.org/abs/2206.14286. Same output contract as scan_topk.
+    """
+    n = base.shape[0]
+    valid = jnp.asarray(n if valid_count is None else valid_count, jnp.int32)
+    dist = pairwise_distance(queries, base, metric, base_sq_norms=base_sq_norms)
+    row_idx = jnp.arange(n, dtype=jnp.int32)
+    dist = jnp.where(row_idx[None, :] < valid, dist, jnp.inf)
+    kk = min(k, n)
+    vals, idx = jax.lax.approx_min_k(dist, kk, recall_target=recall_target)
+    if kk < k:
+        pad = ((0, 0), (0, k - kk))
+        vals = jnp.pad(vals, pad, constant_values=jnp.inf)
+        idx = jnp.pad(idx, pad, constant_values=-1)
+    idx = jnp.where(jnp.isinf(vals), -1, idx)
+    return vals, idx.astype(jnp.int32)
+
+
 @functools.partial(jax.jit, static_argnames=("metric",))
 def scan_distances(
     queries: jnp.ndarray,

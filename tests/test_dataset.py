@@ -433,3 +433,18 @@ def test_update_after_mmap_load(tmp_path, rng):
     assert ds2.update([ids[4]], new_vec) == 1  # must materialize, not crash
     got, dist = ds2.search(new_vec[0], 1)
     assert got[0] == ids[4] and dist[0] == 0.0
+
+
+def test_approx_mode(rng):
+    import numpy as np
+    import sqlite_vector_tpu as svt
+
+    ds = svt.Dataset("ax", svt.parse_options("dimension=32,type=FLOAT32"))
+    base = rng.standard_normal((5000, 32)).astype("float32")
+    ids = ds.add(base)
+    q = base[123]
+    got, dist = ds.search(q, 10, mode="approx", recall_target=0.95)
+    assert got[0] == ids[123] and dist[0] == 0.0
+    exact, _ = ds.search(q, 10)
+    overlap = len(set(got.tolist()) & set(exact.tolist()))
+    assert overlap >= 9  # CPU backend computes approx_min_k exactly anyway
