@@ -552,7 +552,10 @@ class Dataset:
           "rerank"    two-stage mixed precision: int8 prefilter of
                       k*expand candidates + exact rescoring — true float
                       distances at near-int8 scan cost (beyond the
-                      reference; see ops/rerank.py).
+                      reference; see ops/rerank.py);
+          "approx"    full-precision distances + hardware-accelerated
+                      approximate selection (lax.approx_min_k) at
+                      `recall_target` — maximum selection throughput.
         """
         if k < 0:
             raise VectorConfigError("k must be >= 0")
