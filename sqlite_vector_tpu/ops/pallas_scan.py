@@ -1,26 +1,36 @@
-"""Pallas fused scan kernel: distance + on-chip top-k in one HBM pass.
+"""Pallas fused scan kernel: distance + block-minima in one HBM pass.
 
 This is the TPU replacement for the reference's hot loop
-(vFullScanRun / vQuantRunMemory, src/sqlite-vector.c:2071-2157): one indirect
-SIMD-kernel call + k-slot max-replace per row becomes a tiled kernel where
+(vFullScanRun / vQuantRunMemory, src/sqlite-vector.c:2071-2157). The design
+keeps the kernel PURELY bandwidth/matmul-bound and moves selection onto a
+128x-smaller summary:
 
-  - each grid step DMAs one [TILE_N, d] row tile HBM -> VMEM (auto-pipelined
-    double buffering, so the scan is DMA-bound),
-  - the [B, TILE_N] distance block is one MXU matmul fragment
-    (||q-b||^2 = ||q||^2 + ||b||^2 - 2 q.b) or a VPU pass for L1,
-  - a k-iteration (min, masked-iota argmin, mask-out) selection loop keeps
-    the per-tile top-k entirely in registers/VMEM — the [B, N] distance
-    matrix is never materialized in HBM,
-  - per-tile candidates ([ntiles, B, k] — ~k/TILE_N of the input bytes) are
-    merged with one small lax.top_k afterwards.
+  stage 1 (Pallas, one pass over the matrix):
+    - each grid step DMAs one [TILE_N, d] row tile HBM -> VMEM
+      (auto-pipelined double buffering),
+    - the [B, TILE_N] distance block is one MXU matmul fragment
+      (||q-b||^2 = ||q||^2 + ||b||^2 - 2 q.b) or a VPU pass for L1,
+    - the block reduces to per-128-row minima [B, TILE_N/128] — the ONLY
+      kernel output. The [B, N] distance matrix never exists; the summary is
+      128x smaller than the input's row count.
 
-Selection ties resolve to the lowest row index (masked-iota argmin), matching
-the reference's strict `<` replacement order (src/sqlite-vector.c:2102-2106).
+  stage 2 (XLA, on [B, N/128] minima — tiny):
+    - top-k GROUPS by minimum (exact: if a true top-k element's group were
+      not selected, k groups would each hold an element smaller than it),
+    - gather the k winning 128-row blocks from the original matrix
+      (k*128 rows — microscopic) and recompute their exact distances,
+    - final top-k, ties resolving to the earliest row like the reference's
+      strict `<` replacement (src/sqlite-vector.c:2102-2106).
 
-dtype support: f32 natively; bf16 tiles feed the MXU natively with f32
-accumulation; f16 tiles are widened in VMEM. u8/i8 quantized codes use the
-MXU int8 path with exact int32 accumulation (the quantized-domain distances
-of src/sqlite-vector.c:2134-2136).
+An earlier revision selected top-k inside the kernel with iterative
+argmin/masking; measured 3-4x slower than this split on v5e — in-kernel
+selection serializes the VPU against the DMA pipeline, while the block-min
+reduce fuses into the matmul epilogue.
+
+dtype support: f32 natively (Precision.HIGHEST products); bf16 feeds the MXU
+natively with f32 accumulation; f16 widened in VMEM; u8/i8 use the MXU int8
+path with exact int32 accumulation (the quantized-domain distances of
+src/sqlite-vector.c:2134-2136).
 """
 
 from __future__ import annotations
@@ -36,18 +46,16 @@ from jax.experimental.pallas import tpu as pltpu
 from sqlite_vector_tpu.ops.distance import FLT_EPSILON, NEARLY_ZERO
 from sqlite_vector_tpu.types import DistanceMetric
 
-# Per-tile candidate column count (output lane dimension). k <= K_PAD.
-K_PAD = 128
-# VPU lane count (block width of the two-level selection)
-_LANES = 128
+# rows per minima group == VPU lane count
+BLOCK = 128
 
 # VMEM budget for the double-buffered row tile (bytes).
 _TILE_VMEM_BUDGET = 8 * 1024 * 1024
 
-# Max query rows the kernel accepts before falling back to the XLA scan
-# (keeps the unrolled L1 path and the [B, TILE_N] block in check).
+# Caps before falling back to the XLA scan.
 MAX_B = 1024
 MAX_B_L1 = 32
+MAX_K = 1024
 
 
 def _round_up(x: int, m: int) -> int:
@@ -73,9 +81,7 @@ def _row_tile(d_pad: int, itemsize: int) -> int:
     override = os.environ.get("SVT_PALLAS_TILE_ROWS")
     if override:
         return int(override)
-    budget = int(
-        os.environ.get("SVT_PALLAS_VMEM_BUDGET", _TILE_VMEM_BUDGET)
-    )
+    budget = int(os.environ.get("SVT_PALLAS_VMEM_BUDGET", _TILE_VMEM_BUDGET))
     tile = budget // (2 * d_pad * itemsize)
     tile = 1 << int(np.log2(max(tile, 256)))
     return int(min(tile, 8192))
@@ -89,7 +95,7 @@ def supports(
     batch: int,
 ) -> bool:
     """Static predicate: can the Pallas kernel run this configuration?"""
-    if k <= 0 or k > K_PAD:
+    if k <= 0 or k > MAX_K:
         return False
     if metric is DistanceMetric.L1 and batch > MAX_B_L1:
         return False
@@ -97,64 +103,12 @@ def supports(
         return False
     d_pad = _round_up(dim, 128)
     itemsize = jnp.dtype(dtype).itemsize
-    # need a sane tile at this dim
     return _row_tile(d_pad, max(itemsize, 1)) >= 256
-
-
-def _select_topk(dist, kk: int, tile_n: int, b_pad: int):
-    """In-VMEM exact top-k via two-level selection.
-
-    A naive kk-round (min, argmin, mask) over the full [B, TILE_N] block costs
-    kk full cross-lane reductions. This version reduces once to per-128-block
-    minima [B, G], then each round touches only the winning 128-lane block:
-    argmin over G, extract that block (per-row aligned dynamic slice), pick
-    the element, mask it, and update just that block's minimum. Ties resolve
-    to the lowest block then lowest lane = lowest row index, matching the
-    reference's strict `<` replacement (src/sqlite-vector.c:2102-2106).
-    """
-    g_cnt = tile_n // _LANES
-    blocks = dist.reshape(b_pad, g_cnt, _LANES)
-    m0 = jnp.min(blocks, axis=-1)  # [B, G]
-    iota_g = jax.lax.broadcasted_iota(jnp.int32, (b_pad, g_cnt), 1)
-    iota_g3 = jax.lax.broadcasted_iota(jnp.int32, (b_pad, g_cnt, _LANES), 1)
-    iota_k = jax.lax.broadcasted_iota(jnp.int32, (b_pad, K_PAD), 1)
-    iota_l = jax.lax.broadcasted_iota(jnp.int32, (b_pad, _LANES), 1)
-    iota_l3 = jax.lax.broadcasted_iota(jnp.int32, (b_pad, g_cnt, _LANES), 2)
-    init_vals = jnp.full((b_pad, K_PAD), jnp.inf, jnp.float32)
-    init_idx = jnp.full((b_pad, K_PAD), -1, jnp.int32)
-
-    def body(j, carry):
-        blocks, m, sel_vals, sel_idx = carry
-        v = jnp.min(m, axis=-1, keepdims=True)  # [B, 1]
-        g = jnp.min(
-            jnp.where(m == v, iota_g, g_cnt), axis=-1, keepdims=True
-        )  # first winning block, [B, 1]
-        # extract the winning block by masked sublane reduction (Mosaic has
-        # no dynamic_slice on values; reducing over G is a cheap sublane op)
-        in_g = iota_g3 == g[:, :, None]  # [B, G, L]
-        row = jnp.min(jnp.where(in_g, blocks, jnp.inf), axis=1)  # [B, L]
-        e = jnp.min(
-            jnp.where(row == v, iota_l, _LANES), axis=-1, keepdims=True
-        )  # first winning lane, [B, 1]
-        hot = iota_k == j
-        sel_vals = jnp.where(hot, v, sel_vals)
-        sel_idx = jnp.where(hot, g * _LANES + e, sel_idx)
-        # mask the chosen element, refresh that block's cached min
-        blocks = jnp.where(in_g & (iota_l3 == e[:, :, None]), jnp.inf, blocks)
-        row2 = jnp.where(iota_l == e, jnp.inf, row)
-        newmin = jnp.min(row2, axis=-1, keepdims=True)
-        m = jnp.where(iota_g == g, newmin, m)
-        return blocks, m, sel_vals, sel_idx
-
-    _, _, sel_vals, sel_idx = jax.lax.fori_loop(
-        0, kk, body, (blocks, m0, init_vals, init_idx)
-    )
-    return sel_vals, sel_idx
 
 
 def _distance_block(q, tile, bsq, metric: DistanceMetric, is_int: bool):
     """[B, TILE_N] distance fragment. L2 stays squared (sqrt post-merge)."""
-    b_pad, tile_n = q.shape[0], tile.shape[0]
+    b_pad = q.shape[0]
 
     if metric is DistanceMetric.L1:
         acc = jnp.int32 if is_int else jnp.float32
@@ -227,8 +181,8 @@ def _distance_block(q, tile, bsq, metric: DistanceMetric, is_int: bool):
     return jnp.where((qsq == 0.0) | (bsqf == 0.0), 1.0, 1.0 - cos)
 
 
-def _make_kernel(metric: DistanceMetric, kk: int, tile_n: int, is_int: bool):
-    def kernel(valid_ref, q_ref, bsq_ref, tile_ref, vals_ref, idx_ref):
+def _make_kernel(metric: DistanceMetric, tile_n: int, is_int: bool):
+    def kernel(valid_ref, q_ref, bsq_ref, tile_ref, mins_ref):
         i = pl.program_id(0)
         q = q_ref[:]
         tile = tile_ref[:]
@@ -240,28 +194,24 @@ def _make_kernel(metric: DistanceMetric, kk: int, tile_n: int, is_int: bool):
         start = i * tile_n
         iota_n = jax.lax.broadcasted_iota(jnp.int32, (b_pad, tile_n), 1)
         dist = jnp.where(start + iota_n < valid_ref[0, 0], dist, jnp.inf)
-        sel_vals, sel_idx = _select_topk(dist, kk, tile_n, b_pad)
-        vals_ref[0] = sel_vals
-        idx_ref[0] = jnp.where(sel_idx >= 0, start + sel_idx, -1)
+        mins_ref[0] = jnp.min(
+            dist.reshape(b_pad, tile_n // BLOCK, BLOCK), axis=-1
+        )
 
     return kernel
 
 
-@functools.partial(
-    jax.jit, static_argnames=("metric", "k", "interpret")
-)
-def _pallas_topk_candidates(
+@functools.partial(jax.jit, static_argnames=("metric", "interpret"))
+def _pallas_block_minima(
     queries: jnp.ndarray,
     base: jnp.ndarray,
     base_sq_norms: jnp.ndarray,
     valid: jnp.ndarray,
     *,
     metric: DistanceMetric,
-    k: int,
     interpret: bool = False,
 ):
-    """Run the tiled kernel; returns per-tile candidates
-    (vals [ntiles, B_pad, K_PAD], idx [ntiles, B_pad, K_PAD])."""
+    """One streaming pass: per-128-row distance minima [B_pad, N_pad/128]."""
     b, d = queries.shape
     n = base.shape[0]
     is_int = jnp.issubdtype(base.dtype, jnp.integer)
@@ -271,7 +221,7 @@ def _pallas_topk_candidates(
     tile_n = _row_tile(d_pad, base.dtype.itemsize)
     n_pad = _round_up(max(n, tile_n), tile_n)
     ntiles = n_pad // tile_n
-    kk = min(k, K_PAD)
+    g_tile = tile_n // BLOCK
 
     if d_pad != d or b_pad != b:
         queries = jnp.pad(queries, ((0, b_pad - b), (0, d_pad - d)))
@@ -283,14 +233,14 @@ def _pallas_topk_candidates(
     bsq2 = bsq.reshape(1, n_pad)
     valid_arr = jnp.asarray(valid, jnp.int32).reshape(1, 1)
 
-    kernel = _make_kernel(metric, kk, tile_n, bool(is_int))
+    kernel = _make_kernel(metric, tile_n, bool(is_int))
     flops = 2 * b_pad * n_pad * d_pad
     bytes_accessed = (
         n_pad * d_pad * base.dtype.itemsize
         + b_pad * d_pad * queries.dtype.itemsize
-        + 2 * ntiles * b_pad * K_PAD * 4
+        + ntiles * b_pad * g_tile * 4
     )
-    vals, idx = pl.pallas_call(
+    minima = pl.pallas_call(
         kernel,
         grid=(ntiles,),
         in_specs=[
@@ -299,24 +249,104 @@ def _pallas_topk_candidates(
             pl.BlockSpec((1, tile_n), lambda i: (0, i), memory_space=pltpu.VMEM),
             pl.BlockSpec((tile_n, d_pad), lambda i: (i, 0), memory_space=pltpu.VMEM),
         ],
-        out_specs=[
-            pl.BlockSpec(
-                (1, b_pad, K_PAD), lambda i: (i, 0, 0), memory_space=pltpu.VMEM
-            ),
-            pl.BlockSpec(
-                (1, b_pad, K_PAD), lambda i: (i, 0, 0), memory_space=pltpu.VMEM
-            ),
-        ],
-        out_shape=[
-            jax.ShapeDtypeStruct((ntiles, b_pad, K_PAD), jnp.float32),
-            jax.ShapeDtypeStruct((ntiles, b_pad, K_PAD), jnp.int32),
-        ],
+        out_specs=pl.BlockSpec(
+            (1, b_pad, g_tile), lambda i: (i, 0, 0), memory_space=pltpu.VMEM
+        ),
+        out_shape=jax.ShapeDtypeStruct((ntiles, b_pad, g_tile), jnp.float32),
         cost_estimate=pl.CostEstimate(
             flops=flops, bytes_accessed=bytes_accessed, transcendentals=0
         ),
         interpret=interpret,
     )(valid_arr, queries, bsq2, base)
-    return vals, idx
+    # [ntiles, B_pad, G_tile] -> [B_pad, N_pad/128] in global block order
+    return jnp.moveaxis(minima, 0, 1).reshape(b_pad, ntiles * g_tile)
+
+
+@functools.partial(jax.jit, static_argnames=("metric", "k", "b"))
+def _finish_from_minima(
+    minima, queries, base, valid, *, metric: DistanceMetric, k: int, b: int
+):
+    """Exact top-k from block minima: select k groups, rescore k*128 rows."""
+    n = base.shape[0]
+    g_total = minima.shape[1]
+    m = minima[:b]  # [B, G]
+    kg = min(k, g_total)
+    neg, gidx = jax.lax.top_k(-m, kg)
+    gidx = jnp.sort(gidx, axis=-1)  # ascending row order for tie parity
+
+    # gather the winning blocks' rows: positions [B, kg*BLOCK]
+    pos = (gidx[:, :, None] * BLOCK + jnp.arange(BLOCK, dtype=jnp.int32)).reshape(
+        b, kg * BLOCK
+    )
+    safe_pos = jnp.clip(pos, 0, n - 1)
+    cand = jnp.take(base, safe_pos.reshape(-1), axis=0).reshape(
+        b, kg * BLOCK, base.shape[1]
+    )
+
+    # exact rescore of the candidates (same formulas as the kernel)
+    is_int = jnp.issubdtype(base.dtype, jnp.integer)
+    if metric is DistanceMetric.L1:
+        acc = jnp.int32 if is_int else jnp.float32
+        d = jnp.sum(
+            jnp.abs(queries.astype(acc)[:, None, :] - cand.astype(acc)),
+            axis=-1,
+        ).astype(jnp.float32)
+    elif is_int:
+        qi = queries.astype(jnp.int32)
+        ci = cand.astype(jnp.int32)
+        dot = jnp.einsum("bd,bcd->bc", qi, ci)  # exact int32
+        if metric is DistanceMetric.DOT:
+            d = (-dot).astype(jnp.float32)
+        elif metric in (DistanceMetric.L2, DistanceMetric.SQUARED_L2):
+            qsq = jnp.sum(qi * qi, axis=-1, keepdims=True)
+            csq = jnp.sum(ci * ci, axis=-1)
+            d = (qsq + csq - 2 * dot).astype(jnp.float32)
+        else:  # COSINE
+            qsq = jnp.sum(qi * qi, axis=-1, keepdims=True).astype(jnp.float32)
+            csq = jnp.sum(ci * ci, axis=-1).astype(jnp.float32)
+            denom = jnp.sqrt(qsq) * jnp.sqrt(csq)
+            safe = jnp.where(denom > 0.0, denom, 1.0)
+            cos = jnp.where(denom > 0.0, dot.astype(jnp.float32) / safe, 0.0)
+            d = jnp.where((qsq == 0.0) | (csq == 0.0), 1.0, 1.0 - cos)
+    else:
+        from sqlite_vector_tpu.ops.distance import matmul_precision
+
+        qf = queries.astype(jnp.float32)
+        cf = cand.astype(jnp.float32)
+        dot = jnp.einsum("bd,bcd->bc", qf, cf, precision=matmul_precision())
+        if metric is DistanceMetric.DOT:
+            d = -dot
+        else:
+            qsq = jnp.sum(qf * qf, axis=-1, keepdims=True)
+            csq = jnp.sum(cf * cf, axis=-1)
+            if metric in (DistanceMetric.L2, DistanceMetric.SQUARED_L2):
+                d = qsq + csq - 2.0 * dot
+                resid = FLT_EPSILON * 16.0 * (qsq + csq)
+                d = jnp.where(d <= resid, 0.0, d)
+            else:  # COSINE
+                denom = jnp.sqrt(qsq) * jnp.sqrt(csq)
+                safe = jnp.where(denom > 0.0, denom, 1.0)
+                cos = jnp.where(denom > 0.0, dot / safe, 0.0)
+                d = jnp.where((qsq == 0.0) | (csq == 0.0), 1.0, 1.0 - cos)
+
+    # padding rows / out-of-range positions -> +inf
+    d = jnp.where((pos < valid) & (pos < n), d, jnp.inf)
+
+    kk = min(k, d.shape[-1])
+    neg_vals, cpos = jax.lax.top_k(-d, kk)
+    out_vals = -neg_vals
+    out_idx = jnp.take_along_axis(pos, cpos, axis=-1)
+    if kk < k:
+        padw = ((0, 0), (0, k - kk))
+        out_vals = jnp.pad(out_vals, padw, constant_values=jnp.inf)
+        out_idx = jnp.pad(out_idx, padw, constant_values=-1)
+    if metric is DistanceMetric.L2:
+        out_vals = jnp.sqrt(out_vals)
+    out_vals = jnp.where(
+        jnp.abs(out_vals) <= NEARLY_ZERO, jnp.zeros_like(out_vals), out_vals
+    )
+    out_idx = jnp.where(jnp.isinf(out_vals), -1, out_idx)
+    return out_vals, out_idx.astype(jnp.int32)
 
 
 def pallas_scan_topk(
@@ -329,9 +359,8 @@ def pallas_scan_topk(
     base_sq_norms: jnp.ndarray | None = None,
     interpret: bool | None = None,
 ) -> tuple[jnp.ndarray, jnp.ndarray]:
-    """Fused top-k scan via the Pallas kernel. Same contract as
-    ops.scan.scan_topk: returns (distances [B, k], positions [B, k]),
-    ascending, +inf / -1 in unfilled slots."""
+    """Fused top-k scan via the Pallas block-minima kernel + exact finish.
+    Same contract as ops.scan.scan_topk."""
     b, d = queries.shape
     n = base.shape[0]
     if interpret is None:
@@ -354,39 +383,9 @@ def pallas_scan_topk(
         else:
             base_sq_norms = jnp.zeros((n,), jnp.float32)
 
-    vals, idx = _pallas_topk_candidates(
-        queries,
-        base,
-        base_sq_norms,
-        valid,
-        metric=metric,
-        k=k,
-        interpret=interpret,
+    minima = _pallas_block_minima(
+        queries, base, base_sq_norms, valid, metric=metric, interpret=interpret
     )
-    return _merge_candidates(
-        vals, idx, metric=metric, k=k, kk=min(k, K_PAD), b=b
+    return _finish_from_minima(
+        minima, queries, base, valid, metric=metric, k=k, b=b
     )
-
-
-@functools.partial(jax.jit, static_argnames=("metric", "k", "kk", "b"))
-def _merge_candidates(vals, idx, *, metric: DistanceMetric, k: int, kk: int, b: int):
-    ntiles = vals.shape[0]
-    # candidates in tile order => global row order => lax.top_k's
-    # lowest-position tie preference == earliest-row preference
-    cand_vals = jnp.moveaxis(vals[:, :b, :kk], 0, 1).reshape(b, ntiles * kk)
-    cand_idx = jnp.moveaxis(idx[:, :b, :kk], 0, 1).reshape(b, ntiles * kk)
-    neg, pos = jax.lax.top_k(-cand_vals, min(k, cand_vals.shape[-1]))
-    out_vals = -neg
-    out_idx = jnp.take_along_axis(cand_idx, pos, axis=-1)
-    if out_vals.shape[-1] < k:
-        pad = ((0, 0), (0, k - out_vals.shape[-1]))
-        out_vals = jnp.pad(out_vals, pad, constant_values=jnp.inf)
-        out_idx = jnp.pad(out_idx, pad, constant_values=-1)
-    if metric is DistanceMetric.L2:
-        out_vals = jnp.sqrt(out_vals)
-    # nearly-zero snap (src/sqlite-vector.c:994-996)
-    out_vals = jnp.where(
-        jnp.abs(out_vals) <= NEARLY_ZERO, jnp.zeros_like(out_vals), out_vals
-    )
-    out_idx = jnp.where(jnp.isinf(out_vals), -1, out_idx)
-    return out_vals, out_idx.astype(jnp.int32)

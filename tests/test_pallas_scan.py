@@ -102,5 +102,6 @@ def test_multi_tile_grid(rng):
 
 def test_supports_predicate():
     assert supports(DistanceMetric.L2, np.float32, 384, 20, 8)
-    assert not supports(DistanceMetric.L2, np.float32, 384, 200, 8)  # k > 128
+    assert supports(DistanceMetric.L2, np.float32, 384, 200, 8)  # k up to 1024
+    assert not supports(DistanceMetric.L2, np.float32, 384, 2000, 8)  # k cap
     assert not supports(DistanceMetric.L1, np.float32, 384, 20, 64)  # L1 batch cap
