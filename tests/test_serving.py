@@ -92,3 +92,36 @@ def test_http_server(ds):
     finally:
         server.searcher.close()
         server.shutdown()
+
+
+def test_concurrent_add_and_search(ds, rng):
+    """Mutation lock: concurrent adds must not lose rows or corrupt ids."""
+    base = ds._host_vectors[: len(ds)].copy()
+    start_count = len(ds)
+    errors = []
+
+    def adder(i):
+        try:
+            ds.add(rng.standard_normal((10, 32)).astype(np.float32))
+        except Exception as e:  # pragma: no cover
+            errors.append(e)
+
+    def searcher(i):
+        try:
+            ids, dist = ds.search(base[i % start_count], 3)
+            assert len(ids) == 3
+        except Exception as e:  # pragma: no cover
+            errors.append(e)
+
+    threads = [threading.Thread(target=adder, args=(i,)) for i in range(8)]
+    threads += [threading.Thread(target=searcher, args=(i,)) for i in range(16)]
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join(timeout=60)
+    assert not errors
+    assert len(ds) == start_count + 80
+    assert len(np.unique(ds.ids)) == len(ds)  # no duplicated/lost ids
+    # every original row still findable at distance 0
+    got, dist = ds.search(base[7], 1)
+    assert dist[0] == 0.0
