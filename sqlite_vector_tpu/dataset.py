@@ -82,8 +82,12 @@ def _next_capacity(n: int, multiple_of: int = 1) -> int:
     return cap
 
 
-@functools.partial(jax.jit, donate_argnums=(0,))
+@jax.jit
 def _device_row_update(vectors, new_rows, start):
+    # NOTE: no donate_argnums — donation deletes the old buffer, which a
+    # concurrently running search may still reference (caught by
+    # tests/test_serving.py::test_concurrent_add_and_search). The transient
+    # 2x footprint during an append is the price of lock-free reads.
     return jax.lax.dynamic_update_slice_in_dim(vectors, new_rows, start, axis=0)
 
 
