@@ -446,3 +446,45 @@ def test_max_memory_chunking_and_bad_value(tmp_path, data):
     n_chunks = c.execute("SELECT COUNT(*) FROM vector0_t_v").fetchone()[0]
     assert n_chunks == 1
     c.close()
+
+
+@pytest.mark.skipif(not _ref_available(), reason="C reference not built")
+@pytest.mark.parametrize("metric", ["COSINE", "DOT", "L1", "SQUARED_L2"])
+def test_interop_metrics(tmp_path, rng, metric):
+    """Exact + quantized neighbor parity with the C extension per metric."""
+    data = rng.standard_normal((150, DIM)).astype(np.float32)
+    path = str(tmp_path / f"m_{metric}.db")
+    rc = sqlite3.connect(path)
+    rc.enable_load_extension(True)
+    rc.load_extension(REF_SO[:-3])
+    rc.execute("CREATE TABLE t (v BLOB)")
+    rc.executemany("INSERT INTO t(v) VALUES (?)", ((r.tobytes(),) for r in data))
+    rc.commit()
+    rc.execute(
+        f"SELECT vector_init('t','v','type=FLOAT32,dimension={DIM},distance={metric}')"
+    )
+    rc.execute("SELECT vector_quantize('t','v')")
+    ref_exact = rc.execute(
+        "SELECT id, distance FROM vector_full_scan('t','v',?,8)",
+        (data[11].tobytes(),),
+    ).fetchall()
+    ref_quant = rc.execute(
+        "SELECT id, distance FROM vector_quantize_scan('t','v',?,8)",
+        (data[11].tobytes(),),
+    ).fetchall()
+    rc.commit()
+    rc.close()
+
+    c = svs.connect(path)
+    c.vector_init("t", "v", f"type=FLOAT32,dimension={DIM},distance={metric}")
+    ours_exact = c.vector_full_scan("t", "v", data[11].tobytes(), 8)
+    ours_quant = c.vector_quantize_scan("t", "v", data[11].tobytes(), 8)
+    c.close()
+    # tie order is an artifact of the reference's slot algorithm (its
+    # selection sort is not scan-order stable), so compare tie-insensitively:
+    # identical (distance, id) multisets
+    def norm(rows):
+        return sorted((round(d, 3), i) for i, d in rows)
+
+    assert norm(ours_exact) == norm(ref_exact)
+    assert norm(ours_quant) == norm(ref_quant)
