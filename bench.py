@@ -138,13 +138,20 @@ def main() -> None:
         _, outs = jax.lax.scan(body, jnp.float32(0), qs)
         return outs
 
+    def run_chained():
+        # device->host fetch as the sync point: block_until_ready does not
+        # reliably synchronize on tunneled backends (verify SKILL.md)
+        out = chained(qs_dev, base_dev, bsq)
+        for leaf in jax.tree.leaves(out):
+            np.asarray(leaf)
+
     t0 = time.time()
-    jax.block_until_ready(chained(qs_dev, base_dev, bsq))
+    run_chained()
     log(f"chained first call (compile): {time.time() - t0:.1f}s")
     t0 = time.time()
     reps = 3
     for _ in range(reps):
-        jax.block_until_ready(chained(qs_dev, base_dev, bsq))
+        run_chained()
     dev_s = (time.time() - t0) / reps / M
     log(f"device-side amortized: {dev_s * 1000:.3f} ms/scan -> "
         f"{1 / dev_s:.0f} QPS, {data.nbytes / dev_s / 1e9:.0f} GB/s")
@@ -165,7 +172,7 @@ def main() -> None:
     print(
         json.dumps(
             {
-                "metric": "exact_scan_qps_1Mx384_f32_top20",
+                "metric": f"exact_scan_qps_{args.n // 1000}kx{args.dim}_f32_top{args.k}",
                 "value": round(exact_qps, 2),
                 "unit": "qps",
                 "vs_baseline": round(vs_baseline, 2),
