@@ -216,8 +216,11 @@ def _pallas_block_minima(
     n = base.shape[0]
     is_int = jnp.issubdtype(base.dtype, jnp.integer)
 
+    import os
+
     d_pad = _round_up(d, 128)
-    b_pad = _round_up(max(b, 8), 8)
+    min_b = int(os.environ.get("SVT_PALLAS_BPAD", "8"))
+    b_pad = _round_up(max(b, min_b), min_b)
     tile_n = _row_tile(d_pad, base.dtype.itemsize)
     n_pad = _round_up(max(n, tile_n), tile_n)
     ntiles = n_pad // tile_n
@@ -255,6 +258,9 @@ def _pallas_block_minima(
         out_shape=jax.ShapeDtypeStruct((ntiles, b_pad, g_tile), jnp.float32),
         cost_estimate=pl.CostEstimate(
             flops=flops, bytes_accessed=bytes_accessed, transcendentals=0
+        ),
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("arbitrary",)
         ),
         interpret=interpret,
     )(valid_arr, queries, bsq2, base)
