@@ -201,6 +201,128 @@ def _make_kernel(metric: DistanceMetric, tile_n: int, is_int: bool):
     return kernel
 
 
+def _make_manual_kernel(
+    metric: DistanceMetric,
+    tile_n: int,
+    ntiles: int,
+    is_int: bool,
+    nbuf: int,
+):
+    """Manual multi-buffered DMA variant (pallas guide double-buffering
+    pattern, generalized to `nbuf` slots): one kernel invocation loops over
+    all row tiles, overlapping HBM->VMEM copies with compute explicitly.
+    Mosaic's automatic grid pipeline measured only ~45% of the chip's
+    streaming bandwidth on this workload; deeper manual buffering hides the
+    per-DMA latency. Tile squared-norms are computed in-kernel (the tile is
+    already in VMEM), removing the bsq input stream entirely."""
+
+    def kernel(valid_ref, q_ref, base_hbm, mins_ref):
+        q = q_ref[:]
+        b_pad = q.shape[0]
+
+        def body(scratch, sems):
+            def get_dma(slot, idx):
+                return pltpu.make_async_copy(
+                    base_hbm.at[pl.ds(idx * tile_n, tile_n), :],
+                    scratch.at[slot],
+                    sems.at[slot],
+                )
+
+            for i in range(min(nbuf - 1, ntiles)):
+                get_dma(i, i).start()
+
+            def loop(i, carry):
+                slot = jax.lax.rem(i, nbuf)
+                # start the DMA nbuf-1 tiles ahead
+                @pl.when(i + nbuf - 1 < ntiles)
+                def _():
+                    get_dma(jax.lax.rem(i + nbuf - 1, nbuf), i + nbuf - 1).start()
+
+                pltpu.make_async_copy(
+                    base_hbm.at[pl.ds(i * tile_n, tile_n), :],
+                    scratch.at[slot],
+                    sems.at[slot],
+                ).wait()
+                tile = scratch[slot]
+                if is_int:
+                    ti = tile.astype(jnp.int32)
+                    bsq = jnp.sum(ti * ti, axis=-1)[None, :]
+                else:
+                    tf = tile.astype(jnp.float32)
+                    bsq = jnp.sum(tf * tf, axis=-1)[None, :]
+                dist = _distance_block(q, tile, bsq, metric, is_int)
+                start = i * tile_n
+                iota_n = jax.lax.broadcasted_iota(
+                    jnp.int32, (b_pad, tile_n), 1
+                )
+                dist = jnp.where(
+                    start + iota_n < valid_ref[0, 0], dist, jnp.inf
+                )
+                mins_ref[i] = jnp.min(
+                    dist.reshape(b_pad, tile_n // BLOCK, BLOCK), axis=-1
+                )
+                return carry
+
+            jax.lax.fori_loop(0, ntiles, loop, 0)
+
+        pl.run_scoped(
+            body,
+            scratch=pltpu.VMEM(
+                (nbuf, tile_n, base_hbm.shape[1]), base_hbm.dtype
+            ),
+            sems=pltpu.SemaphoreType.DMA((nbuf,)),
+        )
+
+    return kernel
+
+
+@functools.partial(jax.jit, static_argnames=("metric", "interpret"))
+def _pallas_block_minima_manual(
+    queries: jnp.ndarray,
+    base: jnp.ndarray,
+    valid: jnp.ndarray,
+    *,
+    metric: DistanceMetric,
+    interpret: bool = False,
+):
+    import os
+
+    b, d = queries.shape
+    n = base.shape[0]
+    is_int = jnp.issubdtype(base.dtype, jnp.integer)
+    d_pad = _round_up(d, 128)
+    b_pad = _round_up(max(b, 8), 8)
+    nbuf = int(os.environ.get("SVT_PALLAS_NBUF", "4"))
+    # manual buffering holds nbuf tiles: shrink the per-tile budget share
+    budget = int(os.environ.get("SVT_PALLAS_VMEM_BUDGET", _TILE_VMEM_BUDGET))
+    tile = budget // (nbuf * d_pad * base.dtype.itemsize)
+    tile_n = int(min(1 << int(np.log2(max(tile, 256))), 8192))
+    n_pad = _round_up(max(n, tile_n), tile_n)
+    ntiles = n_pad // tile_n
+    g_tile = tile_n // BLOCK
+
+    if d_pad != d or b_pad != b:
+        queries = jnp.pad(queries, ((0, b_pad - b), (0, d_pad - d)))
+    if d_pad != d or n_pad != n:
+        base = jnp.pad(base, ((0, n_pad - n), (0, d_pad - d)))
+    valid_arr = jnp.asarray(valid, jnp.int32).reshape(1, 1)
+
+    kernel = _make_manual_kernel(metric, tile_n, ntiles, bool(is_int), nbuf)
+    minima = pl.pallas_call(
+        kernel,
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.ANY),  # stays in HBM, manual DMA
+        ],
+        out_specs=pl.BlockSpec(memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((ntiles, b_pad, g_tile), jnp.float32),
+        compiler_params=pltpu.CompilerParams(has_side_effects=True),
+        interpret=interpret,
+    )(valid_arr, queries, base)
+    return jnp.moveaxis(minima, 0, 1).reshape(b_pad, ntiles * g_tile)
+
+
 @functools.partial(jax.jit, static_argnames=("metric", "interpret"))
 def _pallas_block_minima(
     queries: jnp.ndarray,
@@ -389,9 +511,17 @@ def pallas_scan_topk(
         else:
             base_sq_norms = jnp.zeros((n,), jnp.float32)
 
-    minima = _pallas_block_minima(
-        queries, base, base_sq_norms, valid, metric=metric, interpret=interpret
-    )
+    import os
+
+    if os.environ.get("SVT_PALLAS_MANUAL", "1") == "1":
+        minima = _pallas_block_minima_manual(
+            queries, base, valid, metric=metric, interpret=interpret
+        )
+    else:
+        minima = _pallas_block_minima(
+            queries, base, base_sq_norms, valid, metric=metric,
+            interpret=interpret,
+        )
     return _finish_from_minima(
         minima, queries, base, valid, metric=metric, k=k, b=b
     )
