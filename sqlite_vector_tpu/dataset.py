@@ -177,6 +177,7 @@ class Dataset:
         self._mutate_lock = threading.RLock()
         self._count = 0
         self._ids = np.zeros((0,), dtype=np.int64)
+        self._id_pos_cache: dict[int, int] | None = None
         self._next_rowid = 1
         self._vectors: jnp.ndarray | None = None  # [cap, dim] device array
         self._sq_norms: jnp.ndarray | None = None  # cached f32 row sq-norms
@@ -260,6 +261,7 @@ class Dataset:
         start = self._count
         self._host_append(arr)
         self._ids = np.concatenate([self._ids, new_ids])
+        self._id_pos_cache = None
         # device first, then publish the count — concurrent searches never
         # see a count covering rows the device matrix doesn't have yet
         self._sync_device(start, count=self._count + n_new)
@@ -273,6 +275,7 @@ class Dataset:
         without copying — the load path for >RAM datasets."""
         self._host_vectors = vecs
         self._ids = np.asarray(ids, np.int64)
+        self._id_pos_cache = None
         self._count = len(ids)
         self._next_rowid = int(self._ids.max()) + 1 if len(ids) else 1
         self._sync_device()
@@ -295,7 +298,7 @@ class Dataset:
         """Fetch stored vectors by row id (the `SELECT col FROM tbl WHERE
         rowid IN (...)` analogue). Unknown ids raise."""
         ids = np.atleast_1d(np.asarray(ids, np.int64))
-        id_to_pos = {int(v): i for i, v in enumerate(self._ids[: self._count])}
+        id_to_pos = self._id_to_pos()
         try:
             pos = np.asarray([id_to_pos[int(i)] for i in ids], np.int64)
         except KeyError as e:
@@ -390,6 +393,7 @@ class Dataset:
         )
         self._host_vectors[: len(kept)] = kept
         self._ids = self._ids[: self._count][mask]
+        self._id_pos_cache = None
         self._count = len(kept)
         self._vectors = None  # force full re-upload at the new size
         self._sync_device()
@@ -414,7 +418,7 @@ class Dataset:
             raise VectorConfigError("ids must have one entry per vector")
         if ids.size == 0:
             return 0
-        id_to_pos = {int(v): i for i, v in enumerate(self._ids[: self._count])}
+        id_to_pos = self._id_to_pos()
         try:
             pos = np.asarray([id_to_pos[int(i)] for i in ids], np.int64)
         except KeyError as e:
@@ -440,7 +444,7 @@ class Dataset:
                 raise VectorCodecError(
                     f"Invalid vector dimension: expected {dim} but found {arr.shape[1]}."
                 )
-            return np.ascontiguousarray(arr.astype(np_dtype))
+            return np.ascontiguousarray(arr.astype(np_dtype, copy=False))
         rows = []
         for v in vectors:
             if isinstance(v, str):
@@ -453,7 +457,7 @@ class Dataset:
                     raise VectorCodecError(
                         f"Invalid vector dimension: expected {dim} but found {a.shape[-1]}."
                     )
-                rows.append(a.astype(np_dtype))
+                rows.append(a.astype(np_dtype, copy=False))
         return np.stack(rows) if rows else np.zeros((0, dim), np_dtype)
 
     def _put(self, arr: np.ndarray) -> jnp.ndarray:
@@ -597,10 +601,9 @@ class Dataset:
         else:
             vals, idx = self._search_rerank(q, k, mask, expand)
 
-        # single device->host fetch for both outputs (one round trip)
+        # single device->host fetch for both outputs (one round trip);
+        # device_get returns numpy arrays directly
         vals, idx = jax.device_get((vals, idx))
-        vals = np.asarray(vals)
-        idx = np.asarray(idx)
         if mode == "quantized":
             # quantized positions index the codes AT QUANTIZE TIME — map
             # through the snapshot ids, not the (possibly compacted) live ids
@@ -612,6 +615,14 @@ class Dataset:
             keep = idx[0] >= 0
             return out_ids[0][keep], vals[0][keep]
         return out_ids, vals
+
+    def _id_to_pos(self) -> dict[int, int]:
+        """Lazy id -> row-position map, invalidated on mutation."""
+        if self._id_pos_cache is None:
+            self._id_pos_cache = {
+                int(v): i for i, v in enumerate(self._ids[: self._count])
+            }
+        return self._id_pos_cache
 
     def _quant_id_map(self) -> np.ndarray:
         quant = self._quant
@@ -809,7 +820,7 @@ class Dataset:
         # stage-1 positions index the quantize-time snapshot; map them to
         # CURRENT row positions via ids (rows may have moved/been removed)
         qids = self._quant_id_map()
-        live = {int(v): i for i, v in enumerate(self._ids[: self._count])}
+        live = self._id_to_pos()
         b = q.shape[0]
         out_vals = np.full((b, k), np.inf, np.float32)
         out_idx = np.full((b, k), -1, np.int32)

@@ -411,51 +411,10 @@ def _finish_from_minima(
         b, kg * BLOCK, base.shape[1]
     )
 
-    # exact rescore of the candidates (same formulas as the kernel)
-    is_int = jnp.issubdtype(base.dtype, jnp.integer)
-    if metric is DistanceMetric.L1:
-        acc = jnp.int32 if is_int else jnp.float32
-        d = jnp.sum(
-            jnp.abs(queries.astype(acc)[:, None, :] - cand.astype(acc)),
-            axis=-1,
-        ).astype(jnp.float32)
-    elif is_int:
-        qi = queries.astype(jnp.int32)
-        ci = cand.astype(jnp.int32)
-        dot = jnp.einsum("bd,bcd->bc", qi, ci)  # exact int32
-        if metric is DistanceMetric.DOT:
-            d = (-dot).astype(jnp.float32)
-        elif metric in (DistanceMetric.L2, DistanceMetric.SQUARED_L2):
-            qsq = jnp.sum(qi * qi, axis=-1, keepdims=True)
-            csq = jnp.sum(ci * ci, axis=-1)
-            d = (qsq + csq - 2 * dot).astype(jnp.float32)
-        else:  # COSINE
-            qsq = jnp.sum(qi * qi, axis=-1, keepdims=True).astype(jnp.float32)
-            csq = jnp.sum(ci * ci, axis=-1).astype(jnp.float32)
-            denom = jnp.sqrt(qsq) * jnp.sqrt(csq)
-            safe = jnp.where(denom > 0.0, denom, 1.0)
-            cos = jnp.where(denom > 0.0, dot.astype(jnp.float32) / safe, 0.0)
-            d = jnp.where((qsq == 0.0) | (csq == 0.0), 1.0, 1.0 - cos)
-    else:
-        from sqlite_vector_tpu.ops.distance import matmul_precision
+    # exact rescore of the candidates (shared with mode="rerank")
+    from sqlite_vector_tpu.ops.rerank import candidate_distances
 
-        qf = queries.astype(jnp.float32)
-        cf = cand.astype(jnp.float32)
-        dot = jnp.einsum("bd,bcd->bc", qf, cf, precision=matmul_precision())
-        if metric is DistanceMetric.DOT:
-            d = -dot
-        else:
-            qsq = jnp.sum(qf * qf, axis=-1, keepdims=True)
-            csq = jnp.sum(cf * cf, axis=-1)
-            if metric in (DistanceMetric.L2, DistanceMetric.SQUARED_L2):
-                d = qsq + csq - 2.0 * dot
-                resid = FLT_EPSILON * 16.0 * (qsq + csq)
-                d = jnp.where(d <= resid, 0.0, d)
-            else:  # COSINE
-                denom = jnp.sqrt(qsq) * jnp.sqrt(csq)
-                safe = jnp.where(denom > 0.0, denom, 1.0)
-                cos = jnp.where(denom > 0.0, dot / safe, 0.0)
-                d = jnp.where((qsq == 0.0) | (csq == 0.0), 1.0, 1.0 - cos)
+    d = candidate_distances(queries, cand, metric)
 
     # padding rows / out-of-range positions -> +inf
     d = jnp.where((pos < valid) & (pos < n), d, jnp.inf)

@@ -17,30 +17,58 @@ import functools
 import jax
 import jax.numpy as jnp
 
-from sqlite_vector_tpu.ops.distance import NEARLY_ZERO, matmul_precision
+from sqlite_vector_tpu.ops.distance import (
+    FLT_EPSILON,
+    NEARLY_ZERO,
+    matmul_precision,
+)
 from sqlite_vector_tpu.ops.scan import fused_scan_topk
 from sqlite_vector_tpu.types import DistanceMetric
 
 
-def _candidate_distances(
+def candidate_distances(
     q: jnp.ndarray, cand: jnp.ndarray, metric: DistanceMetric
 ) -> jnp.ndarray:
-    """Exact distances between q [B, d] and per-query candidates [B, C, d]."""
-    qf = q.astype(jnp.float32)[:, None, :]  # [B, 1, d]
-    cf = cand.astype(jnp.float32)  # [B, C, d]
+    """Exact distances between q [B, d] and per-query candidates [B, C, d].
+
+    Shared rescorer for the rerank mode and the Pallas finish
+    (ops/pallas_scan._finish_from_minima). Integer inputs use exact int32
+    accumulation (the quantized-domain semantics); float L2 applies the same
+    residual clamp as the scan paths. L2 is returned SQUARED — callers sqrt
+    after their final top-k (monotonic).
+    """
+    is_int = jnp.issubdtype(cand.dtype, jnp.integer)
     if metric is DistanceMetric.L1:
-        return jnp.sum(jnp.abs(qf - cf), axis=-1)
-    dot = jnp.einsum(
-        "bd,bcd->bc", q.astype(jnp.float32), cf, precision=matmul_precision()
-    )
+        acc = jnp.int32 if is_int else jnp.float32
+        return jnp.sum(
+            jnp.abs(q.astype(acc)[:, None, :] - cand.astype(acc)), axis=-1
+        ).astype(jnp.float32)
+    if is_int:
+        qi = q.astype(jnp.int32)
+        ci = cand.astype(jnp.int32)
+        dot = jnp.einsum("bd,bcd->bc", qi, ci)  # exact int32
+        if metric is DistanceMetric.DOT:
+            return (-dot).astype(jnp.float32)
+        qsq = jnp.sum(qi * qi, axis=-1, keepdims=True)
+        csq = jnp.sum(ci * ci, axis=-1)
+        if metric in (DistanceMetric.L2, DistanceMetric.SQUARED_L2):
+            return (qsq + csq - 2 * dot).astype(jnp.float32)
+        qsqf, csqf = qsq.astype(jnp.float32), csq.astype(jnp.float32)
+        denom = jnp.sqrt(qsqf) * jnp.sqrt(csqf)
+        safe = jnp.where(denom > 0.0, denom, 1.0)
+        cos = jnp.where(denom > 0.0, dot.astype(jnp.float32) / safe, 0.0)
+        return jnp.where((qsqf == 0.0) | (csqf == 0.0), 1.0, 1.0 - cos)
+    qf = q.astype(jnp.float32)
+    cf = cand.astype(jnp.float32)
+    dot = jnp.einsum("bd,bcd->bc", qf, cf, precision=matmul_precision())
     if metric is DistanceMetric.DOT:
         return -dot
-    qsq = jnp.sum(qf * qf, axis=-1)  # [B, 1]
+    qsq = jnp.sum(qf * qf, axis=-1, keepdims=True)  # [B, 1]
     csq = jnp.sum(cf * cf, axis=-1)  # [B, C]
     if metric in (DistanceMetric.L2, DistanceMetric.SQUARED_L2):
         d = qsq + csq - 2.0 * dot
-        d = jnp.where(d < 0.0, 0.0, d)
-        return jnp.sqrt(d) if metric is DistanceMetric.L2 else d
+        resid = FLT_EPSILON * 16.0 * (qsq + csq)
+        return jnp.where(d <= resid, 0.0, d)
     denom = jnp.sqrt(qsq) * jnp.sqrt(csq)
     safe = jnp.where(denom > 0.0, denom, 1.0)
     cos = jnp.where(denom > 0.0, dot / safe, 0.0)
@@ -75,11 +103,13 @@ def rerank_topk(
     )  # [B, ke]
     safe_idx = jnp.clip(cand_idx, 0, base_f.shape[0] - 1)
     cand = jnp.take(base_f, safe_idx, axis=0)  # [B, ke, d]
-    d = _candidate_distances(queries_f, cand, metric)
+    d = candidate_distances(queries_f, cand, metric)
     d = jnp.where(cand_idx >= 0, d, jnp.inf)
     neg, pos = jax.lax.top_k(-d, min(k, ke))
     out_vals = -neg
     out_idx = jnp.take_along_axis(cand_idx, pos, axis=-1)
+    if metric is DistanceMetric.L2:
+        out_vals = jnp.sqrt(out_vals)
     out_vals = jnp.where(
         jnp.abs(out_vals) <= NEARLY_ZERO, jnp.zeros_like(out_vals), out_vals
     )

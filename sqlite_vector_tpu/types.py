@@ -260,11 +260,11 @@ def _apply_option(opts: VectorOptions, key: str, value: str) -> None:
             opts.max_memory = mm
     elif k == "qtype":
         opts.qtype = QuantType.from_name(value)
-    elif k == "qscale":
-        # accepted for parity (used when attaching pre-quantized data)
-        opts.__dict__["qscale"] = float(value)
-    elif k == "qoffset":
-        opts.__dict__["qoffset"] = float(value)
+    elif k in ("qscale", "qoffset"):
+        # accepted-but-unused here for parity: the reference parses these
+        # keys only when restoring from _sqliteai_vector (sqlite.py handles
+        # that restoration path directly)
+        float(value)
     elif k == "distance":
         opts.distance = DistanceMetric.from_name(value)
     # unknown keys are ignored (reference :991)
