@@ -313,7 +313,7 @@ def _pallas_block_minima_manual(
         in_specs=[
             pl.BlockSpec(memory_space=pltpu.SMEM),
             pl.BlockSpec(memory_space=pltpu.VMEM),
-            pl.BlockSpec(memory_space=pltpu.ANY),  # stays in HBM, manual DMA
+            pl.BlockSpec(memory_space=pl.ANY),  # stays in HBM, manual DMA
         ],
         out_specs=pl.BlockSpec(memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((ntiles, b_pad, g_tile), jnp.float32),
