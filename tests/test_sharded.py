@@ -153,3 +153,21 @@ def test_sharded_ids_filter(mesh, rng):
     assert got[0] == ids[50]
     got, dist = ds.search(q, 3, ids_filter=ids[ids != ids[50]])
     assert ids[50] not in got and dist[0] > 0
+
+
+def test_sqlite_surface_on_mesh(mesh, tmp_path, rng):
+    """The SQLite compat layer serving from a sharded mesh dataset."""
+    import sqlite_vector_tpu.sqlite as svs
+
+    data = rng.standard_normal((400, 32)).astype(np.float32)
+    c = svs.connect(str(tmp_path / "mesh.db"), mesh=mesh)
+    c.execute("CREATE TABLE t (v BLOB)")
+    c.executemany("INSERT INTO t(v) VALUES (?)", ((r.tobytes(),) for r in data))
+    c.commit()
+    c.vector_init("t", "v", "type=FLOAT32,dimension=32,distance=L2")
+    rows = c.vector_full_scan("t", "v", data[9].tobytes(), 3)
+    assert rows[0][0] == 10 and rows[0][1] == 0.0
+    c.vector_quantize("t", "v")
+    qrows = c.vector_quantize_scan("t", "v", data[9].tobytes(), 3)
+    assert qrows[0][0] == 10
+    c.close()
