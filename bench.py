@@ -156,6 +156,19 @@ def main() -> None:
     log(f"device-side amortized: {dev_s * 1000:.3f} ms/scan -> "
         f"{1 / dev_s:.0f} QPS, {data.nbytes / dev_s / 1e9:.0f} GB/s")
 
+    # rerank mode: int8 prefilter + exact rescore (beyond the reference)
+    def one_rerank():
+        q = queries[next(qi) % len(queries)]
+        ids, dist = ds.search(q, args.k, mode="rerank")
+        assert len(ids) == args.k
+
+    t0 = time.time()
+    one_rerank()
+    log(f"rerank first call (compile): {time.time() - t0:.1f}s")
+    rerank_s = median_time(one_rerank, args.iters)
+    log(f"rerank 1-query: {rerank_s * 1000:.3f} ms -> {1 / rerank_s:.1f} QPS "
+        f"(exact-quality results)")
+
     # recall@k of the quantized path vs exact (QUANTIZATION.md methodology)
     hits = total = 0
     for q in queries[:16]:
