@@ -280,13 +280,19 @@ class Dataset:
         self._next_rowid = int(self._ids.max()) + 1 if len(ids) else 1
         self._sync_device()
 
+    def _host_writable(self) -> bool:
+        hv = self._host_vectors
+        return isinstance(hv, np.ndarray) and hv.flags.writeable
+
     def _host_append(self, arr: np.ndarray) -> None:
         """Amortized host-mirror append (capacity doubling, no O(N) copy per
         insert — the reference's zero-cost-update contract, README.md:117)."""
         need = self._count + arr.shape[0]
         cap = self._host_vectors.shape[0]
-        if not self._host_vectors.flags.writeable:
-            cap = -1  # read-only mmap: materialize a writable copy
+        if not self._host_writable():
+            # read-only mmap / lazy shard view: materialize a writable copy
+            # (appends to a >RAM mmap dataset are unsupported by design)
+            cap = -1
         if need > cap:
             new_cap = max(_next_capacity(need), cap * 2)
             grown = np.zeros((new_cap, self.dimension), self.dtype.np_dtype)
@@ -423,9 +429,11 @@ class Dataset:
             pos = np.asarray([id_to_pos[int(i)] for i in ids], np.int64)
         except KeyError as e:
             raise VectorStateError(f"update: unknown row id {e.args[0]}") from None
-        if not self._host_vectors.flags.writeable:
-            # mmap-loaded matrix: materialize a writable copy first
-            self._host_vectors = np.array(self._host_vectors)
+        if not self._host_writable():
+            # mmap-loaded matrix / lazy shard view: materialize a writable copy
+            self._host_vectors = np.array(
+                self._host_vectors[0 : self._host_vectors.shape[0]]
+            )
         self._host_vectors[pos] = arr
         self._vectors = None
         self._sync_device()
@@ -585,9 +593,14 @@ class Dataset:
         mask = None
         if ids_filter is not None:
             flt = np.asarray(ids_filter, np.int64)
-            if mode == "exact":
+            if mode in ("exact", "approx"):
+                # exact scans (and approx, which may fall back to exact)
+                # index LIVE rows
                 mask = np.isin(self._ids[: self._count], flt)
             else:
+                # quantized scans and rerank stage 1 index the codes AT
+                # QUANTIZE TIME (the reference's shadow table keeps its own
+                # rowids for the same reason)
                 qids = self._quant_id_map()
                 qcount = self._quant.count if self._quant else 0
                 mask = np.isin(qids[:qcount], flt)
@@ -942,20 +955,36 @@ class Dataset:
             )
             return 0
         if self._storage == "host":
-            # host-resident build: numpy pipeline with identical semantics
-            # (oracle mirrors q_round/scale formulas bit-for-bit)
+            # host-resident build: chunked numpy pipeline with identical
+            # semantics (oracle mirrors q_round/scale formulas bit-for-bit).
+            # Chunking keeps peak RAM at one tile even when _host_vectors is
+            # a lazy mmap shard view (hostarray.ShardedRows) larger than RAM.
             from sqlite_vector_tpu import oracle
 
-            vals = self._host_vectors[: self._count]
-            rqtype, scale, offset = oracle.compute_quant_params(
-                vals.astype(np.float32), opts.qtype
+            count = self._count
+            chunk_rows = max(1, (64 << 20) // max(self.dimension, 1))
+            starts = range(0, count, chunk_rows)
+            rqtype, scale, offset = oracle.compute_quant_params_chunked(
+                (
+                    self._host_vectors[s : min(s + chunk_rows, count)]
+                    for s in starts
+                ),
+                opts.qtype,
             )
-            codes = oracle.quantize(vals.astype(np.float32), scale, offset, rqtype)
+            codes = np.empty((count, self.dimension), rqtype.np_dtype)
+            for s in starts:
+                e = min(s + chunk_rows, count)
+                codes[s:e] = oracle.quantize(
+                    np.asarray(self._host_vectors[s:e], np.float32),
+                    scale,
+                    offset,
+                    rqtype,
+                )
             self._quant = _QuantState(
-                rqtype, scale, offset, codes, self._count,
-                ids=self._ids[: self._count].copy(),
+                rqtype, scale, offset, codes, count,
+                ids=self._ids[:count].copy(),
             )
-            return self._count
+            return count
         mn, mx, neg = minmax_and_negative(
             self._vectors, self._count, valid_is_full=False
         )
@@ -1043,15 +1072,18 @@ class Dataset:
             "quant": None,
         }
         np.save(os.path.join(directory, "ids.npy"), self._ids[: self._count])
-        vecs = self._host_vectors[: self._count]
+        count = self._count
+        vecs = self._host_vectors
         # bfloat16 isn't a numpy-native dtype: store the raw uint16 bits
         if self.options.type is VectorType.BF16:
             vecs = vecs.view(np.uint16)
         if shard_rows:
+            # sliced per shard so a lazy mmap view (ShardedRows) is never
+            # materialized in full — >RAM datasets round-trip shard by shard
             shards = []
-            for i, start in enumerate(range(0, max(self._count, 1), shard_rows)):
+            for i, start in enumerate(range(0, max(count, 1), shard_rows)):
                 name = f"vectors-{i:05d}.npy"
-                part = vecs[start : start + shard_rows]
+                part = np.asarray(vecs[start : min(start + shard_rows, count)])
                 path = os.path.join(directory, name)
                 # resume mode: skip shards already on disk (append-only data)
                 if not (
@@ -1063,7 +1095,7 @@ class Dataset:
                 shards.append({"file": name, "rows": len(part)})
             manifest["vector_shards"] = shards
         else:
-            np.save(os.path.join(directory, "vectors.npy"), vecs)
+            np.save(os.path.join(directory, "vectors.npy"), np.asarray(vecs[:count]))
         if self._quant is not None:
             manifest["quant"] = {
                 "qtype": self._quant.qtype.value,
@@ -1131,10 +1163,13 @@ class Dataset:
         else:
             vecs = np.load(os.path.join(directory, "vectors.npy"))
         if vecs is None and shards:
-            # host+mmap sharded: keep the memory maps, no RAM copy
+            # host+mmap sharded: keep the memory maps behind a lazy row view —
+            # no RAM copy ever, scans stream tile-by-tile (hostarray.py)
             total = int(sum(sh["rows"] for sh in shards))
             if total:
-                joined = parts[0] if len(parts) == 1 else np.concatenate(parts)
+                from sqlite_vector_tpu.hostarray import ShardedRows
+
+                joined = parts[0] if len(parts) == 1 else ShardedRows(parts)
                 if options.type is VectorType.BF16:
                     joined = joined.view(options.type.np_dtype)
                 ds._attach_host(joined, ids)

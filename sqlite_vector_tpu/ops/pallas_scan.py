@@ -95,6 +95,8 @@ def supports(
     batch: int,
 ) -> bool:
     """Static predicate: can the Pallas kernel run this configuration?"""
+    import os
+
     if k <= 0 or k > MAX_K:
         return False
     if metric is DistanceMetric.L1 and batch > MAX_B_L1:
@@ -102,8 +104,17 @@ def supports(
     if batch > MAX_B:
         return False
     d_pad = _round_up(dim, 128)
-    itemsize = jnp.dtype(dtype).itemsize
-    return _row_tile(d_pad, max(itemsize, 1)) >= 256
+    itemsize = max(jnp.dtype(dtype).itemsize, 1)
+    # UNCLAMPED tile budget (the _row_tile helpers clamp to >=256, which
+    # would make this check vacuous): dims so large that a 256-row tile
+    # overflows the VMEM budget fall back to the XLA scan
+    budget = int(os.environ.get("SVT_PALLAS_VMEM_BUDGET", _TILE_VMEM_BUDGET))
+    nbuf = (
+        int(os.environ.get("SVT_PALLAS_NBUF", "4"))
+        if os.environ.get("SVT_PALLAS_MANUAL", "1") == "1"
+        else 2
+    )
+    return budget // (nbuf * d_pad * itemsize) >= 256
 
 
 def _distance_block(q, tile, bsq, metric: DistanceMetric, is_int: bool):
@@ -454,29 +465,31 @@ def pallas_scan_topk(
         interpret = jax.default_backend() != "tpu"
     valid = jnp.asarray(n if valid_count is None else valid_count, jnp.int32)
 
-    needs_sq = metric in (
-        DistanceMetric.L2,
-        DistanceMetric.SQUARED_L2,
-        DistanceMetric.COSINE,
-    )
-    if base_sq_norms is None:
-        if needs_sq:
-            if jnp.issubdtype(base.dtype, jnp.integer):
-                bi = base.astype(jnp.int32)
-                base_sq_norms = jnp.sum(bi * bi, axis=-1)
-            else:
-                bf = base.astype(jnp.float32)
-                base_sq_norms = jnp.sum(bf * bf, axis=-1)
-        else:
-            base_sq_norms = jnp.zeros((n,), jnp.float32)
-
     import os
 
     if os.environ.get("SVT_PALLAS_MANUAL", "1") == "1":
+        # the manual kernel computes tile norms in-kernel (the tile is
+        # already in VMEM) — materializing base_sq_norms here would cost a
+        # full extra HBM pass for nothing
         minima = _pallas_block_minima_manual(
             queries, base, valid, metric=metric, interpret=interpret
         )
     else:
+        needs_sq = metric in (
+            DistanceMetric.L2,
+            DistanceMetric.SQUARED_L2,
+            DistanceMetric.COSINE,
+        )
+        if base_sq_norms is None:
+            if needs_sq:
+                if jnp.issubdtype(base.dtype, jnp.integer):
+                    bi = base.astype(jnp.int32)
+                    base_sq_norms = jnp.sum(bi * bi, axis=-1)
+                else:
+                    bf = base.astype(jnp.float32)
+                    base_sq_norms = jnp.sum(bf * bf, axis=-1)
+            else:
+                base_sq_norms = jnp.zeros((n,), jnp.float32)
         minima = _pallas_block_minima(
             queries, base, base_sq_norms, valid, metric=metric,
             interpret=interpret,

@@ -281,6 +281,47 @@ def compute_quant_params(
     return qtype, np.float32(scale), np.float32(offset)
 
 
+def compute_quant_params_chunked(
+    chunks, qtype: QuantType
+) -> tuple[QuantType, np.float32, np.float32]:
+    """compute_quant_params over an iterable of row chunks — identical
+    results without materializing the full matrix (the streaming pass-1 of
+    src/sqlite-vector.c:1210-1255 for >RAM host datasets)."""
+    n_finite = 0
+    n_notnan = 0
+    min_val = np.float32(np.finfo(np.float32).max)
+    max_val = np.float32(-np.finfo(np.float32).max)
+    contains_negative = False
+    for chunk in chunks:
+        v = np.asarray(chunk).astype(np.float32)
+        if v.size == 0:
+            continue
+        vv = v[~np.isnan(v)]
+        n_finite += int(np.count_nonzero(np.isfinite(v)))
+        n_notnan += vv.size
+        if vv.size:
+            min_val = np.float32(min(float(min_val), float(vv.min())))
+            max_val = np.float32(max(float(max_val), float(vv.max())))
+            contains_negative = contains_negative or bool(np.any(vv < 0))
+    if n_finite == 0:
+        resolved = QuantType.U8 if qtype is QuantType.AUTO else qtype
+        return resolved, np.float32(1.0), np.float32(0.0)
+    if n_notnan == 0:
+        min_val = np.float32(np.finfo(np.float32).max)
+        max_val = np.float32(-np.finfo(np.float32).max)
+    if qtype is QuantType.AUTO:
+        qtype = QuantType.I8 if contains_negative else QuantType.U8
+    abs_max = np.float32(max(abs(float(min_val)), abs(float(max_val))))
+    with np.errstate(divide="ignore", invalid="ignore"):
+        if qtype is QuantType.U8:
+            scale = np.float32(255.0) / (max_val - min_val)
+            offset = min_val
+        else:
+            scale = np.float32(127.0) / abs_max
+            offset = np.float32(0.0)
+    return qtype, np.float32(scale), np.float32(offset)
+
+
 def quantize(
     values: np.ndarray,
     scale: np.float32,

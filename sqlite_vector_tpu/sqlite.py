@@ -346,6 +346,7 @@ class VectorConnection:
         # SAVEPOINT (not BEGIN): works standalone AND inside a caller's open
         # transaction, like the reference's quantize running under SQLite's
         # statement journal (src/sqlite-vector.c:1418-1437)
+        was_in_txn = self._conn.in_transaction
         cur.execute("SAVEPOINT svt_quantize")
         try:
             cur.execute(f"DROP TABLE IF EXISTS {_quote(shadow)}")
@@ -396,9 +397,10 @@ class VectorConnection:
                     (ctx.table, ctx.column, key, val),
                 )
             cur.execute("RELEASE svt_quantize")
-            if not self._conn.in_transaction:
-                pass  # already durable (autocommit released the savepoint)
-            else:
+            # commit ONLY the implicit transaction the SAVEPOINT itself
+            # started; a caller's open transaction stays open (the reference
+            # runs under the enclosing transaction, never commits it)
+            if self._conn.in_transaction and not was_in_txn:
                 self._conn.commit()
         except Exception:
             cur.execute("ROLLBACK TO svt_quantize")
@@ -519,10 +521,14 @@ class VectorConnection:
         ctx = self._contexts.get(key)
         if ctx is not None:
             ctx.quant = None
+        was_in_txn = self._conn.in_transaction
         self._conn.execute(
             f"DROP TABLE IF EXISTS {_quote(_shadow_name(table, column))}"
         )
-        self._conn.commit()
+        # commit only the transaction this DROP itself started — never the
+        # caller's open transaction
+        if self._conn.in_transaction and not was_in_txn:
+            self._conn.commit()
         return None
 
     # -- scans ---------------------------------------------------------------------

@@ -112,6 +112,14 @@ class QuantType(enum.Enum):
     U8 = "UINT8"
     I8 = "INT8"
 
+    @property
+    def np_dtype(self) -> np.dtype:
+        if self is QuantType.U8:
+            return np.dtype(np.uint8)
+        if self is QuantType.I8:
+            return np.dtype(np.int8)
+        raise VectorConfigError("AUTO has no storage dtype until resolved")
+
     @classmethod
     def from_name(cls, name: str) -> "QuantType":
         up = name.strip().upper()

@@ -448,3 +448,61 @@ def test_approx_mode(rng):
     exact, _ = ds.search(q, 10)
     overlap = len(set(got.tolist()) & set(exact.tolist()))
     assert overlap >= 9  # CPU backend computes approx_min_k exactly anyway
+
+
+def test_approx_ids_filter(rng):
+    """approx + ids_filter builds the mask in LIVE-row space (falls back to
+    the exact scan), both before and after quantization/mutation."""
+    import numpy as np
+    import sqlite_vector_tpu as svt
+
+    ds = svt.Dataset("af", svt.parse_options("dimension=16,type=FLOAT32"))
+    base = rng.standard_normal((200, 16)).astype("float32")
+    ids = ds.add(base)
+    q = base[10]
+    # unquantized dataset: must not raise and must honor the filter
+    allowed = ids[50:100]
+    got, dist = ds.search(q, 5, mode="approx", ids_filter=allowed)
+    assert set(got.tolist()) <= set(allowed.tolist())
+    # quantize then mutate: live-row mask must track the LIVE rows
+    ds.quantize()
+    ds.remove(ids[:10])
+    got, dist = ds.search(base[60], 5, mode="approx", ids_filter=allowed)
+    assert set(got.tolist()) <= set(allowed.tolist())
+    assert got[0] == ids[60] and dist[0] == 0.0
+
+
+def test_sharded_mmap_load_is_lazy(tmp_path, rng):
+    """Sharded host+mmap load must NOT materialize the matrix in RAM
+    (ShardedRows lazy view); search/quantize/save still work through it."""
+    import numpy as np
+    import sqlite_vector_tpu as svt
+    from sqlite_vector_tpu.hostarray import ShardedRows
+
+    ds = svt.Dataset("lz", svt.parse_options("dimension=12,type=FLOAT32"))
+    base = rng.standard_normal((2500, 12)).astype("float32")
+    ids = ds.add(base)
+    d = str(tmp_path / "lazy")
+    ds.save(d, shard_rows=1000)
+
+    ds2 = svt.Dataset.load(d, storage="host", mmap=True)
+    hv = ds2._host_vectors
+    assert isinstance(hv, ShardedRows)  # the lazy view, not a concatenation
+    # shard-crossing slice matches the source
+    np.testing.assert_array_equal(hv[995:1005], base[995:1005])
+    got, dist = ds2.search(base[1500], 3)
+    assert got[0] == ids[1500] and dist[0] == 0.0
+    # chunked host quantize works over the view, codes match the hbm build
+    ds2.quantize()
+    ds.quantize()
+    np.testing.assert_array_equal(
+        np.asarray(ds2._quant.codes),
+        np.asarray(ds._quant.codes)[:2500],
+    )
+    assert ds2.quant_params == ds.quant_params
+    # re-save through the lazy view (shard-by-shard)
+    d2 = str(tmp_path / "lazy2")
+    ds2.save(d2, shard_rows=700)
+    ds3 = svt.Dataset.load(d2)
+    got, dist = ds3.search(base[42], 1)
+    assert got[0] == ids[42] and dist[0] == 0.0

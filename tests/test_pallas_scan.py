@@ -105,3 +105,17 @@ def test_supports_predicate():
     assert supports(DistanceMetric.L2, np.float32, 384, 200, 8)  # k up to 1024
     assert not supports(DistanceMetric.L2, np.float32, 384, 2000, 8)  # k cap
     assert not supports(DistanceMetric.L1, np.float32, 384, 20, 64)  # L1 batch cap
+
+
+def test_supports_rejects_vmem_overflow_dims():
+    """supports() must gate on the UNCLAMPED tile budget: dims so large that
+    a 256-row tile overflows the VMEM budget fall back to the XLA scan."""
+    import jax.numpy as jnp
+
+    from sqlite_vector_tpu.ops import pallas_scan
+
+    assert pallas_scan.supports(DistanceMetric.L2, jnp.float32, 384, 20, 1)
+    # dim=65536 f32: 256 rows x 65536 x 4B x nbuf(4) = 256 MB >> 8 MB budget
+    assert not pallas_scan.supports(
+        DistanceMetric.L2, jnp.float32, 65536, 20, 1
+    )

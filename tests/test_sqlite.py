@@ -488,3 +488,53 @@ def test_interop_metrics(tmp_path, rng, metric):
 
     assert norm(ours_exact) == norm(ref_exact)
     assert norm(ours_quant) == norm(ref_quant)
+
+
+def test_quantize_does_not_commit_callers_transaction(tmp_path, data):
+    """vector_quantize must never commit an enclosing transaction — the
+    reference runs under it (src/sqlite-vector.c:1418-1437); a caller's
+    unrelated pending writes stay uncommitted and roll back cleanly."""
+    path = str(tmp_path / "txn2.db")
+    c = svs.connect(path)
+    c.execute("CREATE TABLE t (v BLOB)")
+    c.execute("CREATE TABLE unrelated (x INTEGER)")
+    c.executemany("INSERT INTO t(v) VALUES (?)", ((r.tobytes(),) for r in data))
+    c.commit()
+    c.vector_init("t", "v", f"type=FLOAT32,dimension={DIM}")
+
+    c.execute("INSERT INTO unrelated(x) VALUES (1)")  # caller's pending write
+    assert c.in_transaction
+    c.vector_quantize("t", "v")
+    # the caller's transaction must still be open...
+    assert c.in_transaction
+    # ...and invisible to other connections
+    import sqlite3
+
+    other = sqlite3.connect(path)
+    assert other.execute("SELECT COUNT(*) FROM unrelated").fetchone()[0] == 0
+    other.close()
+    # rollback reverts the caller's write AND the quantize (reference
+    # semantics: quantize ran under the enclosing transaction)
+    c.rollback()
+    assert c.execute("SELECT COUNT(*) FROM unrelated").fetchone()[0] == 0
+    row = c.execute(
+        "SELECT 1 FROM sqlite_master WHERE name='vector0_t_v'"
+    ).fetchone()
+    assert row is None
+
+    # standalone (autocommit) quantize still self-commits
+    c.vector_quantize("t", "v")
+    assert not c.in_transaction
+    other = sqlite3.connect(path)
+    assert (
+        other.execute("SELECT COUNT(*) FROM vector0_t_v").fetchone()[0] >= 1
+    )
+    other.close()
+
+    # cleanup inside a caller's transaction: same contract
+    c.execute("INSERT INTO unrelated(x) VALUES (2)")
+    c.vector_quantize_cleanup("t", "v")
+    assert c.in_transaction
+    c.rollback()
+    assert c.execute("SELECT COUNT(*) FROM unrelated").fetchone()[0] == 0
+    c.close()
