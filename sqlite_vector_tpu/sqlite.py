@@ -102,6 +102,8 @@ class _TableContext:
     options: VectorOptions
     dataset: Dataset | None = None
     stamp: tuple | None = None
+    # largest pk loaded so far — the append fast path loads only pk > max_pk
+    max_pk: int | None = None
     quant: _QuantCache | None = None
     # quant params restored from _sqliteai_vector (sqlite_unserialize parity)
     stored_qtype: QuantType | None = None
@@ -268,48 +270,18 @@ class VectorConnection:
     def _refresh(self, ctx: _TableContext) -> Dataset:
         """(Re)load the table's vectors into the TPU dataset if the database
         changed. The reference re-walks the B-tree every scan
-        (src/sqlite-vector.c:2071-2117); we reload only on change."""
+        (src/sqlite-vector.c:2071-2117); we reload only on change — and when
+        the change is provably append-only (this connection inserted rows
+        with pk above everything loaded, and nothing else), we load ONLY the
+        new rows (O(new) instead of a full O(N) re-ingest per mutation)."""
         stamp = self._change_stamp()
         if ctx.dataset is not None and ctx.stamp == stamp:
             return ctx.dataset
-        dim = ctx.options.dimension
-        itemsize = ctx.options.type.itemsize
-        expected = dim * itemsize
-        query = (
-            f"SELECT {_quote(ctx.pk)}, {_quote(ctx.column)} FROM "
-            f"{_quote(ctx.table)} ORDER BY {_quote(ctx.pk)}"
-        )
 
-        id_arr: np.ndarray | None = None
-        arr: np.ndarray | None = None
-        # native bulk loader (csrc/svt_native.cpp): only safe against the
-        # committed on-disk state, so skip it for :memory: DBs and open
-        # transactions
-        path = self._db_path()
-        if path is not None and not self._conn.in_transaction:
-            loaded = native_load_blobs(path, query, expected)
-            if loaded is not None:
-                id_arr, data, count = loaded
-                arr = np.frombuffer(data, dtype=ctx.options.type.np_dtype)
-                arr = arr.reshape(count, dim) if count else arr.reshape(0, dim)
+        if self._refresh_incremental(ctx, stamp):
+            return ctx.dataset
 
-        if arr is None:
-            ids: list[int] = []
-            blobs: list[bytes] = []
-            for rowid, blob in self._conn.execute(query):
-                if blob is None:
-                    continue  # NULL vectors silently skipped (:2093, :1214)
-                if len(blob) < expected:
-                    raise VectorCodecError(
-                        f"Invalid vector size for rowid {rowid}: expected at "
-                        f"least {expected} bytes but found {len(blob)}."
-                    )
-                ids.append(rowid)
-                blobs.append(blob[:expected])
-            id_arr = np.asarray(ids, np.int64)
-            arr = np.frombuffer(b"".join(blobs), dtype=ctx.options.type.np_dtype)
-            arr = arr.reshape(len(ids), dim) if ids else arr.reshape(0, dim)
-
+        id_arr, arr = self._load_rows(ctx, min_pk=None)
         ds = Dataset(
             f"{ctx.table}.{ctx.column}",
             dataclasses.replace(ctx.options),
@@ -319,8 +291,87 @@ class VectorConnection:
         if len(id_arr):
             ds.add(arr, id_arr)
         ctx.dataset = ds
+        ctx.max_pk = int(id_arr.max()) if len(id_arr) else None
         ctx.stamp = stamp
         return ds
+
+    def _refresh_incremental(self, ctx: _TableContext, stamp: tuple) -> bool:
+        """Append fast path. Sound because: data_version unchanged means no
+        OTHER connection committed anything; total_changes counts every row
+        this connection inserted/updated/deleted (triggers included), so a
+        delta exactly equal to the number of rows now sitting above max_pk
+        proves all changes were those inserts — no old row can have been
+        touched. Any mismatch falls back to a full reload."""
+        if ctx.dataset is None or ctx.stamp is None or ctx.max_pk is None:
+            return False
+        old_dv, old_tc = ctx.stamp
+        new_dv, new_tc = stamp
+        if new_dv != old_dv:
+            return False  # another connection wrote — can't attribute changes
+        delta = new_tc - old_tc
+        if delta <= 0:
+            return False
+        tq, pq, cq = _quote(ctx.table), _quote(ctx.pk), _quote(ctx.column)
+        n_above = self._conn.execute(
+            f"SELECT COUNT(*) FROM {tq} WHERE {pq} > ?", (ctx.max_pk,)
+        ).fetchone()[0]
+        if n_above != delta:
+            return False
+        # belt-and-braces: the loaded (non-NULL) row population below max_pk
+        # must be untouched
+        n_old = self._conn.execute(
+            f"SELECT COUNT({cq}) FROM {tq} WHERE {pq} <= ?", (ctx.max_pk,)
+        ).fetchone()[0]
+        if n_old != len(ctx.dataset):
+            return False
+        id_arr, arr = self._load_rows(ctx, min_pk=ctx.max_pk)
+        if len(id_arr):
+            ctx.dataset.add(arr, id_arr)
+            ctx.max_pk = int(id_arr.max())
+        ctx.stamp = stamp
+        return True
+
+    def _load_rows(
+        self, ctx: _TableContext, *, min_pk: int | None
+    ) -> tuple[np.ndarray, np.ndarray]:
+        """Bulk-load (pk, blob) rows in pk order; min_pk loads only pk >
+        min_pk (the append fast path). Returns (ids [N], vectors [N, dim])."""
+        dim = ctx.options.dimension
+        expected = dim * ctx.options.type.itemsize
+        where = f" WHERE {_quote(ctx.pk)} > {int(min_pk)}" if min_pk is not None else ""
+        query = (
+            f"SELECT {_quote(ctx.pk)}, {_quote(ctx.column)} FROM "
+            f"{_quote(ctx.table)}{where} ORDER BY {_quote(ctx.pk)}"
+        )
+
+        # native bulk loader (csrc/svt_native.cpp): only safe against the
+        # committed on-disk state, so skip it for :memory: DBs and open
+        # transactions
+        path = self._db_path()
+        if path is not None and not self._conn.in_transaction:
+            loaded = native_load_blobs(path, query, expected)
+            if loaded is not None:
+                id_arr, data, count = loaded
+                arr = np.frombuffer(data, dtype=ctx.options.type.np_dtype)
+                return id_arr, (
+                    arr.reshape(count, dim) if count else arr.reshape(0, dim)
+                )
+
+        ids: list[int] = []
+        blobs: list[bytes] = []
+        for rowid, blob in self._conn.execute(query):
+            if blob is None:
+                continue  # NULL vectors silently skipped (:2093, :1214)
+            if len(blob) < expected:
+                raise VectorCodecError(
+                    f"Invalid vector size for rowid {rowid}: expected at "
+                    f"least {expected} bytes but found {len(blob)}."
+                )
+            ids.append(rowid)
+            blobs.append(blob[:expected])
+        id_arr = np.asarray(ids, np.int64)
+        arr = np.frombuffer(b"".join(blobs), dtype=ctx.options.type.np_dtype)
+        return id_arr, arr.reshape(len(ids), dim) if ids else arr.reshape(0, dim)
 
     def _db_path(self) -> str | None:
         for _, name, path in self._conn.execute("PRAGMA database_list"):

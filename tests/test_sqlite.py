@@ -538,3 +538,76 @@ def test_quantize_does_not_commit_callers_transaction(tmp_path, data):
     c.rollback()
     assert c.execute("SELECT COUNT(*) FROM unrelated").fetchone()[0] == 0
     c.close()
+
+
+def test_incremental_refresh_append_fast_path(tmp_path, data, monkeypatch):
+    """Inserting rows into an already-loaded table must load ONLY the new
+    rows (no full re-ingest); updates/deletes fall back to a full reload."""
+    c = svs.connect(str(tmp_path / "inc.db"))
+    c.execute("CREATE TABLE t (v BLOB)")
+    c.executemany("INSERT INTO t(v) VALUES (?)", ((r.tobytes(),) for r in data))
+    c.commit()
+    c.vector_init("t", "v", f"type=FLOAT32,dimension={DIM}")
+    rows = c.vector_full_scan("t", "v", data[0].tobytes(), 1)
+    assert rows[0][0] == 1
+
+    calls = []
+    orig = svs.VectorConnection._load_rows
+
+    def spy(self, ctx, *, min_pk):
+        ids, arr = orig(self, ctx, min_pk=min_pk)
+        calls.append((min_pk, len(ids)))
+        return ids, arr
+
+    monkeypatch.setattr(svs.VectorConnection, "_load_rows", spy)
+
+    # append: only the 2 new rows are loaded
+    extra = np.arange(DIM, dtype=np.float32)
+    c.execute("INSERT INTO t(v) VALUES (?)", (extra.tobytes(),))
+    c.execute("INSERT INTO t(v) VALUES (?)", ((extra + 1).tobytes(),))
+    c.commit()
+    rows = c.vector_full_scan("t", "v", extra.tobytes(), 1)
+    assert rows[0][0] == N + 1 and rows[0][1] == 0.0
+    assert calls == [(N, 2)], calls  # incremental: min_pk=N, 2 rows
+
+    # appended rows and old rows both searchable
+    rows = c.vector_full_scan("t", "v", data[3].tobytes(), 1)
+    assert rows[0][0] == 4 and len(calls) == 1  # cached, no reload
+
+    # UPDATE of an old row: full reload (min_pk=None), new content visible
+    calls.clear()
+    c.execute("UPDATE t SET v=? WHERE rowid=1", ((extra + 7).tobytes(),))
+    c.commit()
+    rows = c.vector_full_scan("t", "v", (extra + 7).tobytes(), 1)
+    assert rows[0][0] == 1 and rows[0][1] == 0.0
+    assert calls and calls[0][0] is None
+
+    # DELETE: full reload, row gone
+    calls.clear()
+    c.execute("DELETE FROM t WHERE rowid=2")
+    c.commit()
+    rows = c.vector_full_scan("t", "v", data[1].tobytes(), 1)
+    assert rows[0][0] != 2
+    assert calls and calls[0][0] is None
+
+    # mixed insert+update in one batch: must NOT take the fast path
+    calls.clear()
+    c.execute("INSERT INTO t(v) VALUES (?)", ((extra + 9).tobytes(),))
+    c.execute("UPDATE t SET v=? WHERE rowid=3", ((extra + 11).tobytes(),))
+    c.commit()
+    rows = c.vector_full_scan("t", "v", (extra + 11).tobytes(), 1)
+    assert rows[0][0] == 3 and rows[0][1] == 0.0
+    assert calls and calls[0][0] is None
+
+    # another connection's write: data_version changes -> full reload
+    calls.clear()
+    import sqlite3
+
+    other = sqlite3.connect(str(tmp_path / "inc.db"))
+    other.execute("INSERT INTO t(v) VALUES (?)", ((extra + 13).tobytes(),))
+    other.commit()
+    other.close()
+    rows = c.vector_full_scan("t", "v", (extra + 13).tobytes(), 1)
+    assert rows[0][1] == 0.0
+    assert calls and calls[0][0] is None
+    c.close()
