@@ -177,6 +177,11 @@ class Dataset:
         self._mutate_lock = threading.RLock()
         self._count = 0
         self._ids = np.zeros((0,), dtype=np.int64)
+        # sticky flag: any ingested row contained NaN/Inf. Searches on
+        # lane-skip dtypes (f16; bf16 L2) route through the exact non-finite
+        # policy kernels only when this (or the query) is set, so the clean
+        # hot path pays nothing (SURVEY section 7 hard part #2).
+        self._has_nonfinite = False
         self._id_pos_cache: dict[int, int] | None = None
         self._next_rowid = 1
         self._vectors: jnp.ndarray | None = None  # [cap, dim] device array
@@ -259,6 +264,7 @@ class Dataset:
         self._next_rowid = max(self._next_rowid, int(new_ids.max()) + 1)
 
         start = self._count
+        self._note_nonfinite(arr)
         self._host_append(arr)
         self._ids = np.concatenate([self._ids, new_ids])
         self._id_pos_cache = None
@@ -279,6 +285,18 @@ class Dataset:
         self._count = len(ids)
         self._next_rowid = int(self._ids.max()) + 1 if len(ids) else 1
         self._sync_device()
+
+    def _note_nonfinite(self, arr: np.ndarray) -> None:
+        """Update the sticky non-finite flag from newly ingested rows (one
+        cheap host pass over just the new data; integer dtypes skip it)."""
+        if self._has_nonfinite or arr.size == 0:
+            return
+        if self.dtype not in (VectorType.F32, VectorType.F16, VectorType.BF16):
+            return
+        a = arr
+        if a.dtype.name == "bfloat16":
+            a = a.astype(np.float32)
+        self._has_nonfinite = not bool(np.isfinite(a).all())
 
     def _host_writable(self) -> bool:
         hv = self._host_vectors
@@ -434,6 +452,7 @@ class Dataset:
             self._host_vectors = np.array(
                 self._host_vectors[0 : self._host_vectors.shape[0]]
             )
+        self._note_nonfinite(arr)
         self._host_vectors[pos] = arr
         self._vectors = None
         self._sync_device()
@@ -605,12 +624,18 @@ class Dataset:
                 qcount = self._quant.count if self._quant else 0
                 mask = np.isin(qids[:qcount], flt)
 
+        policy = self._nonfinite_policy(q) if mode in ("exact", "approx") else None
+
         if mode == "exact":
-            vals, idx = self._search_exact(q, k, mask)
+            vals, idx = self._search_exact(q, k, mask, policy=policy)
         elif mode == "quantized":
             vals, idx = self._search_quantized(q, k, mask)
         elif mode == "approx":
-            vals, idx = self._search_approx(q, k, mask, recall_target)
+            if policy is not None:
+                # lane-skip semantics need the exact policy kernels
+                vals, idx = self._search_exact(q, k, mask, policy=policy)
+            else:
+                vals, idx = self._search_approx(q, k, mask, recall_target)
         else:
             vals, idx = self._search_rerank(q, k, mask, expand)
 
@@ -653,7 +678,27 @@ class Dataset:
         out[:count] = mask[:count]
         return self._put(out)
 
-    def _search_exact(self, q: np.ndarray, k: int, mask: np.ndarray | None = None):
+    def _nonfinite_policy(self, q: np.ndarray) -> VectorType | None:
+        """Resolve whether this search must run the non-finite policy kernels
+        (reference lane-skip semantics, src/distance-cpu.c:164-197, 318-468):
+        only for dtypes with lane-skip rules, and only when the dataset flag
+        or the query itself is non-finite."""
+        from sqlite_vector_tpu.ops.nonfinite import needs_policy
+
+        if not needs_policy(self.dtype, self.metric):
+            return None
+        if self._has_nonfinite:
+            return self.dtype
+        qa = q.astype(np.float32) if q.dtype.name == "bfloat16" else q
+        return self.dtype if not bool(np.isfinite(qa).all()) else None
+
+    def _search_exact(
+        self,
+        q: np.ndarray,
+        k: int,
+        mask: np.ndarray | None = None,
+        policy: VectorType | None = None,
+    ):
         if self._storage == "host":
             from sqlite_vector_tpu.ops.streaming import streaming_scan_topk
 
@@ -665,6 +710,7 @@ class Dataset:
                 valid_count=self._count,
                 row_mask=mask,
                 device=self._device,
+                policy_vtype=policy,
             )
         qd = self._put_query(q)
         dmask = self._pad_mask(mask, self._vectors.shape[0], self._count)
@@ -678,6 +724,7 @@ class Dataset:
                 valid_count=self._count,
                 base_sq_norms=self._exact_sq_norms(),
                 row_mask=dmask,
+                policy_vtype=policy,
             )
         return fused_scan_topk(
             qd,
@@ -687,6 +734,7 @@ class Dataset:
             valid_count=self._count,
             base_sq_norms=self._exact_sq_norms(),
             row_mask=dmask,
+            policy_vtype=policy,
         )
 
     def _search_quantized(
@@ -866,6 +914,7 @@ class Dataset:
         if self._count == 0:
             out = np.zeros((q.shape[0], 0), np.float32)
             return out[0] if single else out
+        policy = self._nonfinite_policy(q) if exact else None
         if self._storage == "host":
             from sqlite_vector_tpu.oracle import quantize as oracle_quantize
             from sqlite_vector_tpu.ops.streaming import streaming_scan_distances
@@ -877,6 +926,7 @@ class Dataset:
                     self.metric,
                     valid_count=self._count,
                     device=self._device,
+                    policy_vtype=policy,
                 )
             else:
                 quant = self._require_quant("vector_quantize_scan_stream")
@@ -900,6 +950,7 @@ class Dataset:
                     self.metric,
                     self._mesh,
                     base_sq_norms=self._exact_sq_norms(),
+                    policy_vtype=policy,
                 )
             else:
                 d = scan_distances(
@@ -907,6 +958,7 @@ class Dataset:
                     self._vectors,
                     self.metric,
                     base_sq_norms=self._exact_sq_norms(),
+                    policy_vtype=policy,
                 )
             d = np.asarray(d)[:, : self._count]
         else:
@@ -1069,6 +1121,7 @@ class Dataset:
             "max_memory": self.options.max_memory,
             "count": self._count,
             "next_rowid": self._next_rowid,
+            "has_nonfinite": self._has_nonfinite,
             "quant": None,
         }
         np.save(os.path.join(directory, "ids.npy"), self._ids[: self._count])
@@ -1184,6 +1237,11 @@ class Dataset:
             if len(ids):
                 ds.add(vecs, ids)
         ds._next_rowid = manifest.get("next_rowid", ds._next_rowid)
+        # mmap/attach loads skip the per-add scan; restore the saved flag
+        # (sticky, so OR with anything the add() path already detected)
+        ds._has_nonfinite = ds._has_nonfinite or manifest.get(
+            "has_nonfinite", False
+        )
         q = manifest.get("quant")
         if q:
             qtype = QuantType.from_name(q["qtype"])

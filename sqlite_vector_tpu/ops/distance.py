@@ -125,9 +125,11 @@ def _pairwise_float(
         # The matmul decomposition carries a residual of O(eps * (|q|^2+|b|^2))
         # that the direct sum((a-b)^2) form doesn't have; clamp it so
         # self-distances are exactly 0 like the reference's direct kernels
-        # (and its nearly-zero snap, src/sqlite-vector.c:994-996).
+        # (and its nearly-zero snap, src/sqlite-vector.c:994-996). Only when
+        # the residual is finite: an Inf element makes resid=+inf, and the
+        # clamp would otherwise zero a distance the reference reports as +Inf.
         resid = FLT_EPSILON * 16.0 * (q_sq[:, None] + b_sq[None, :])
-        d = jnp.where(d <= resid, 0.0, d)
+        d = jnp.where((d <= resid) & jnp.isfinite(resid), 0.0, d)
         if metric is DistanceMetric.L2:
             d = jnp.sqrt(d)
         return _snap(d) if snap else d
@@ -137,6 +139,9 @@ def _pairwise_float(
     cos = jnp.where(denom > 0.0, dot / jnp.where(denom > 0.0, denom, 1.0), 0.0)
     d = 1.0 - cos
     d = jnp.where((q_sq[:, None] == 0.0) | (b_sq[None, :] == 0.0), 1.0, d)
+    # NaN inputs (NaN norms/dot) must yield NaN like the plain C kernels,
+    # not slip through the `denom > 0` comparison as cos=0 -> d=1
+    d = jnp.where(jnp.isnan(dot) | jnp.isnan(denom), jnp.nan, d)
     return _snap(d) if snap else d
 
 

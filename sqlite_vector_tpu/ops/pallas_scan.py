@@ -182,14 +182,16 @@ def _distance_block(q, tile, bsq, metric: DistanceMetric, is_int: bool):
     if metric in (DistanceMetric.L2, DistanceMetric.SQUARED_L2):
         d = qsq + bsqf - 2.0 * dot
         # same residual clamp as the XLA path (ops/distance.py) so
-        # self-distances are exactly 0 like the reference's direct kernels
+        # self-distances are exactly 0 like the reference's direct kernels;
+        # finite-only so Inf rows stay +Inf (excluded), not clamped to 0
         resid = FLT_EPSILON * 16.0 * (qsq + bsqf)
-        return jnp.where(d <= resid, 0.0, d)
+        return jnp.where((d <= resid) & jnp.isfinite(resid), 0.0, d)
     # COSINE
     denom = jnp.sqrt(qsq) * jnp.sqrt(bsqf)
     safe = jnp.where(denom > 0.0, denom, 1.0)
     cos = jnp.where(denom > 0.0, dot / safe, 0.0)
-    return jnp.where((qsq == 0.0) | (bsqf == 0.0), 1.0, 1.0 - cos)
+    d = jnp.where((qsq == 0.0) | (bsqf == 0.0), 1.0, 1.0 - cos)
+    return jnp.where(jnp.isnan(dot) | jnp.isnan(denom), jnp.nan, d)
 
 
 def _make_kernel(metric: DistanceMetric, tile_n: int, is_int: bool):
@@ -200,6 +202,9 @@ def _make_kernel(metric: DistanceMetric, tile_n: int, is_int: bool):
         bsq = bsq_ref[:]  # [1, TILE_N]
         b_pad = q.shape[0]
         dist = _distance_block(q, tile, bsq, metric, is_int)
+        # NaN -> +inf: rows with NaN distances are never selected, like the
+        # reference's strict `<` slot replacement (src/sqlite-vector.c:2102)
+        dist = jnp.where(jnp.isnan(dist), jnp.inf, dist)
         # mask padding rows (>= valid_count) to +inf — the analogue of
         # skipping NULL rows in the reference scan (src/sqlite-vector.c:2093)
         start = i * tile_n
@@ -262,6 +267,7 @@ def _make_manual_kernel(
                     tf = tile.astype(jnp.float32)
                     bsq = jnp.sum(tf * tf, axis=-1)[None, :]
                 dist = _distance_block(q, tile, bsq, metric, is_int)
+                dist = jnp.where(jnp.isnan(dist), jnp.inf, dist)
                 start = i * tile_n
                 iota_n = jax.lax.broadcasted_iota(
                     jnp.int32, (b_pad, tile_n), 1
@@ -426,6 +432,7 @@ def _finish_from_minima(
     from sqlite_vector_tpu.ops.rerank import candidate_distances
 
     d = candidate_distances(queries, cand, metric)
+    d = jnp.where(jnp.isnan(d), jnp.inf, d)  # NaN rows are never selected
 
     # padding rows / out-of-range positions -> +inf
     d = jnp.where((pos < valid) & (pos < n), d, jnp.inf)
@@ -443,7 +450,7 @@ def _finish_from_minima(
     out_vals = jnp.where(
         jnp.abs(out_vals) <= NEARLY_ZERO, jnp.zeros_like(out_vals), out_vals
     )
-    out_idx = jnp.where(jnp.isinf(out_vals), -1, out_idx)
+    out_idx = jnp.where(jnp.isposinf(out_vals), -1, out_idx)
     return out_vals, out_idx.astype(jnp.int32)
 
 

@@ -67,12 +67,14 @@ def candidate_distances(
     csq = jnp.sum(cf * cf, axis=-1)  # [B, C]
     if metric in (DistanceMetric.L2, DistanceMetric.SQUARED_L2):
         d = qsq + csq - 2.0 * dot
+        # finite-only clamp: Inf rows stay +Inf (excluded), not zeroed
         resid = FLT_EPSILON * 16.0 * (qsq + csq)
-        return jnp.where(d <= resid, 0.0, d)
+        return jnp.where((d <= resid) & jnp.isfinite(resid), 0.0, d)
     denom = jnp.sqrt(qsq) * jnp.sqrt(csq)
     safe = jnp.where(denom > 0.0, denom, 1.0)
     cos = jnp.where(denom > 0.0, dot / safe, 0.0)
-    return jnp.where((qsq == 0.0) | (csq == 0.0), 1.0, 1.0 - cos)
+    d = jnp.where((qsq == 0.0) | (csq == 0.0), 1.0, 1.0 - cos)
+    return jnp.where(jnp.isnan(dot) | jnp.isnan(denom), jnp.nan, d)
 
 
 @functools.partial(jax.jit, static_argnames=("metric", "k", "expand"))
@@ -104,6 +106,7 @@ def rerank_topk(
     safe_idx = jnp.clip(cand_idx, 0, base_f.shape[0] - 1)
     cand = jnp.take(base_f, safe_idx, axis=0)  # [B, ke, d]
     d = candidate_distances(queries_f, cand, metric)
+    d = jnp.where(jnp.isnan(d), jnp.inf, d)  # NaN rows are never selected
     d = jnp.where(cand_idx >= 0, d, jnp.inf)
     neg, pos = jax.lax.top_k(-d, min(k, ke))
     out_vals = -neg
@@ -113,5 +116,5 @@ def rerank_topk(
     out_vals = jnp.where(
         jnp.abs(out_vals) <= NEARLY_ZERO, jnp.zeros_like(out_vals), out_vals
     )
-    out_idx = jnp.where(jnp.isinf(out_vals), -1, out_idx)
+    out_idx = jnp.where(jnp.isposinf(out_vals), -1, out_idx)
     return out_vals, out_idx.astype(jnp.int32)

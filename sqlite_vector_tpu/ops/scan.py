@@ -26,7 +26,7 @@ import jax.numpy as jnp
 
 from sqlite_vector_tpu.ops.distance import pairwise_distance
 from sqlite_vector_tpu.ops.topk import merge_topk, topk_ascending
-from sqlite_vector_tpu.types import DistanceMetric
+from sqlite_vector_tpu.types import DistanceMetric, VectorType
 
 # Row-tile size for the chunked executor. Measured on v5e: the un-tiled
 # formulation (one matmul + hierarchical top-k over the full [B, N] block) is
@@ -48,11 +48,35 @@ def _auto_row_tile(n: int, b: int, metric: DistanceMetric) -> int:
     return int(min(max(n, 1), max(8192, by_budget)))
 
 
+def _sanitize_nan(dist: jnp.ndarray) -> jnp.ndarray:
+    """NaN distances -> +inf before top-k: the reference's k-slot loop uses
+    a strict `<` that a NaN never wins (src/sqlite-vector.c:2102-2106), so
+    rows with NaN distances are never returned — +inf reproduces that (rows
+    at +inf are reported as unfilled slots and trimmed)."""
+    return jnp.where(jnp.isnan(dist), jnp.inf, dist)
+
+
+def _tile_distance(
+    q: jnp.ndarray,
+    tile: jnp.ndarray,
+    metric: DistanceMetric,
+    tile_sq: jnp.ndarray | None,
+    policy_vtype: VectorType | None,
+) -> jnp.ndarray:
+    if policy_vtype is not None:
+        from sqlite_vector_tpu.ops.nonfinite import policy_pairwise
+
+        return policy_pairwise(q, tile, metric, policy_vtype)
+    return pairwise_distance(q, tile, metric, base_sq_norms=tile_sq)
+
+
 def _num_tiles(n: int, tile: int) -> int:
     return -(-n // tile)
 
 
-@functools.partial(jax.jit, static_argnames=("metric", "k", "row_tile"))
+@functools.partial(
+    jax.jit, static_argnames=("metric", "k", "row_tile", "policy_vtype")
+)
 def scan_topk(
     queries: jnp.ndarray,
     base: jnp.ndarray,
@@ -63,6 +87,7 @@ def scan_topk(
     base_sq_norms: jnp.ndarray | None = None,
     row_mask: jnp.ndarray | None = None,
     row_tile: int | None = None,
+    policy_vtype: VectorType | None = None,
 ) -> tuple[jnp.ndarray, jnp.ndarray]:
     """Fused top-k scan.
 
@@ -77,17 +102,22 @@ def scan_topk(
     b, d = queries.shape
     n = base.shape[0]
     if row_tile is None:
-        row_tile = _auto_row_tile(n, b, metric)
+        # the policy path evaluates an element-wise [B, tile, d] cube (like
+        # L1), so it uses the small L1 tile
+        row_tile = _auto_row_tile(
+            n, b, DistanceMetric.L1 if policy_vtype is not None else metric
+        )
     valid = jnp.asarray(n if valid_count is None else valid_count, jnp.int32)
 
     if n <= row_tile:
-        dist = pairwise_distance(queries, base, metric, base_sq_norms=base_sq_norms)
+        dist = _tile_distance(queries, base, metric, base_sq_norms, policy_vtype)
+        dist = _sanitize_nan(dist)
         row_idx = jnp.arange(n, dtype=jnp.int32)
         dist = jnp.where(row_idx[None, :] < valid, dist, jnp.inf)
         if row_mask is not None:
             dist = jnp.where(row_mask[None, :], dist, jnp.inf)
         vals, idx = topk_ascending(dist, k)
-        return vals, jnp.where(jnp.isinf(vals), -1, idx).astype(jnp.int32)
+        return vals, jnp.where(jnp.isposinf(vals), -1, idx).astype(jnp.int32)
 
     # pad base rows to a tile multiple so the scan body has a static shape
     ntiles = _num_tiles(n, row_tile)
@@ -112,7 +142,8 @@ def scan_topk(
             if base_sq_norms is not None
             else None
         )
-        dist = pairwise_distance(queries, tile, metric, base_sq_norms=tile_sq)
+        dist = _tile_distance(queries, tile, metric, tile_sq, policy_vtype)
+        dist = _sanitize_nan(dist)
         row_idx = start + jnp.arange(row_tile, dtype=jnp.int32)
         dist = jnp.where(row_idx[None, :] < valid, dist, jnp.inf)
         if row_mask is not None:
@@ -127,7 +158,7 @@ def scan_topk(
     (vals, idx), _ = jax.lax.scan(
         body, (init_vals, init_ids), jnp.arange(ntiles, dtype=jnp.int32)
     )
-    return vals, jnp.where(jnp.isinf(vals), -1, idx).astype(jnp.int32)
+    return vals, jnp.where(jnp.isposinf(vals), -1, idx).astype(jnp.int32)
 
 
 def fused_scan_topk(
@@ -139,6 +170,7 @@ def fused_scan_topk(
     valid_count: jnp.ndarray | int | None = None,
     base_sq_norms: jnp.ndarray | None = None,
     row_mask: jnp.ndarray | None = None,
+    policy_vtype: VectorType | None = None,
 ) -> tuple[jnp.ndarray, jnp.ndarray]:
     """Backend-dispatching top-k scan (the single code path replacing the
     reference's 25-kernel dispatch table, src/distance-cpu.c:756-792).
@@ -158,6 +190,7 @@ def fused_scan_topk(
     force = os.environ.get("SVT_FORCE_PALLAS") == "1"
     if (
         row_mask is None
+        and policy_vtype is None
         and (force or not intermediate_ok)
         and pallas_scan.enabled()
         and pallas_scan.supports(metric, base.dtype, base.shape[1], k, b)
@@ -178,6 +211,7 @@ def fused_scan_topk(
         valid_count=valid_count,
         base_sq_norms=base_sq_norms,
         row_mask=row_mask,
+        policy_vtype=policy_vtype,
     )
 
 
@@ -203,6 +237,7 @@ def approx_scan_topk(
     n = base.shape[0]
     valid = jnp.asarray(n if valid_count is None else valid_count, jnp.int32)
     dist = pairwise_distance(queries, base, metric, base_sq_norms=base_sq_norms)
+    dist = _sanitize_nan(dist)
     row_idx = jnp.arange(n, dtype=jnp.int32)
     dist = jnp.where(row_idx[None, :] < valid, dist, jnp.inf)
     kk = min(k, n)
@@ -211,22 +246,24 @@ def approx_scan_topk(
         pad = ((0, 0), (0, k - kk))
         vals = jnp.pad(vals, pad, constant_values=jnp.inf)
         idx = jnp.pad(idx, pad, constant_values=-1)
-    idx = jnp.where(jnp.isinf(vals), -1, idx)
+    idx = jnp.where(jnp.isposinf(vals), -1, idx)
     return vals, idx.astype(jnp.int32)
 
 
-@functools.partial(jax.jit, static_argnames=("metric",))
+@functools.partial(jax.jit, static_argnames=("metric", "policy_vtype"))
 def scan_distances(
     queries: jnp.ndarray,
     base: jnp.ndarray,
     metric: DistanceMetric,
     *,
     base_sq_norms: jnp.ndarray | None = None,
+    policy_vtype: VectorType | None = None,
 ) -> jnp.ndarray:
     """Full distance matrix [B, N] (the streaming virtual tables).
 
     The reference emits every (rowid, distance) pair and lets SQLite sort or
     filter (src/sqlite-vector.c:2243-2373); here the caller gets the dense
-    matrix and applies arbitrary post-processing.
+    matrix and applies arbitrary post-processing. Raw values — NaN stays NaN,
+    exactly what the reference's streaming cursor would emit per row.
     """
-    return pairwise_distance(queries, base, metric, base_sq_norms=base_sq_norms)
+    return _tile_distance(queries, base, metric, base_sq_norms, policy_vtype)

@@ -41,6 +41,7 @@ def streaming_scan_topk(
     row_mask=None,
     tile_rows: int = DEFAULT_STREAM_ROWS,
     device=None,
+    policy_vtype=None,
 ) -> tuple[jnp.ndarray, jnp.ndarray]:
     """Fused top-k over a host-resident [N, dim] array, streamed by tiles.
 
@@ -63,6 +64,7 @@ def streaming_scan_topk(
             qd, put(np.ascontiguousarray(host_vectors[:n])), metric, k,
             valid_count=n,
             row_mask=None if row_mask is None else put(np.asarray(row_mask[:n])),
+            policy_vtype=policy_vtype,
         )
 
     ntiles = -(-n // tile_rows)
@@ -90,11 +92,11 @@ def streaming_scan_topk(
             next_dev = tile(i + 1)  # async: overlaps with this tile's scan
         vals, idx = fused_scan_topk(
             qd, cur_dev, metric, min(k, tile_rows), valid_count=cur_rows,
-            row_mask=cur_mask,
+            row_mask=cur_mask, policy_vtype=policy_vtype,
         )
         gidx = jnp.where(idx >= 0, idx + i * tile_rows, -1)
         run_vals, run_ids = _merge(run_vals, run_ids, vals, gidx, k)
-    run_ids = jnp.where(jnp.isinf(run_vals), -1, run_ids)
+    run_ids = jnp.where(jnp.isposinf(run_vals), -1, run_ids)
     return run_vals, run_ids.astype(jnp.int32)
 
 
@@ -106,6 +108,7 @@ def streaming_scan_distances(
     valid_count: int | None = None,
     tile_rows: int = DEFAULT_STREAM_ROWS,
     device=None,
+    policy_vtype=None,
 ) -> np.ndarray:
     """Full [B, N] distances over a host-resident array, computed per tile
     (the *_stream virtual tables for out-of-HBM datasets)."""
@@ -132,6 +135,6 @@ def streaming_scan_distances(
                 )
             )
         out[:, start : start + rows] = np.asarray(
-            scan_distances(qd, cur, metric)
-        )
+            scan_distances(qd, cur, metric, policy_vtype=policy_vtype)
+        )[:, :rows]
     return out

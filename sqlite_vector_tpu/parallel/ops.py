@@ -58,6 +58,7 @@ def _local_topk_merge(
     metric: DistanceMetric,
     k: int,
     axis: str,
+    policy_vtype=None,
 ) -> tuple[jnp.ndarray, jnp.ndarray]:
     ax = jax.lax.axis_index(axis)
     shard_rows = b.shape[0]
@@ -65,7 +66,7 @@ def _local_topk_merge(
     local_valid = jnp.clip(valid - start, 0, shard_rows)
     vals, idx = fused_scan_topk(
         q, b, metric, k, valid_count=local_valid, base_sq_norms=b_sq,
-        row_mask=mask,
+        row_mask=mask, policy_vtype=policy_vtype,
     )
     gidx = jnp.where(idx >= 0, idx + start, jnp.int32(-1))
 
@@ -77,13 +78,15 @@ def _local_topk_merge(
     cand_idx = jnp.moveaxis(all_idx, 0, 1).reshape(bsz, -1)
     mvals, pos = topk_ascending(cand_vals, k)
     mids = jnp.take_along_axis(cand_idx, pos, axis=-1)
-    mids = jnp.where(jnp.isinf(mvals), jnp.int32(-1), mids)
+    mids = jnp.where(jnp.isposinf(mvals), jnp.int32(-1), mids)
     return mvals, mids
 
 
 @functools.partial(
     jax.jit,
-    static_argnames=("metric", "k", "mesh", "axis", "has_sq", "has_mask"),
+    static_argnames=(
+        "metric", "k", "mesh", "axis", "has_sq", "has_mask", "policy_vtype"
+    ),
 )
 def _sharded_scan_topk_impl(
     queries,
@@ -98,8 +101,12 @@ def _sharded_scan_topk_impl(
     axis,
     has_sq,
     has_mask,
+    policy_vtype=None,
 ):
-    body = functools.partial(_local_topk_merge, metric=metric, k=k, axis=axis)
+    body = functools.partial(
+        _local_topk_merge, metric=metric, k=k, axis=axis,
+        policy_vtype=policy_vtype,
+    )
     specs = [P(), P(axis)]
     args = [queries, base]
     if has_sq:
@@ -134,6 +141,7 @@ def sharded_scan_topk(
     base_sq_norms: jnp.ndarray | None = None,
     row_mask: jnp.ndarray | None = None,
     axis: str = ROWS_AXIS,
+    policy_vtype=None,
 ) -> tuple[jnp.ndarray, jnp.ndarray]:
     """Multi-chip fused top-k scan.
 
@@ -162,6 +170,7 @@ def sharded_scan_topk(
         axis=axis,
         has_sq=base_sq_norms is not None,
         has_mask=row_mask is not None,
+        policy_vtype=policy_vtype,
     )
 
 
@@ -173,6 +182,7 @@ def sharded_scan_distances(
     *,
     base_sq_norms: jnp.ndarray | None = None,
     axis: str = ROWS_AXIS,
+    policy_vtype=None,
 ) -> jnp.ndarray:
     """Full [B, N] distance matrix, column-sharded over the rows mesh.
 
@@ -181,7 +191,9 @@ def sharded_scan_distances(
     sharded (no gather) until the caller materializes it.
     """
     body = functools.partial(
-        lambda q, b, s: scan_distances(q, b, metric, base_sq_norms=s),
+        lambda q, b, s: scan_distances(
+            q, b, metric, base_sq_norms=s, policy_vtype=policy_vtype
+        ),
     )
     if base_sq_norms is not None:
         fn = shard_map(

@@ -1,0 +1,209 @@
+"""Device-path non-finite input parity (NaN / Inf policies).
+
+The reference's scalar kernels have per-dtype non-finite policies
+(src/distance-cpu.c:164-197, 318-356, 414-468) that round 1 reproduced only
+in the numpy oracle. These tests pin the DEVICE path (XLA scan + policy
+kernels) to the oracle on every metric x float dtype:
+
+  - f32 / bf16-dot/cosine/l1: plain math — a non-finite element yields a
+    NaN/Inf distance and the row is never returned (the k-slot loop's strict
+    `<`, src/sqlite-vector.c:2102-2106).
+  - f16 (all metrics), bf16 L2/SQUARED_L2: lane-skip / LASSQ / Inf-mismatch
+    policies — rows with NaN lanes ARE returned, with the NaN lanes skipped.
+"""
+
+import numpy as np
+import pytest
+
+import sqlite_vector_tpu as svt
+from sqlite_vector_tpu import oracle
+from sqlite_vector_tpu.types import DistanceMetric, VectorType
+
+METRICS = list(DistanceMetric)
+FLOAT_TYPES = [VectorType.F32, VectorType.F16, VectorType.BF16]
+
+DIM = 32
+
+
+def _special_base(rng, vtype):
+    """Random rows plus one of each non-finite pattern."""
+    base = rng.standard_normal((40, DIM)).astype(np.float32)
+    base[3, 7] = np.nan            # single NaN lane
+    base[5, :] = np.nan            # all-NaN row
+    base[8, 2] = np.inf            # unmatched +Inf lane
+    base[11, 4] = -np.inf          # unmatched -Inf lane
+    base[14, :] = 0.0              # zero row (cosine zero-norm -> 1.0)
+    return base.astype(vtype.np_dtype)
+
+
+def _expected(q, base_typed, metric, vtype, k):
+    """Oracle semantics + the reference's top-k exclusion rules: NaN and
+    +Inf distances are never selected (strict `<` against INFINITY slots)."""
+    d = np.asarray(
+        oracle.distance(q.astype(vtype.np_dtype), base_typed, metric, vtype),
+        np.float64,
+    )
+    d = np.where(np.isnan(d), np.inf, d)
+    order = np.argsort(d, kind="stable")[:k]
+    vals = d[order]
+    keep = ~np.isinf(vals) | (vals < 0)  # -inf is a real (best) distance
+    return order[keep], oracle.snap_zero(vals[keep].astype(np.float32))
+
+
+@pytest.mark.parametrize("metric", METRICS)
+@pytest.mark.parametrize("vtype", FLOAT_TYPES)
+def test_nonfinite_base_matches_oracle(metric, vtype, rng):
+    base = _special_base(rng, vtype)
+    ds = svt.Dataset(
+        "nf",
+        svt.parse_options(
+            f"dimension={DIM},type={vtype.value},distance={metric.value}"
+        ),
+    )
+    ids = ds.add(base)
+    assert ds._has_nonfinite
+    q = rng.standard_normal(DIM).astype(np.float32)
+
+    got_ids, got_vals = ds.search(q, 40)
+    exp_idx, exp_vals = _expected(q, base, metric, vtype, 40)
+
+    assert got_ids.tolist() == [int(ids[i]) for i in exp_idx], (
+        f"{metric} {vtype}: neighbor set mismatch"
+    )
+    # f32 accumulation vs the oracle's f64: small tolerance
+    finite = np.isfinite(exp_vals)
+    np.testing.assert_allclose(
+        got_vals[finite], exp_vals[finite], rtol=2e-3, atol=2e-3
+    )
+    np.testing.assert_array_equal(got_vals[~finite], exp_vals[~finite])
+
+
+@pytest.mark.parametrize("vtype", [VectorType.F16, VectorType.BF16])
+def test_nan_lane_skipped_not_poisoned(vtype, rng):
+    """A single NaN lane must NOT exclude the row for lane-skip dtypes: the
+    reference computes the distance over the remaining lanes."""
+    base = rng.standard_normal((20, DIM)).astype(vtype.np_dtype)
+    ds = svt.Dataset(
+        "skip", svt.parse_options(f"dimension={DIM},type={vtype.value}")
+    )
+    arr = np.asarray(base, vtype.np_dtype).copy()
+    arr[7, 0] = np.nan
+    ids = ds.add(arr)
+    # query q = row 7 (finite part): NaN lane contributes 0 -> distance 0
+    q = np.asarray(arr[7].astype(np.float32))
+    q[0] = float(arr[7].astype(np.float32)[1])  # any finite value
+    q = np.where(np.isnan(q), 0.0, q).astype(np.float32)
+    q[0] = 0.0
+    got_ids, got_vals = ds.search(arr[7].astype(np.float32) * 0 + q, 1)
+    # row 7's distance skips lane 0 entirely: sum over lanes 1.. of (q-b)^2
+    b = arr[7].astype(np.float32)
+    expect = float(np.sqrt(np.sum((q[1:] - b[1:]) ** 2)))
+    assert int(ids[7]) in ds.search(q, 20)[0].tolist()
+    d7 = ds.distances(q)[7]
+    np.testing.assert_allclose(d7, expect, rtol=1e-3, atol=1e-3)
+
+
+def test_f32_nan_row_excluded(rng):
+    """f32 plain math: NaN rows are never returned (reference strict `<`)."""
+    base = rng.standard_normal((30, DIM)).astype(np.float32)
+    base[4, 9] = np.nan
+    ds = svt.Dataset("f32nan", svt.parse_options(f"dimension={DIM},type=FLOAT32"))
+    ids = ds.add(base)
+    got_ids, got_vals = ds.search(base[10], 30)
+    assert int(ids[4]) not in got_ids.tolist()
+    assert len(got_ids) == 29 and np.isfinite(got_vals).all()
+    # raw streaming distances keep the NaN (the *_stream vtab emits raw)
+    d = ds.distances(base[10])
+    assert np.isnan(d[4])
+
+
+def test_nonfinite_query_routes_policy(rng):
+    """A non-finite QUERY against a clean f16 dataset also takes the policy
+    path (lane skipped, not poisoned)."""
+    base = rng.standard_normal((25, DIM)).astype(np.float16)
+    ds = svt.Dataset("qnan", svt.parse_options(f"dimension={DIM},type=FLOAT16"))
+    ids = ds.add(base)
+    assert not ds._has_nonfinite
+    q = base[12].astype(np.float32).copy()
+    q[3] = np.nan
+    got_ids, got_vals = ds.search(q, 1)
+    assert got_ids[0] == ids[12]
+    b = base[12].astype(np.float32)
+    mask = np.ones(DIM, bool)
+    mask[3] = False
+    expect = float(np.sqrt(np.sum((q[mask] - b[mask]) ** 2)))
+    np.testing.assert_allclose(got_vals[0], expect, rtol=1e-3, atol=1e-3)
+
+
+def test_matched_inf_lanes_contribute_zero(rng):
+    """LASSQ: matched same-sign Inf lanes are skipped; unmatched -> +Inf
+    (row excluded)."""
+    base = rng.standard_normal((10, DIM)).astype(np.float16)
+    base[2, 5] = np.inf
+    base[3, 5] = -np.inf
+    ds = svt.Dataset("inf", svt.parse_options(f"dimension={DIM},type=FLOAT16"))
+    ids = ds.add(base)
+    q = base[2].astype(np.float32)  # q[5] = +inf: matches row 2, not row 3
+    got_ids, got_vals = ds.search(q, 10)
+    assert got_ids[0] == ids[2] and got_vals[0] == 0.0  # matched inf skipped
+    assert int(ids[3]) not in got_ids.tolist()  # unmatched inf -> +Inf -> out
+
+
+def test_f16_dot_inf_short_circuit(rng):
+    """f16 DOT: an infinite product returns -Inf of its sign — a +Inf
+    product row is the BEST hit (distance -inf)."""
+    base = rng.standard_normal((12, DIM)).astype(np.float16)
+    base[6, 0] = np.inf
+    ds = svt.Dataset(
+        "dotinf",
+        svt.parse_options(f"dimension={DIM},type=FLOAT16,distance=DOT"),
+    )
+    ids = ds.add(base)
+    q = np.zeros(DIM, np.float32)
+    q[0] = 1.0  # product with row 6 lane 0 = +inf -> distance -inf
+    got_ids, got_vals = ds.search(q, 3)
+    assert got_ids[0] == ids[6] and got_vals[0] == -np.inf
+
+
+def test_nonfinite_flag_persistence(tmp_path, rng):
+    base = rng.standard_normal((20, DIM)).astype(np.float16)
+    base[1, 1] = np.nan
+    ds = svt.Dataset("p", svt.parse_options(f"dimension={DIM},type=FLOAT16"))
+    ds.add(base)
+    d = str(tmp_path / "nf")
+    ds.save(d)
+    ds2 = svt.Dataset.load(d)
+    assert ds2._has_nonfinite
+    ds3 = svt.Dataset.load(d, storage="host", mmap=True)
+    assert ds3._has_nonfinite  # restored from the manifest (no add() scan)
+
+
+def test_host_streaming_policy(rng):
+    """storage='host' threads the policy through the streaming scan."""
+    base = rng.standard_normal((5000, DIM)).astype(np.float16)
+    base[100, 3] = np.nan
+    ds = svt.Dataset(
+        "hs", svt.parse_options(f"dimension={DIM},type=FLOAT16"), storage="host"
+    )
+    ids = ds.add(base)
+    q = base[100].astype(np.float32)
+    q[3] = 0.0
+    got_ids, _ = ds.search(q, 5)
+    assert int(ids[100]) in got_ids.tolist()  # lane skipped, row served
+
+
+def test_mesh_sharded_policy(rng):
+    """mesh-sharded search threads the policy through shard_map."""
+    from sqlite_vector_tpu.parallel import make_mesh
+
+    mesh = make_mesh(8)
+    base = rng.standard_normal((400, DIM)).astype(np.float16)
+    base[33, 2] = np.nan
+    ds = svt.Dataset(
+        "ms", svt.parse_options(f"dimension={DIM},type=FLOAT16"), mesh=mesh
+    )
+    ids = ds.add(base)
+    q = base[33].astype(np.float32)
+    q[2] = 0.0
+    got_ids, _ = ds.search(q, 5)
+    assert int(ids[33]) in got_ids.tolist()

@@ -611,3 +611,56 @@ def test_incremental_refresh_append_fast_path(tmp_path, data, monkeypatch):
     assert rows[0][1] == 0.0
     assert calls and calls[0][0] is None
     c.close()
+
+
+@pytest.mark.skipif(not _ref_available(), reason="C reference not built")
+@pytest.mark.parametrize("metric", ["L2", "SQUARED_L2", "L1", "COSINE", "DOT"])
+def test_interop_nonfinite_vectors(tmp_path, rng, metric):
+    """Non-finite f32 rows: neighbor parity with the C extension. The C
+    kernels produce NaN/Inf distances which the strict `<` slot loop never
+    selects (rows excluded) — except DOT, where an Inf row yields -inf (the
+    best possible hit)."""
+    dim = 16
+    data = rng.standard_normal((60, dim)).astype(np.float32)
+    data[7, 3] = np.nan
+    data[12, 0] = np.inf
+    data[20, :] = 0.0
+    q = data[5].tobytes()
+
+    path = str(tmp_path / f"nf_{metric}.db")
+    rc = sqlite3.connect(path)
+    rc.enable_load_extension(True)
+    rc.load_extension(REF_SO[:-3])
+    rc.execute("CREATE TABLE t (v BLOB)")
+    rc.executemany("INSERT INTO t(v) VALUES (?)", ((r.tobytes(),) for r in data))
+    rc.commit()
+    rc.execute(
+        f"SELECT vector_init('t','v','type=FLOAT32,dimension={dim},"
+        f"distance={metric}')"
+    )
+    theirs = rc.execute(
+        "SELECT id, distance FROM vector_full_scan('t','v',?,60)", (q,)
+    ).fetchall()
+    rc.close()
+
+    c = svs.connect(path)
+    c.vector_init("t", "v", f"type=FLOAT32,dimension={dim},distance={metric}")
+    ours = c.vector_full_scan("t", "v", q, 60)
+    c.close()
+
+    assert [r[0] for r in ours] == [r[0] for r in theirs]
+    ours_d = np.array([r[1] for r in ours])
+    theirs_d = np.array([r[1] for r in theirs])
+    finite = np.isfinite(theirs_d)
+    np.testing.assert_allclose(
+        ours_d[finite], theirs_d[finite], rtol=1e-4, atol=1e-4
+    )
+    np.testing.assert_array_equal(ours_d[~finite], theirs_d[~finite])
+    # the NaN and unmatched-Inf rows are excluded for every metric but DOT,
+    # where the Inf row is the best hit at -inf
+    returned = {r[0] for r in ours}
+    assert 8 not in returned  # NaN row (1-based id)
+    if metric == "DOT":
+        assert ours[0][0] == 13 and ours[0][1] == -np.inf
+    else:
+        assert 13 not in returned
