@@ -1,0 +1,303 @@
+/* svt_vtab.c — real table-valued functions for the sqlite_vector_tpu engine.
+ *
+ * Registers the four virtual-table modules of the reference SQL surface
+ * (vector_full_scan, vector_quantize_scan, vector_full_scan_stream,
+ * vector_quantize_scan_stream) with the same declared schema, positional
+ * argument contract, and planner hints as the C reference
+ * (/root/reference/src/sqlite-vector.c:1723-1900, 2243-2487) — so SQL
+ * written for the reference runs verbatim:
+ *
+ *     SELECT id, distance FROM vector_full_scan('docs', 'embedding', ?, 20);
+ *
+ * The scans themselves run in the TPU engine: xFilter evaluates the
+ * Python-registered internal scalar `svt_scan_blob(fname, tbl, col, vec, k)`
+ * on the SAME connection, which returns a packed little-endian blob
+ * [int64 n][n x (int64 id, float64 distance)]; the cursor walks it. This is
+ * a bridge, not a reimplementation — Python's stdlib sqlite3 has no
+ * virtual-table API, so the TVF registration must live in a loadable
+ * extension.
+ *
+ * Build: gcc -O2 -fPIC -shared -I<sqlite3ext.h dir> svt_vtab.c -o svtvtab.so
+ * Entry point: sqlite3_svtvtab_init (auto-derived from the file name).
+ */
+
+#include "sqlite3ext.h"
+SQLITE_EXTENSION_INIT1
+
+#include <stdint.h>
+#include <string.h>
+
+/* column order in the declared schema (positional TVF argument binding):
+ * args (table, column, vector, k) land on hidden columns 0..3 */
+#define COL_TBL 0
+#define COL_VECTOR 1
+#define COL_K 2
+#define COL_MEMIDX 3
+#define COL_ID 4
+#define COL_DISTANCE 5
+
+typedef struct svt_vtab svt_vtab;
+struct svt_vtab {
+  sqlite3_vtab base;
+  sqlite3 *db;
+  const char *fname;   /* tag passed to svt_scan_blob */
+  int is_stream;       /* 3-arg streaming module */
+};
+
+typedef struct svt_cursor svt_cursor;
+struct svt_cursor {
+  sqlite3_vtab_cursor base;
+  sqlite3_int64 *ids;
+  double *dist;
+  sqlite3_int64 n;
+  sqlite3_int64 pos;
+};
+
+static int svt_set_error(sqlite3_vtab *vtab, const char *msg) {
+  sqlite3_free(vtab->zErrMsg);
+  vtab->zErrMsg = sqlite3_mprintf("%s", msg);
+  return SQLITE_ERROR;
+}
+
+static int svt_connect(sqlite3 *db, void *aux, int argc,
+                       const char *const *argv, sqlite3_vtab **out,
+                       char **errmsg) {
+  (void)argc;
+  (void)argv;
+  (void)errmsg;
+  int rc = sqlite3_declare_vtab(
+      db,
+      "CREATE TABLE x(tbl hidden, vector hidden, k hidden, memidx hidden, "
+      "id, distance);");
+  if (rc != SQLITE_OK) return rc;
+  svt_vtab *v = (svt_vtab *)sqlite3_malloc(sizeof(svt_vtab));
+  if (!v) return SQLITE_NOMEM;
+  memset(v, 0, sizeof(*v));
+  v->db = db;
+  /* aux encodes the module identity: "full", "quant", "full_stream",
+   * "quant_stream" */
+  v->fname = (const char *)aux;
+  v->is_stream = strstr(v->fname, "stream") != NULL;
+  *out = &v->base;
+  return SQLITE_OK;
+}
+
+static int svt_disconnect(sqlite3_vtab *vtab) {
+  sqlite3_free(vtab);
+  return SQLITE_OK;
+}
+
+static int svt_best_index(sqlite3_vtab *tab, sqlite3_index_info *info) {
+  svt_vtab *v = (svt_vtab *)tab;
+  if (v->is_stream) {
+    /* results are unordered; let SQLite sort (reference :2245-2249) */
+    info->estimatedCost = 1e8;
+    info->estimatedRows = 100000;
+  } else {
+    /* top-k results come back pre-sorted ascending (reference :1850-1853) */
+    info->estimatedCost = 1.0;
+    info->estimatedRows = 100;
+    info->orderByConsumed = 1;
+  }
+  info->idxNum = 1;
+  const struct sqlite3_index_constraint *c = info->aConstraint;
+  for (int i = 0; i < info->nConstraint; i++, c++) {
+    if (!c->usable || c->op != SQLITE_INDEX_CONSTRAINT_EQ) continue;
+    if (c->iColumn >= COL_TBL && c->iColumn <= COL_MEMIDX) {
+      info->aConstraintUsage[i].argvIndex = c->iColumn + 1;
+      info->aConstraintUsage[i].omit = 1;
+    }
+  }
+  return SQLITE_OK;
+}
+
+static int svt_open(sqlite3_vtab *vtab, sqlite3_vtab_cursor **out) {
+  (void)vtab;
+  svt_cursor *c = (svt_cursor *)sqlite3_malloc(sizeof(svt_cursor));
+  if (!c) return SQLITE_NOMEM;
+  memset(c, 0, sizeof(*c));
+  *out = &c->base;
+  return SQLITE_OK;
+}
+
+static int svt_close(sqlite3_vtab_cursor *cur) {
+  svt_cursor *c = (svt_cursor *)cur;
+  sqlite3_free(c->ids);
+  sqlite3_free(c->dist);
+  sqlite3_free(c);
+  return SQLITE_OK;
+}
+
+static int svt_filter(sqlite3_vtab_cursor *cur, int idx_num,
+                      const char *idx_str, int argc, sqlite3_value **argv) {
+  (void)idx_num;
+  (void)idx_str;
+  svt_cursor *c = (svt_cursor *)cur;
+  svt_vtab *v = (svt_vtab *)cur->pVtab;
+  c->n = c->pos = 0;
+
+  int nargs = v->is_stream ? 3 : 4;
+  if (argc != nargs) {
+    char buf[160];
+    sqlite3_snprintf(sizeof(buf), buf,
+                     "%s expects %d arguments, but %d were provided.",
+                     v->fname, nargs, argc);
+    return svt_set_error(&v->base, buf);
+  }
+  /* type checks mirroring the reference (:1740-1757) */
+  for (int i = 0; i < argc; i++) {
+    int t = sqlite3_value_type(argv[i]);
+    int ok = 1;
+    switch (i) {
+      case 0:
+      case 1:
+        ok = (t == SQLITE_TEXT);
+        break;
+      case 2:
+        ok = (t == SQLITE_TEXT || t == SQLITE_BLOB);
+        break;
+      case 3:
+        ok = (t == SQLITE_INTEGER);
+        break;
+    }
+    if (!ok) {
+      char buf[160];
+      sqlite3_snprintf(sizeof(buf), buf,
+                       "%s: argument %d has an invalid type.", v->fname,
+                       i + 1);
+      return svt_set_error(&v->base, buf);
+    }
+  }
+
+  sqlite3_stmt *stmt = NULL;
+  int rc = sqlite3_prepare_v2(v->db,
+                              "SELECT svt_scan_blob(?1, ?2, ?3, ?4, ?5)", -1,
+                              &stmt, NULL);
+  if (rc != SQLITE_OK) {
+    return svt_set_error(
+        &v->base,
+        "svt_scan_blob is not registered on this connection — open the "
+        "database through sqlite_vector_tpu.sqlite.connect()/wrap().");
+  }
+  sqlite3_bind_text(stmt, 1, v->fname, -1, SQLITE_STATIC);
+  sqlite3_bind_value(stmt, 2, argv[0]);
+  sqlite3_bind_value(stmt, 3, argv[1]);
+  sqlite3_bind_value(stmt, 4, argv[2]);
+  if (v->is_stream) {
+    sqlite3_bind_int(stmt, 5, 0);
+  } else {
+    sqlite3_bind_value(stmt, 5, argv[3]);
+  }
+
+  rc = sqlite3_step(stmt);
+  if (rc != SQLITE_ROW) {
+    int err = svt_set_error(&v->base, sqlite3_errmsg(v->db));
+    sqlite3_finalize(stmt);
+    return err;
+  }
+  const unsigned char *blob =
+      (const unsigned char *)sqlite3_column_blob(stmt, 0);
+  sqlite3_int64 nbytes = sqlite3_column_bytes(stmt, 0);
+  if (!blob || nbytes < 8) {
+    sqlite3_finalize(stmt);
+    return SQLITE_OK; /* empty result */
+  }
+  sqlite3_int64 n;
+  memcpy(&n, blob, 8); /* little-endian host (x86/arm) */
+  if (nbytes < 8 + n * 16) {
+    sqlite3_finalize(stmt);
+    return svt_set_error(&v->base, "svt_scan_blob: malformed result blob");
+  }
+  c->ids = (sqlite3_int64 *)sqlite3_malloc64((sqlite3_uint64)(n ? n : 1) * 8);
+  c->dist = (double *)sqlite3_malloc64((sqlite3_uint64)(n ? n : 1) * 8);
+  if (!c->ids || !c->dist) {
+    sqlite3_finalize(stmt);
+    return SQLITE_NOMEM;
+  }
+  /* records are [int64 id][float64 distance] pairs */
+  for (sqlite3_int64 i = 0; i < n; i++) {
+    memcpy(&c->ids[i], blob + 8 + i * 16, 8);
+    memcpy(&c->dist[i], blob + 8 + i * 16 + 8, 8);
+  }
+  c->n = n;
+  sqlite3_finalize(stmt);
+  return SQLITE_OK;
+}
+
+static int svt_next(sqlite3_vtab_cursor *cur) {
+  ((svt_cursor *)cur)->pos++;
+  return SQLITE_OK;
+}
+
+static int svt_eof(sqlite3_vtab_cursor *cur) {
+  svt_cursor *c = (svt_cursor *)cur;
+  return c->pos >= c->n;
+}
+
+static int svt_column(sqlite3_vtab_cursor *cur, sqlite3_context *ctx,
+                      int col) {
+  svt_cursor *c = (svt_cursor *)cur;
+  if (col == COL_ID) {
+    sqlite3_result_int64(ctx, c->ids[c->pos]);
+  } else if (col == COL_DISTANCE) {
+    sqlite3_result_double(ctx, c->dist[c->pos]);
+  } /* hidden columns: NULL */
+  return SQLITE_OK;
+}
+
+static int svt_rowid(sqlite3_vtab_cursor *cur, sqlite3_int64 *rowid) {
+  /* the vtab's rowid IS the matched row's id — the reference's documented
+   * queries JOIN ON base.rowid = v.rowid (README.md:96-100) */
+  svt_cursor *c = (svt_cursor *)cur;
+  *rowid = c->ids[c->pos];
+  return SQLITE_OK;
+}
+
+static sqlite3_module svt_module = {
+    /* iVersion    */ 0,
+    /* xCreate     */ 0, /* eponymous-only: usable as a TVF, not CREATE-able */
+    /* xConnect    */ svt_connect,
+    /* xBestIndex  */ svt_best_index,
+    /* xDisconnect */ svt_disconnect,
+    /* xDestroy    */ 0,
+    /* xOpen       */ svt_open,
+    /* xClose      */ svt_close,
+    /* xFilter     */ svt_filter,
+    /* xNext       */ svt_next,
+    /* xEof        */ svt_eof,
+    /* xColumn     */ svt_column,
+    /* xRowid      */ svt_rowid,
+    /* xUpdate     */ 0,
+    /* xBegin      */ 0,
+    /* xSync       */ 0,
+    /* xCommit     */ 0,
+    /* xRollback   */ 0,
+    /* xFindFunction */ 0,
+    /* xRename     */ 0,
+    /* xSavepoint  */ 0,
+    /* xRelease    */ 0,
+    /* xRollbackTo */ 0,
+    /* xShadowName */ 0,
+};
+
+#ifdef _WIN32
+__declspec(dllexport)
+#endif
+int sqlite3_svtvtab_init(sqlite3 *db, char **errmsg,
+                         const sqlite3_api_routines *api) {
+  (void)errmsg;
+  SQLITE_EXTENSION_INIT2(api);
+  int rc;
+  rc = sqlite3_create_module(db, "vector_full_scan", &svt_module,
+                             (void *)"full");
+  if (rc != SQLITE_OK) return rc;
+  rc = sqlite3_create_module(db, "vector_quantize_scan", &svt_module,
+                             (void *)"quant");
+  if (rc != SQLITE_OK) return rc;
+  rc = sqlite3_create_module(db, "vector_full_scan_stream", &svt_module,
+                             (void *)"full_stream");
+  if (rc != SQLITE_OK) return rc;
+  rc = sqlite3_create_module(db, "vector_quantize_scan_stream", &svt_module,
+                             (void *)"quant_stream");
+  return rc;
+}

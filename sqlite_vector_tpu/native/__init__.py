@@ -19,8 +19,72 @@ _here = os.path.dirname(os.path.abspath(__file__))
 _repo = os.path.dirname(os.path.dirname(_here))
 _src = os.path.join(_repo, "csrc", "svt_native.cpp")
 _so = os.path.join(_here, "_svt_native.so")
+_vtab_src = os.path.join(_repo, "csrc", "svt_vtab.c")
+# entry point sqlite3_svtvtab_init is derived from this file name
+_vtab_so = os.path.join(_here, "svtvtab.so")
 
 _native = None
+_vtab_checked = False
+_vtab_path: str | None = None
+
+
+def _find_sqlite_ext_header() -> str | None:
+    """Locate a directory holding sqlite3ext.h (loadable-extension API)."""
+    candidates = ["/usr/include", "/usr/local/include"]
+    try:
+        import glob
+
+        for base in sys.path + [sysconfig.get_paths()["purelib"]]:
+            candidates.extend(
+                glob.glob(
+                    os.path.join(
+                        base, "tensorflow", "include", "external", "org_sqlite"
+                    )
+                )
+            )
+    except Exception:
+        pass
+    for d in candidates:
+        if os.path.exists(os.path.join(d, "sqlite3ext.h")):
+            return d
+    return None
+
+
+def vtab_extension_path() -> str | None:
+    """Build (once) and return the path of the loadable SQLite extension
+    registering the real table-valued scan modules (csrc/svt_vtab.c), or
+    None when it can't be built (no toolchain / no sqlite3ext.h) — callers
+    fall back to the json_each shim."""
+    global _vtab_checked, _vtab_path
+    if _vtab_checked:
+        return _vtab_path
+    _vtab_checked = True
+    if not os.path.exists(_vtab_src):
+        return None
+    if os.path.exists(_vtab_so) and os.path.getmtime(_vtab_so) >= os.path.getmtime(
+        _vtab_src
+    ):
+        _vtab_path = _vtab_so
+        return _vtab_path
+    inc = _find_sqlite_ext_header()
+    if inc is None:
+        return None
+    cmd = [
+        "gcc",
+        "-O2",
+        "-shared",
+        "-fPIC",
+        f"-I{inc}",
+        _vtab_src,
+        "-o",
+        _vtab_so,
+    ]
+    try:
+        subprocess.run(cmd, check=True, capture_output=True, timeout=120)
+        _vtab_path = _vtab_so
+    except Exception:
+        _vtab_path = None
+    return _vtab_path
 
 
 def _build() -> bool:

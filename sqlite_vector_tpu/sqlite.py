@@ -124,8 +124,10 @@ class VectorConnection:
         self._device = device
         self._mesh = mesh
         self._contexts: dict[tuple[str, str], _TableContext] = {}
+        self.vtab_loaded = False
         conn.execute(_INTERNAL_TABLE_SQL)
         self._register_functions()
+        self._load_vtab_extension()
 
     # -- plumbing -------------------------------------------------------------
 
@@ -163,6 +165,61 @@ class VectorConnection:
         c.create_function("vector_quantize_cleanup", 2, self.vector_quantize_cleanup)
         c.create_function("vector_full_scan_json", 4, self._full_scan_json)
         c.create_function("vector_quantize_scan_json", 4, self._quantize_scan_json)
+        # internal bridge for the loadable vtab extension (csrc/svt_vtab.c)
+        c.create_function("svt_scan_blob", 5, self._scan_blob)
+
+    def _load_vtab_extension(self) -> None:
+        """Register the REAL table-valued scan modules so SQL written for
+        the C reference runs verbatim:
+
+            SELECT id, distance FROM vector_full_scan('t', 'c', ?, 20)
+
+        stdlib sqlite3 has no virtual-table API, so the modules live in a
+        tiny loadable C extension (csrc/svt_vtab.c) whose xFilter calls back
+        into this connection's svt_scan_blob function — the scans still run
+        on the TPU engine. Falls back silently to the json_each shim when
+        extension loading is unavailable."""
+        import os as _os
+
+        if _os.environ.get("SVT_DISABLE_VTAB") == "1":
+            return
+        from sqlite_vector_tpu.native import vtab_extension_path
+
+        path = vtab_extension_path()
+        if not path or not hasattr(self._conn, "enable_load_extension"):
+            return
+        try:
+            self._conn.enable_load_extension(True)
+            try:
+                self._conn.load_extension(path[: -len(".so")])
+                self.vtab_loaded = True
+            finally:
+                self._conn.enable_load_extension(False)
+        except Exception:
+            self.vtab_loaded = False
+
+    def _scan_blob(
+        self, fname: str, table: str, column: str, query: Any, k: int
+    ) -> bytes:
+        """Internal vtab bridge: run a scan, return a packed little-endian
+        blob [int64 n][n x (int64 id, float64 distance)]."""
+        if fname == "full":
+            rows = self.vector_full_scan(table, column, query, int(k))
+        elif fname == "quant":
+            rows = self.vector_quantize_scan(table, column, query, int(k))
+        elif fname == "full_stream":
+            rows = list(self.vector_full_scan_stream(table, column, query))
+        elif fname == "quant_stream":
+            rows = list(self.vector_quantize_scan_stream(table, column, query))
+        else:
+            raise VectorConfigError(f"unknown scan module tag '{fname}'")
+        arr = np.zeros(len(rows), dtype=[("id", "<i8"), ("d", "<f8")])
+        if rows:
+            arr["id"] = [r[0] for r in rows]
+            arr["d"] = [r[1] for r in rows]
+        import struct
+
+        return struct.pack("<q", len(rows)) + arr.tobytes()
 
     def _lookup(self, table: str, column: str, caller: str) -> _TableContext:
         # case-insensitive lookup (vector_context_lookup :1051)

@@ -664,3 +664,163 @@ def test_interop_nonfinite_vectors(tmp_path, rng, metric):
         assert ours[0][0] == 13 and ours[0][1] == -np.inf
     else:
         assert 13 not in returned
+
+
+# ---------------------------------------------------------------------------
+# real table-valued functions (loadable vtab extension, csrc/svt_vtab.c)
+# ---------------------------------------------------------------------------
+
+
+def _vtab_available():
+    try:
+        c = svs.connect(":memory:")
+        ok = c.vtab_loaded
+        c.close()
+        return ok
+    except Exception:
+        return False
+
+
+@pytest.mark.skipif(not _vtab_available(), reason="vtab extension unavailable")
+def test_reference_documented_queries_run_verbatim(tmp_path, data):
+    """The reference's own documented SQL (API.md:229-231, 260-262,
+    README.md:96-100, QUANTIZATION.md:43-77) must run unmodified."""
+    c = svs.connect(str(tmp_path / "tvf.db"))
+    c.execute("CREATE TABLE documents (id INTEGER PRIMARY KEY, embedding BLOB)")
+    c.executemany(
+        "INSERT INTO documents(embedding) VALUES (?)",
+        ((r.tobytes(),) for r in data),
+    )
+    c.commit()
+    c.execute(
+        "SELECT vector_init('documents', 'embedding', "
+        f"'dimension={DIM},type=FLOAT32,distance=L2')"
+    )
+    q = data[11].tobytes()
+
+    # API.md:229-231 (vector_full_scan example, verbatim shape)
+    rows = c.execute(
+        "SELECT rowid, distance FROM "
+        "vector_full_scan('documents', 'embedding', ?, 5)",
+        (q,),
+    ).fetchall()
+    assert rows[0] == (12, 0.0) and len(rows) == 5
+    # ascending order, orderByConsumed honored with an explicit ORDER BY too
+    assert [r[1] for r in rows] == sorted(r[1] for r in rows)
+    rows2 = c.execute(
+        "SELECT rowid, distance FROM "
+        "vector_full_scan('documents', 'embedding', ?, 5) ORDER BY distance",
+        (q,),
+    ).fetchall()
+    assert rows2 == rows
+
+    # API.md:260-262 (vector_quantize_scan example)
+    c.execute("SELECT vector_quantize('documents', 'embedding')")
+    qrows = c.execute(
+        "SELECT rowid, distance FROM "
+        "vector_quantize_scan('documents', 'embedding', ?, 10)",
+        (q,),
+    ).fetchall()
+    assert qrows[0][0] == 12
+
+    # README.md:96-100 (JOIN ON base rowid)
+    jrows = c.execute(
+        "SELECT e.id, v.distance FROM documents AS e "
+        "JOIN vector_quantize_scan('documents', 'embedding', ?, 20) AS v "
+        "ON e.id = v.rowid",
+        (q,),
+    ).fetchall()
+    assert len(jrows) == 20 and jrows[0][0] == 12
+
+    # QUANTIZATION.md:43-77 — the recall recipe, VERBATIM
+    recall_sql = """
+WITH
+exact_knn AS (
+    SELECT e.rowid
+    FROM documents AS e
+    JOIN vector_full_scan('documents', 'embedding', ?1, ?2) AS v
+    ON e.rowid = v.rowid
+),
+approx_knn AS (
+    SELECT e.rowid
+    FROM documents AS e
+    JOIN vector_quantize_scan('documents', 'embedding', ?1, ?2) AS v
+    ON e.rowid = v.rowid
+),
+matches AS (
+    SELECT COUNT(*) AS match_count
+    FROM exact_knn
+    WHERE rowid IN (SELECT rowid FROM approx_knn)
+),
+total AS (
+    SELECT COUNT(*) AS total_count
+    FROM exact_knn
+)
+SELECT
+    (SELECT match_count FROM matches) AS match_count,
+    (SELECT total_count FROM total) AS total_count,
+    CAST((SELECT match_count FROM matches) AS FLOAT) /
+    CAST((SELECT total_count FROM total) AS FLOAT) AS recall
+"""
+    match_count, total_count, recall = c.execute(recall_sql, (q, 20)).fetchone()
+    assert total_count == 20 and recall >= 0.9
+
+    # streaming module: unordered rows, SQLite applies ORDER BY
+    srows = c.execute(
+        "SELECT id, distance FROM "
+        "vector_full_scan_stream('documents', 'embedding', ?) "
+        "ORDER BY distance LIMIT 3",
+        (q,),
+    ).fetchall()
+    assert srows[0][0] == 12 and len(srows) == 3
+    sq = c.execute(
+        "SELECT COUNT(*) FROM "
+        "vector_quantize_scan_stream('documents', 'embedding', ?)",
+        (q,),
+    ).fetchone()[0]
+    assert sq == N
+
+    # wrong arity -> the reference's error contract
+    with pytest.raises(sqlite3.OperationalError, match="expects 4 arguments"):
+        c.execute(
+            "SELECT id FROM vector_full_scan('documents', 'embedding', ?)",
+            (q,),
+        ).fetchall()
+    c.close()
+
+
+@pytest.mark.skipif(not _vtab_available(), reason="vtab extension unavailable")
+@pytest.mark.skipif(not _ref_available(), reason="C reference not built")
+def test_tvf_sql_parity_with_c_reference(tmp_path, data):
+    """One identical SQL string, two engines, same neighbor sets."""
+    path = str(tmp_path / "parity.db")
+    c = svs.connect(path)
+    c.execute("CREATE TABLE t (v BLOB)")
+    c.executemany("INSERT INTO t(v) VALUES (?)", ((r.tobytes(),) for r in data))
+    c.commit()
+    c.vector_init("t", "v", f"type=FLOAT32,dimension={DIM}")
+    c.vector_quantize("t", "v")
+    sql = "SELECT rowid, distance FROM vector_full_scan('t','v',?,10)"
+    qsql = "SELECT rowid, distance FROM vector_quantize_scan('t','v',?,10)"
+    q = data[3].tobytes()
+    ours = c.execute(sql, (q,)).fetchall()
+    ours_q = c.execute(qsql, (q,)).fetchall()
+    c.close()
+
+    rc = sqlite3.connect(path)
+    rc.enable_load_extension(True)
+    rc.load_extension(REF_SO[:-3])
+    rc.execute(
+        f"SELECT vector_init('t','v','type=FLOAT32,dimension={DIM},distance=L2')"
+    )
+    theirs = rc.execute(sql, (q,)).fetchall()
+    theirs_q = rc.execute(qsql, (q,)).fetchall()
+    rc.close()
+    assert [r[0] for r in ours] == [r[0] for r in theirs]
+    np.testing.assert_allclose(
+        [r[1] for r in ours], [r[1] for r in theirs], rtol=1e-4, atol=1e-4
+    )
+    assert [r[0] for r in ours_q] == [r[0] for r in theirs_q]
+    np.testing.assert_allclose(
+        [r[1] for r in ours_q], [r[1] for r in theirs_q], rtol=1e-5
+    )
