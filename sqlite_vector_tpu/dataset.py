@@ -702,6 +702,8 @@ class Dataset:
         if self._storage == "host":
             from sqlite_vector_tpu.ops.streaming import streaming_scan_topk
 
+            # mesh + host storage compose: each streamed tile is row-sharded
+            # across the chips and merged over ICI (BASELINE.md config 5)
             return streaming_scan_topk(
                 q,
                 self._host_vectors,
@@ -710,6 +712,7 @@ class Dataset:
                 valid_count=self._count,
                 row_mask=mask,
                 device=self._device,
+                mesh=self._mesh,
                 policy_vtype=policy,
             )
         qd = self._put_query(q)
@@ -759,6 +762,7 @@ class Dataset:
                 valid_count=quant.count,
                 row_mask=mask,
                 device=self._device,
+                mesh=self._mesh,
             )
         if quant.sq_norms is None and self.metric in (
             DistanceMetric.L2,

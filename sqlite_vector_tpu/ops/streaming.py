@@ -41,6 +41,7 @@ def streaming_scan_topk(
     row_mask=None,
     tile_rows: int = DEFAULT_STREAM_ROWS,
     device=None,
+    mesh=None,
     policy_vtype=None,
 ) -> tuple[jnp.ndarray, jnp.ndarray]:
     """Fused top-k over a host-resident [N, dim] array, streamed by tiles.
@@ -48,23 +49,48 @@ def streaming_scan_topk(
     Same contract as scan_topk: (distances [B, k], positions [B, k]),
     ascending, +inf / -1 padding. row_mask ([N] bool host array, optional)
     excludes rows where False. `host_vectors` may be any array-like with
-    numpy slicing (including np.memmap)."""
+    numpy slicing (including np.memmap).
+
+    With `mesh`, each streamed tile is row-sharded across the mesh and
+    scanned with the per-chip-partial-top-k + ICI-merge executor — the
+    composition for datasets larger than the AGGREGATE HBM of a pod slice
+    (BASELINE.md config 5): host RAM holds the matrix, every chip scans
+    tile_rows/n_devices rows per step."""
     n = host_vectors.shape[0] if valid_count is None else int(valid_count)
     b = queries.shape[0]
-    put = (lambda a: jax.device_put(a, device)) if device is not None else jax.device_put
-    qd = put(np.ascontiguousarray(queries))
+    if mesh is not None:
+        from sqlite_vector_tpu.parallel import (
+            replicated_sharding,
+            row_sharding,
+            sharded_scan_topk,
+        )
+
+        n_dev = int(np.prod(list(mesh.shape.values())))
+        tile_rows = -(-tile_rows // n_dev) * n_dev  # shardable tiles
+        row_shard = row_sharding(mesh)
+        put = lambda a: jax.device_put(a, row_shard)  # noqa: E731
+        put_q = lambda a: jax.device_put(a, replicated_sharding(mesh))  # noqa: E731
+        scan = lambda qd, t, kk, rows, m: sharded_scan_topk(  # noqa: E731
+            qd, t, metric, kk, mesh, valid_count=rows, row_mask=m,
+            policy_vtype=policy_vtype,
+        )
+    else:
+        put = (
+            (lambda a: jax.device_put(a, device))
+            if device is not None
+            else jax.device_put
+        )
+        put_q = put
+        scan = lambda qd, t, kk, rows, m: fused_scan_topk(  # noqa: E731
+            qd, t, metric, kk, valid_count=rows, row_mask=m,
+            policy_vtype=policy_vtype,
+        )
+    qd = put_q(np.ascontiguousarray(queries))
 
     if n == 0:
         return (
             jnp.full((b, k), jnp.inf, jnp.float32),
             jnp.full((b, k), -1, jnp.int32),
-        )
-    if n <= tile_rows:
-        return fused_scan_topk(
-            qd, put(np.ascontiguousarray(host_vectors[:n])), metric, k,
-            valid_count=n,
-            row_mask=None if row_mask is None else put(np.asarray(row_mask[:n])),
-            policy_vtype=policy_vtype,
         )
 
     ntiles = -(-n // tile_rows)
@@ -83,6 +109,10 @@ def streaming_scan_topk(
             )
         return put(t), rows, (None if m is None else put(m))
 
+    if ntiles == 1:
+        dev, rows, m = tile(0)
+        return scan(qd, dev, k, rows, m)
+
     run_vals = jnp.full((b, k), jnp.inf, jnp.float32)
     run_ids = jnp.full((b, k), -1, jnp.int32)
     next_dev = tile(0)
@@ -90,10 +120,7 @@ def streaming_scan_topk(
         cur_dev, cur_rows, cur_mask = next_dev
         if i + 1 < ntiles:
             next_dev = tile(i + 1)  # async: overlaps with this tile's scan
-        vals, idx = fused_scan_topk(
-            qd, cur_dev, metric, min(k, tile_rows), valid_count=cur_rows,
-            row_mask=cur_mask, policy_vtype=policy_vtype,
-        )
+        vals, idx = scan(qd, cur_dev, min(k, tile_rows), cur_rows, cur_mask)
         gidx = jnp.where(idx >= 0, idx + i * tile_rows, -1)
         run_vals, run_ids = _merge(run_vals, run_ids, vals, gidx, k)
     run_ids = jnp.where(jnp.isposinf(run_vals), -1, run_ids)

@@ -108,3 +108,45 @@ def test_host_storage_ids_filter(rng):
     q = base[100]
     got, dist = ds.search(q, 3, ids_filter=ids[ids != ids[100]])
     assert ids[100] not in got and dist[0] > 0
+
+
+def test_mesh_host_streaming_composition(rng):
+    """storage='host' + mesh: each streamed tile is row-sharded across the
+    virtual 8-device mesh and merged over ICI; results match the oracle
+    (BASELINE.md config 5 composition)."""
+    import numpy as np
+    import sqlite_vector_tpu as svt
+    from sqlite_vector_tpu import oracle
+    from sqlite_vector_tpu.ops.streaming import streaming_scan_topk
+    from sqlite_vector_tpu.parallel import make_mesh
+    from sqlite_vector_tpu.types import DistanceMetric, VectorType
+
+    mesh = make_mesh(8)
+    base = rng.standard_normal((3000, 24)).astype(np.float32)
+    q = rng.standard_normal((2, 24)).astype(np.float32)
+
+    # multi-tile streaming with sharded tiles (tile_rows rounds to 8 | 1024)
+    vals, idx = streaming_scan_topk(
+        q, base, DistanceMetric.L2, 7, tile_rows=1000, mesh=mesh
+    )
+    vals, idx = np.asarray(vals), np.asarray(idx)
+    d = oracle.distance(q, base, DistanceMetric.L2, VectorType.F32)
+    for bi in range(2):
+        order = np.argsort(d[bi], kind="stable")[:7]
+        np.testing.assert_array_equal(idx[bi], order)
+        np.testing.assert_allclose(vals[bi], d[bi][order], rtol=1e-4, atol=1e-5)
+
+    # Dataset-level: host storage + mesh (single-tile path, still sharded)
+    ds = svt.Dataset(
+        "mh",
+        svt.parse_options("dimension=24,type=FLOAT32"),
+        mesh=mesh,
+        storage="host",
+    )
+    ids = ds.add(base)
+    got, dist = ds.search(base[123], 3)
+    assert got[0] == ids[123] and dist[0] == 0.0
+    # quantized host streaming over the mesh
+    ds.quantize()
+    qgot, _ = ds.search(base[123], 3, exact=False)
+    assert qgot[0] == ids[123]
