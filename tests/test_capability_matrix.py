@@ -37,18 +37,20 @@ def test_dtype_metric_matrix(vtype, metric, rng):
     queries = data[rng.integers(0, N, B)]
     got_ids, got_vals = ds.search(queries, K)
 
+    from tests.parity import REL_TOL_BY_TYPE, assert_topk_parity
+
     ref = oracle.distance(queries, data, metric, vtype)
     for bi in range(B):
-        w_idx = np.argsort(ref[bi], kind="stable")[:K]
-        # neighbor-set parity with a 1-tie tolerance at the boundary
-        # (accumulation order differs between MXU fragments and numpy)
-        overlap = len(set(got_ids[bi].tolist()) & set(ids[w_idx].tolist()))
-        assert overlap >= K - 1, (vtype, metric, overlap)
-        np.testing.assert_allclose(
-            np.sort(got_vals[bi]),
-            np.sort(oracle.snap_zero(ref[bi][w_idx]).astype(np.float32)),
-            rtol=3e-3,
-            atol=3e-3,
+        # tie-aware exact comparison: set equality modulo substitutions
+        # within the justified numeric band at the selection boundary
+        assert_topk_parity(
+            ids,
+            ref[bi],
+            got_ids[bi],
+            got_vals[bi],
+            K,
+            rel_tol=REL_TOL_BY_TYPE[vtype.value],
+            label=f"{vtype.value}/{metric.value}[{bi}]",
         )
 
 
