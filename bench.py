@@ -1,18 +1,25 @@
 #!/usr/bin/env python
-"""Benchmark harness — prints ONE JSON line for the driver.
+"""Benchmark harness — one JSON line per BASELINE.md config for the driver.
 
-Headline metric (BASELINE.json north star): single-query QPS of the exact
-FLOAT32 L2 top-20 full scan over 1M x 384 vectors — the
-examples/semantic_search workload of the reference.
+Configs (BASELINE.md "Metrics this framework must measure"):
+  1. FLOAT32 exact L2 full-scan top-20, 1M x 384 (semantic_search workload)
+  2. all metrics (L2/SQUARED_L2/L1/COSINE/DOT) f32, device-side exact scan
+  3. FLOAT16 / BFLOAT16 stored vectors, batched (B=64) exact scan
+  4. INT8 quantized path: quantize + preloaded scan + recall@20 vs exact
+  5. 10M x 768 f32 exact via host->HBM streaming (the north-star config;
+     >HBM on one chip) + the rerank alternative (device int8 prefilter +
+     host rescore) that avoids streaming entirely
 
-vs_baseline compares against the compiled C reference (sqliteai/sqlite-vector
-v0.9.23, AVX2 backend) measured on this container's CPU with the same data
-shape (see BASELINE.md "measured" table):
-    exact full scan   1M x 384: 648.1 ms/query   (1.54 QPS)
-    quantized+preload 1M x 384: 156.7 ms/query   (6.38 QPS)
+The HEADLINE (config 1 exact QPS) prints LAST. vs_baseline semantics per
+line are in the "baseline" key. The C-reference baselines were measured on
+this container (BASELINE.md): exact 1M x 384 = 648.1 ms/q, quantized
+preloaded = 156.7 ms/q.
 
-Extra diagnostics (quantized scan, batched throughput, GB/s vs HBM roofline)
-go to stderr.
+Timing notes (see .claude/skills/verify/SKILL.md): per-dispatch RTT through
+the tunnel is ~25-35 ms, so end-to-end B=1 latencies are RTT-floored;
+device-side numbers chain M scans in one executable with a device->host
+fetch as the sync point. Run-to-run variance on this tunneled chip is 2-3x —
+compare within a run.
 """
 
 import argparse
@@ -22,13 +29,26 @@ import time
 
 import numpy as np
 
-# C reference measured on this host (BASELINE.md), 1M x 384 f32 L2 top-20.
 REFERENCE_EXACT_MS = 648.1
 REFERENCE_QUANT_MS = 156.7
+
+RESULTS = []
 
 
 def log(msg: str) -> None:
     print(msg, file=sys.stderr, flush=True)
+
+
+def emit(metric: str, value: float, unit: str, vs_baseline: float, **extra):
+    line = {
+        "metric": metric,
+        "value": round(value, 3),
+        "unit": unit,
+        "vs_baseline": round(vs_baseline, 3),
+    }
+    line.update(extra)
+    RESULTS.append(line)
+    log(f"RESULT {json.dumps(line)}")
 
 
 def median_time(fn, iters: int) -> float:
@@ -40,155 +60,353 @@ def median_time(fn, iters: int) -> float:
     return float(np.median(times))
 
 
+def make_chained(metric, k, n, m):
+    """Device-side amortized scan timer: M chained scans in one executable,
+    loop-carried so XLA can't hoist, device fetch as the sync point."""
+    import functools
+
+    import jax
+    import jax.numpy as jnp
+
+    from sqlite_vector_tpu.ops.scan import fused_scan_topk
+
+    @jax.jit
+    def chained(qs, b, sq):
+        def body(c, q):
+            vals, idx = fused_scan_topk(
+                q + c * 0, b, metric, k, valid_count=n, base_sq_norms=sq
+            )
+            return vals[0, 0], (vals[0], idx[0])
+
+        _, outs = jax.lax.scan(body, jnp.float32(0), qs)
+        return outs
+
+    def run(qs_dev, base_dev, sq):
+        out = chained(qs_dev, base_dev, sq)
+        for leaf in jax.tree.leaves(out):
+            np.asarray(leaf)
+
+    return run
+
+
+def bench_core(args):
+    """Configs 1-4 (share one 1M x 384 ingest)."""
+    import jax
+    import jax.numpy as jnp
+
+    import sqlite_vector_tpu as svt
+    from sqlite_vector_tpu.types import DistanceMetric
+
+    n, dim, k = args.n, args.dim, args.k
+    rng = np.random.default_rng(7)
+    data = rng.standard_normal((n, dim)).astype(np.float32)
+    queries = data[rng.integers(0, n, 64)]
+
+    t0 = time.time()
+    store = svt.VectorStore()
+    ds = store.create("bench", f"dimension={dim},type=FLOAT32,distance=L2")
+    ds.add(data)
+    log(f"ingest {n}x{dim}: {time.time() - t0:.1f}s ({data.nbytes / 1e9:.2f} GB)")
+
+    # ---- config 1: exact f32 L2 ------------------------------------------
+    qi = iter(range(10**9))
+
+    def one_exact():
+        q = queries[next(qi) % len(queries)]
+        ids, dist = ds.search(q, k)
+        assert len(ids) == k
+
+    t0 = time.time()
+    one_exact()
+    log(f"exact compile: {time.time() - t0:.1f}s")
+    exact_s = median_time(one_exact, args.iters)
+    exact_qps = 1.0 / exact_s
+    log(f"exact 1-query: {exact_s*1e3:.3f} ms -> {exact_qps:.1f} QPS, "
+        f"{data.nbytes/exact_s/1e9:.0f} GB/s scanned")
+
+    def batch_exact():
+        ds.search(queries, k)
+
+    batch_exact()
+    batch_s = median_time(batch_exact, max(args.iters // 2, 3))
+    log(f"exact B=64: {batch_s*1e3:.1f} ms -> {64/batch_s:.0f} QPS")
+
+    # device-side amortized (the hardware-meaningful number)
+    M = 16
+    qs_dev = jax.device_put(queries[:M][:, None, :])
+    run = make_chained(DistanceMetric.L2, k, n, M)
+    bsq = ds._exact_sq_norms()
+    run(qs_dev, ds._vectors, bsq)  # compile
+    t0 = time.time()
+    reps = 3
+    for _ in range(reps):
+        run(qs_dev, ds._vectors, bsq)
+    dev_s = (time.time() - t0) / reps / M
+    log(f"device-side exact: {dev_s*1e3:.3f} ms/scan, "
+        f"{data.nbytes/dev_s/1e9:.0f} GB/s")
+
+    # ---- config 2: all metrics, device-side ------------------------------
+    metric_ms = {}
+    for metric in (
+        DistanceMetric.SQUARED_L2,
+        DistanceMetric.COSINE,
+        DistanceMetric.DOT,
+        DistanceMetric.L1,
+    ):
+        runm = make_chained(metric, k, n, M)
+        sq = bsq if metric is not DistanceMetric.DOT else None
+        try:
+            runm(qs_dev, ds._vectors, sq)
+            t0 = time.time()
+            runm(qs_dev, ds._vectors, sq)
+            metric_ms[metric.value] = (time.time() - t0) / M * 1e3
+        except Exception as e:  # pragma: no cover - report, keep going
+            log(f"metric {metric.value} failed: {e}")
+            metric_ms[metric.value] = float("nan")
+    metric_ms["L2"] = dev_s * 1e3
+    log("per-metric device-side ms/scan: "
+        + ", ".join(f"{m}={v:.2f}" for m, v in metric_ms.items()))
+    ok = [v for v in metric_ms.values() if np.isfinite(v)]
+    geomean_qps = float(1e3 / np.exp(np.mean(np.log(ok))))
+    emit(
+        f"allmetrics_exact_device_qps_{n//1000}kx{dim}",
+        geomean_qps,
+        "qps",
+        geomean_qps / (1000.0 / REFERENCE_EXACT_MS),
+        per_metric_ms={m: round(v, 3) for m, v in metric_ms.items()},
+        baseline="C reference exact L2 648.1 ms (geomean QPS ratio)",
+    )
+
+    # ---- config 3: f16 / bf16 batched ------------------------------------
+    dtype_qps = {}
+    for tname in ("FLOAT16", "FLOATB16"):
+        dsn = store.create(
+            f"bench_{tname}", f"dimension={dim},type={tname},distance=L2"
+        )
+        dsn.add(data)  # coerced to the narrow dtype
+        qn = queries  # f32 queries coerced per search
+
+        def batch_narrow():
+            dsn.search(qn, k)
+
+        batch_narrow()
+        s = median_time(batch_narrow, 3)
+        dtype_qps[tname] = 64.0 / s
+        log(f"{tname} B=64 exact: {s*1e3:.1f} ms -> {64/s:.0f} QPS")
+        dsn._vectors = None  # free HBM
+        store.drop(f"bench_{tname}")
+    emit(
+        f"f16_bf16_batched_qps_{n//1000}kx{dim}",
+        min(dtype_qps.values()),
+        "qps",
+        min(dtype_qps.values()) / (1000.0 / REFERENCE_EXACT_MS),
+        per_dtype_qps={t: round(v, 1) for t, v in dtype_qps.items()},
+        baseline="C reference exact L2 648.1 ms/q (per-query ratio)",
+    )
+
+    # ---- config 4: int8 quantized path ------------------------------------
+    t0 = time.time()
+    ds.quantize()
+    qbuild = time.time() - t0
+    log(f"quantize build: {qbuild:.1f}s")
+
+    def one_quant():
+        q = queries[next(qi) % len(queries)]
+        ids, dist = ds.search(q, k, exact=False)
+        assert len(ids) == k
+
+    one_quant()
+    quant_s = median_time(one_quant, args.iters)
+    log(f"quant 1-query: {quant_s*1e3:.3f} ms")
+
+    # device-side amortized int8
+    import functools
+
+    from sqlite_vector_tpu.ops.scan import fused_scan_topk
+
+    quant = ds._quant
+    qcodes_q = np.asarray(
+        __import__("sqlite_vector_tpu.oracle", fromlist=["quantize"]).quantize(
+            queries[:M].astype(np.float32), quant.scale, quant.offset, quant.qtype
+        )
+    )
+    qq_dev = jax.device_put(qcodes_q[:, None, :])
+    runq = make_chained(DistanceMetric.L2, k, quant.count, M)
+    sqn = jax.jit(
+        lambda x: jnp.sum(x.astype(jnp.int32) * x.astype(jnp.int32), axis=-1)
+    )(quant.codes)
+    runq(qq_dev, quant.codes, sqn)
+    t0 = time.time()
+    for _ in range(reps):
+        runq(qq_dev, quant.codes, sqn)
+    devq_s = (time.time() - t0) / reps / M
+    log(f"device-side int8: {devq_s*1e3:.3f} ms/scan, "
+        f"{n*dim/devq_s/1e9:.0f} GB/s of codes")
+
+    # rerank (int8 prefilter + exact rescore)
+    def one_rerank():
+        q = queries[next(qi) % len(queries)]
+        ds.search(q, k, mode="rerank")
+
+    one_rerank()
+    rerank_s = median_time(one_rerank, args.iters)
+    log(f"rerank 1-query: {rerank_s*1e3:.3f} ms (exact-quality)")
+
+    # recall@k (QUANTIZATION.md methodology)
+    hits = total = 0
+    for q in queries[:16]:
+        e_ids, _ = ds.search(q, k)
+        a_ids, _ = ds.search(q, k, exact=False)
+        hits += len(set(e_ids.tolist()) & set(a_ids.tolist()))
+        total += k
+    recall = hits / total
+    log(f"recall@{k} quantized vs exact: {recall:.3f}")
+    emit(
+        f"quantized_scan_qps_{n//1000}kx{dim}_int8",
+        1.0 / quant_s,
+        "qps",
+        (1.0 / quant_s) / (1000.0 / REFERENCE_QUANT_MS),
+        recall_at_k=round(recall, 3),
+        device_side_ms=round(devq_s * 1e3, 3),
+        rerank_ms=round(rerank_s * 1e3, 3),
+        quantize_build_s=round(qbuild, 2),
+        baseline="C reference quantized+preloaded 156.7 ms/q",
+    )
+
+    return exact_qps, dev_s
+
+
+def bench_streaming_10m(args):
+    """Config 5: the north-star 10M x 768 f32 exact scan via host->HBM
+    streaming, plus the rerank design that avoids streaming. Reports GB/s
+    against the MEASURED host->device transfer ceiling (on this tunneled
+    chip the transport, not HBM, is the wall — see BASELINE.md)."""
+    import jax
+
+    import sqlite_vector_tpu as svt
+    from sqlite_vector_tpu.ops.streaming import streaming_scan_topk
+    from sqlite_vector_tpu.types import DistanceMetric
+
+    n, dim, k = args.n10m, 768, 20
+    rng = np.random.default_rng(11)
+    log(f"[10m] generating {n}x{dim} f32 ({n*dim*4/1e9:.1f} GB host RAM)...")
+    t0 = time.time()
+    data = np.empty((n, dim), np.float32)
+    step = 1_000_000
+    for s in range(0, n, step):
+        data[s : s + step] = rng.standard_normal(
+            (min(step, n - s), dim)
+        ).astype(np.float32)
+    log(f"[10m] generated in {time.time()-t0:.0f}s")
+
+    # transfer-ceiling probe: one big device_put, synced via scalar fetch
+    probe = data[:65536]  # 201 MB
+    t0 = time.time()
+    dev = jax.device_put(probe)
+    _ = float(dev[0, 0])
+    ceiling = probe.nbytes / (time.time() - t0)
+    log(f"[10m] measured host->device ceiling: {ceiling/1e9:.3f} GB/s")
+    del dev
+
+    ds = svt.Dataset(
+        "big", svt.parse_options(f"dimension={dim},type=FLOAT32,distance=L2"),
+        storage="host",
+    )
+    t0 = time.time()
+    ids = ds.add(data)
+    log(f"[10m] host ingest: {time.time()-t0:.0f}s")
+    del data
+
+    probe_row = min(1234567, n - 1)
+    q = np.array(ds._host_vectors[probe_row])
+    t0 = time.time()
+    got, dist = ds.search(q, k)
+    stream_s = time.time() - t0
+    assert got[0] == ids[probe_row] and dist[0] == 0.0, (got[:3], dist[:3])
+    gbs = n * dim * 4 / stream_s / 1e9
+    log(f"[10m] streaming exact scan: {stream_s:.1f}s -> {gbs:.3f} GB/s "
+        f"({100*gbs*1e9/ceiling:.0f}% of transfer ceiling)")
+    emit(
+        f"streaming_exact_scan_gbs_{n//1000000}mx{dim}_f32",
+        gbs,
+        "GB/s",
+        gbs * 1e9 / ceiling,
+        scan_seconds=round(stream_s, 1),
+        transfer_ceiling_gbs=round(ceiling / 1e9, 3),
+        baseline="measured host->device transfer ceiling (vs_baseline = "
+        "fraction of ceiling sustained end-to-end)",
+    )
+
+    # the design that beats streaming: device-resident int8 codes + exact
+    # host rescore of k*expand candidates (exact-quality results, no 30 GB
+    # per-query transfer)
+    t0 = time.time()
+    ds.quantize()
+    log(f"[10m] host quantize: {time.time()-t0:.0f}s")
+    t0 = time.time()
+    ds.preload()
+    log(f"[10m] preload int8 codes ({n*dim/1e9:.1f} GB): {time.time()-t0:.0f}s")
+
+    def one_rerank():
+        ds.search(q, k, mode="rerank")
+
+    one_rerank()
+    rerank_s = median_time(one_rerank, 5)
+    r_ids, r_dist = ds.search(q, k, mode="rerank")
+    recall = len(set(r_ids.tolist()) & set(got.tolist())) / k
+    log(f"[10m] rerank (int8-resident prefilter + exact rescore): "
+        f"{rerank_s*1e3:.1f} ms/q, recall vs streamed-exact {recall:.3f}")
+    emit(
+        f"rerank_exact_quality_qps_{n//1000000}mx{dim}",
+        1.0 / rerank_s,
+        "qps",
+        (1.0 / rerank_s) * stream_s,
+        recall_vs_exact=round(recall, 3),
+        baseline="the streamed exact scan of the same config "
+        "(vs_baseline = speedup over streaming)",
+    )
+
+
 def main() -> None:
     p = argparse.ArgumentParser()
     p.add_argument("--n", type=int, default=1_000_000)
+    p.add_argument("--n10m", type=int, default=10_000_000)
     p.add_argument("--dim", type=int, default=384)
     p.add_argument("--k", type=int, default=20)
     p.add_argument("--iters", type=int, default=20)
     p.add_argument("--quick", action="store_true", help="20k rows (CI smoke)")
+    p.add_argument("--skip10m", action="store_true",
+                   help="skip the 10M x 768 streaming config")
     args = p.parse_args()
     if args.quick:
-        args.n, args.iters = 20_000, 5
+        args.n, args.iters, args.n10m = 20_000, 5, 200_000
 
     import jax
 
     import sqlite_vector_tpu as svt
 
     log(f"backend={svt.backend()} devices={jax.devices()}")
-    rng = np.random.default_rng(7)
-    data = rng.standard_normal((args.n, args.dim)).astype(np.float32)
-    queries = data[rng.integers(0, args.n, 64)]
 
-    t0 = time.time()
-    store = svt.VectorStore()
-    ds = store.create(
-        "bench", f"dimension={args.dim},type=FLOAT32,distance=L2"
-    )
-    ds.add(data)
-    log(f"ingest {args.n}x{args.dim}: {time.time() - t0:.1f}s "
-        f"({data.nbytes / 1e9:.2f} GB)")
+    exact_qps, dev_s = bench_core(args)
 
-    # exact scan, single query (the reference's unit of work)
-    qi = iter(range(10**9))
+    if not args.skip10m:
+        try:
+            bench_streaming_10m(args)
+        except Exception as e:  # keep the headline even if 10m fails
+            log(f"[10m] FAILED: {e!r}")
 
-    def one_exact():
-        q = queries[next(qi) % len(queries)]
-        ids, dist = ds.search(q, args.k)
-        assert len(ids) == args.k
-
-    t0 = time.time()
-    one_exact()  # compile
-    log(f"exact first call (compile): {time.time() - t0:.1f}s")
-    exact_s = median_time(one_exact, args.iters)
-    exact_qps = 1.0 / exact_s
-    scan_gbs = data.nbytes / exact_s / 1e9
-    log(f"exact 1-query: {exact_s * 1000:.3f} ms -> {exact_qps:.1f} QPS, "
-        f"{scan_gbs:.0f} GB/s scanned")
-
-    # batched exact throughput
-    def batch_exact():
-        ids, dist = ds.search(queries, args.k)
-
-    t0 = time.time()
-    batch_exact()
-    log(f"batch first call (compile): {time.time() - t0:.1f}s")
-    batch_s = median_time(batch_exact, max(args.iters // 2, 3))
-    log(f"exact B=64: {batch_s * 1000:.3f} ms -> {64 / batch_s:.0f} QPS")
-
-    # quantized scan
-    t0 = time.time()
-    ds.quantize()
-    log(f"quantize build: {time.time() - t0:.1f}s")
-
-    def one_quant():
-        q = queries[next(qi) % len(queries)]
-        ids, dist = ds.search(q, args.k, exact=False)
-        assert len(ids) == args.k
-
-    t0 = time.time()
-    one_quant()
-    log(f"quant first call (compile): {time.time() - t0:.1f}s")
-    quant_s = median_time(one_quant, args.iters)
-    log(f"quant 1-query: {quant_s * 1000:.3f} ms -> {1 / quant_s:.1f} QPS, "
-        f"{args.n * args.dim / quant_s / 1e9:.0f} GB/s scanned")
-
-    # device-side amortized scan time (dispatch/sync overhead removed):
-    # chain M scans in one executable — the serving-throughput number
-    import functools
-
-    import jax.numpy as jnp
-
-    from sqlite_vector_tpu.ops.scan import fused_scan_topk
-    from sqlite_vector_tpu.types import DistanceMetric
-
-    M = 32
-    qs_dev = jax.device_put(queries[:M][:, None, :])
-    base_dev = ds._vectors
-    bsq = ds._exact_sq_norms()
-
-    @functools.partial(jax.jit, static_argnames=())
-    def chained(qs, b, sq):
-        def body(c, q):
-            vals, idx = fused_scan_topk(
-                q, b, DistanceMetric.L2, args.k,
-                valid_count=args.n, base_sq_norms=sq,
-            )
-            return c, (vals[0], idx[0])
-        _, outs = jax.lax.scan(body, jnp.float32(0), qs)
-        return outs
-
-    def run_chained():
-        # device->host fetch as the sync point: block_until_ready does not
-        # reliably synchronize on tunneled backends (verify SKILL.md)
-        out = chained(qs_dev, base_dev, bsq)
-        for leaf in jax.tree.leaves(out):
-            np.asarray(leaf)
-
-    t0 = time.time()
-    run_chained()
-    log(f"chained first call (compile): {time.time() - t0:.1f}s")
-    t0 = time.time()
-    reps = 3
-    for _ in range(reps):
-        run_chained()
-    dev_s = (time.time() - t0) / reps / M
-    log(f"device-side amortized: {dev_s * 1000:.3f} ms/scan -> "
-        f"{1 / dev_s:.0f} QPS, {data.nbytes / dev_s / 1e9:.0f} GB/s")
-
-    # rerank mode: int8 prefilter + exact rescore (beyond the reference)
-    def one_rerank():
-        q = queries[next(qi) % len(queries)]
-        ids, dist = ds.search(q, args.k, mode="rerank")
-        assert len(ids) == args.k
-
-    t0 = time.time()
-    one_rerank()
-    log(f"rerank first call (compile): {time.time() - t0:.1f}s")
-    rerank_s = median_time(one_rerank, args.iters)
-    log(f"rerank 1-query: {rerank_s * 1000:.3f} ms -> {1 / rerank_s:.1f} QPS "
-        f"(exact-quality results)")
-
-    # recall@k of the quantized path vs exact (QUANTIZATION.md methodology)
-    hits = total = 0
-    for q in queries[:16]:
-        e_ids, _ = ds.search(q, args.k)
-        a_ids, _ = ds.search(q, args.k, exact=False)
-        hits += len(set(e_ids.tolist()) & set(a_ids.tolist()))
-        total += args.k
-    recall = hits / total
-    log(f"recall@{args.k} quantized vs exact: {recall:.3f}")
-
-    vs_baseline = exact_qps / (1000.0 / REFERENCE_EXACT_MS)
-    log(f"quant speedup vs C reference: "
-        f"{(1 / quant_s) / (1000.0 / REFERENCE_QUANT_MS):.1f}x")
+    # headline LAST (config 1): the driver reads the final line
+    vs = exact_qps / (1000.0 / REFERENCE_EXACT_MS)
+    for line in RESULTS:
+        print(json.dumps(line))
     print(
         json.dumps(
             {
-                "metric": f"exact_scan_qps_{args.n // 1000}kx{args.dim}_f32_top{args.k}",
+                "metric": f"exact_scan_qps_{args.n//1000}kx{args.dim}_f32_top{args.k}",
                 "value": round(exact_qps, 2),
                 "unit": "qps",
-                "vs_baseline": round(vs_baseline, 2),
+                "vs_baseline": round(vs, 2),
+                "device_side_ms": round(dev_s * 1e3, 3),
             }
         )
     )

@@ -1,7 +1,7 @@
-"""TPU probe 2: break down the int8 scan's non-matmul overhead.
+"""TPU probe 2b: where does the selection stage's ~1.2 ms go?
 
-i8_dot_min (matmul + row min) measured 1.49 ms; the full scan 2.71 ms.
-Isolate: distance assembly, block-minima, hierarchical top-k, approx top-k.
+In-run control: dist_min (matmul + distance assembly + row min) ~1.5 ms.
+Variants add selection stages one at a time.
 """
 
 import os
@@ -18,10 +18,12 @@ def main():
     import jax.numpy as jnp
 
     from sqlite_vector_tpu.ops.distance import _pairwise_int
-    from sqlite_vector_tpu.ops.topk import topk_ascending, _hierarchical_smallest_k
+    from sqlite_vector_tpu.ops.topk import topk_ascending
     from sqlite_vector_tpu.types import DistanceMetric
 
     N, D, K, M = 1_000_000, 384, 20, 32
+    G = -(-N // 128)
+    NPAD = G * 128
     rng = np.random.default_rng(7)
     codes = rng.integers(-128, 128, (N, D)).astype(np.int8)
     qi8 = rng.integers(-128, 128, (M, 1, D)).astype(np.int8)
@@ -34,10 +36,8 @@ def main():
         @jax.jit
         def run(qs, b, s):
             def step(c, q):
-                out = body(q, b, s)
-                return c, jax.tree.map(
-                    lambda x: x[0] if getattr(x, "ndim", 0) > 1 else x, out
-                )
+                out = body(q + (c * 0).astype(q.dtype), b, s)
+                return jax.tree.leaves(out)[0].reshape(-1)[0].astype(jnp.float32), out
 
             _, outs = jax.lax.scan(step, jnp.float32(0), qs)
             return outs
@@ -55,44 +55,36 @@ def main():
                 np.asarray(leaf)
         dt = (time.time() - t0) / 3 / M
         print(f"{name:22s} {dt*1e3:7.3f} ms/scan  {N*D/dt/1e9:6.0f} GB/s", flush=True)
+        return dt
 
-    def idot(q, b):
-        return jax.lax.dot_general(
-            q, b, (((1,), (1,)), ((), ())), preferred_element_type=jnp.int32
-        )
+    def dist(q, b, s):
+        return _pairwise_int(q, b, DistanceMetric.SQUARED_L2, s)
 
-    # control: matmul + min (same as probe 1)
-    timeit("dot_min", chain(lambda q, b, s: jnp.min(idot(q, b), axis=-1)))
-    # + L2 distance assembly (qsq + bsq - 2 dot), still just row-min
+    def pad(d):
+        return jnp.pad(d, ((0, 0), (0, NPAD - N)), constant_values=jnp.inf)
+
+    # control
+    timeit("dist_min", chain(lambda q, b, s: jnp.min(dist(q, b, s), axis=-1)))
+    # + block-minima reshape reduce only
     timeit(
-        "dist_min",
-        chain(lambda q, b, s: jnp.min(_pairwise_int(q, b, DistanceMetric.SQUARED_L2, s), axis=-1)),
+        "dist_blockmin",
+        chain(lambda q, b, s: jnp.min(pad(dist(q, b, s)).reshape(1, G, 128), axis=-1)),
     )
-    # + block minima reduce only (the hierarchical stage-1)
-    def blockmin(q, b, s):
-        d = _pairwise_int(q, b, DistanceMetric.SQUARED_L2, s)
-        return jnp.min(d.reshape(d.shape[0], -1, 128), axis=-1)
+    # + top_k over the minima (no gather/final stage)
+    def bm_topk(q, b, s):
+        mins = jnp.min(pad(dist(q, b, s)).reshape(1, G, 128), axis=-1)
+        return jax.lax.top_k(-mins, K)
 
-    timeit("dist_blockmin", chain(blockmin))
-    # + full hierarchical top-k
-    def full_hier(q, b, s):
-        d = _pairwise_int(q, b, DistanceMetric.SQUARED_L2, s)
-        return topk_ascending(d, K)
-
-    timeit("dist_hier_topk", chain(full_hier))
-    # approx selection instead
-    def full_approx(q, b, s):
-        d = _pairwise_int(q, b, DistanceMetric.SQUARED_L2, s)
-        return jax.lax.approx_min_k(d, K, recall_target=0.99)
-
-    timeit("dist_approx_topk", chain(full_approx))
-    # two-stage: block minima -> top-k groups -> gather from the DISTANCE
-    # matrix is what _hierarchical_smallest_k does; time it standalone
-    def hier_only(q, b, s):
-        d = _pairwise_int(q, b, DistanceMetric.SQUARED_L2, s)
-        return _hierarchical_smallest_k(d, K)
-
-    timeit("dist_hier_direct", chain(hier_only))
+    timeit("blockmin_topk", chain(bm_topk))
+    # full hierarchical (sort + gather + final top_k)
+    timeit("dist_hier_topk", chain(lambda q, b, s: topk_ascending(dist(q, b, s), K)))
+    # hardware approximate selection
+    timeit(
+        "dist_approx",
+        chain(lambda q, b, s: jax.lax.approx_min_k(dist(q, b, s), K, recall_target=0.99)),
+    )
+    # plain full top_k for reference
+    timeit("dist_full_topk", chain(lambda q, b, s: jax.lax.top_k(-dist(q, b, s), K)))
 
 
 if __name__ == "__main__":
