@@ -51,6 +51,26 @@ def emit(metric: str, value: float, unit: str, vs_baseline: float, **extra):
     log(f"RESULT {json.dumps(line)}")
 
 
+def transfer_ceiling(sample: np.ndarray) -> float:
+    """Best-of-2 host->device transfer rate (bytes/s). The warm-up put
+    compiles the scalar-index sync op OUTSIDE the timed region (a cold
+    remote compile costs tens of seconds through the tunnel and would
+    swamp the measurement)."""
+    import jax
+
+    warm = jax.device_put(sample[:8])
+    _ = float(warm[0, 0])
+    del warm
+    best = 0.0
+    for _ in range(3):
+        t0 = time.perf_counter()
+        dev = jax.device_put(sample)
+        _ = float(dev[0, 0])
+        best = max(best, sample.nbytes / (time.perf_counter() - t0))
+        del dev
+    return best
+
+
 def median_time(fn, iters: int) -> float:
     times = []
     for _ in range(iters):
@@ -99,14 +119,22 @@ def bench_core(args):
 
     n, dim, k = args.n, args.dim, args.k
     rng = np.random.default_rng(7)
-    data = rng.standard_normal((n, dim)).astype(np.float32)
+    # dtype=float32 generates natively (no f64 intermediate / astype pass)
+    data = rng.standard_normal((n, dim), dtype=np.float32)
     queries = data[rng.integers(0, n, 64)]
+
+    # raw host->device transfer ceiling (to attribute ingest time: the
+    # tunnel/PCIe transport, not host-side coercion, is the ingest wall)
+    ceiling = transfer_ceiling(data[: max(min(n, 65536), 8)])
+    log(f"host->device transfer ceiling: {ceiling/1e9:.3f} GB/s")
 
     t0 = time.time()
     store = svt.VectorStore()
     ds = store.create("bench", f"dimension={dim},type=FLOAT32,distance=L2")
     ds.add(data)
-    log(f"ingest {n}x{dim}: {time.time() - t0:.1f}s ({data.nbytes / 1e9:.2f} GB)")
+    ingest_s = time.time() - t0
+    log(f"ingest {n}x{dim}: {ingest_s:.1f}s ({data.nbytes / 1e9:.2f} GB, "
+        f"{100*data.nbytes/ingest_s/ceiling:.0f}% of transfer ceiling)")
 
     # ---- config 1: exact f32 L2 ------------------------------------------
     qi = iter(range(10**9))
@@ -294,19 +322,13 @@ def bench_streaming_10m(args):
     data = np.empty((n, dim), np.float32)
     step = 1_000_000
     for s in range(0, n, step):
-        data[s : s + step] = rng.standard_normal(
-            (min(step, n - s), dim)
-        ).astype(np.float32)
+        rows = min(step, n - s)
+        data[s : s + rows] = rng.standard_normal((rows, dim), dtype=np.float32)
     log(f"[10m] generated in {time.time()-t0:.0f}s")
 
-    # transfer-ceiling probe: one big device_put, synced via scalar fetch
-    probe = data[:65536]  # 201 MB
-    t0 = time.time()
-    dev = jax.device_put(probe)
-    _ = float(dev[0, 0])
-    ceiling = probe.nbytes / (time.time() - t0)
+    # transfer-ceiling probe (201 MB, best of 2, sync op pre-compiled)
+    ceiling = transfer_ceiling(data[:65536])
     log(f"[10m] measured host->device ceiling: {ceiling/1e9:.3f} GB/s")
-    del dev
 
     ds = svt.Dataset(
         "big", svt.parse_options(f"dimension={dim},type=FLOAT32,distance=L2"),
@@ -324,17 +346,22 @@ def bench_streaming_10m(args):
     stream_s = time.time() - t0
     assert got[0] == ids[probe_row] and dist[0] == 0.0, (got[:3], dist[:3])
     gbs = n * dim * 4 / stream_s / 1e9
+    # the tunnel's rate wanders 2-3x minute to minute; the honest efficiency
+    # denominator is the best transport rate OBSERVED in this run (the probe
+    # or the sustained scan itself, whichever was luckier)
+    best_link = max(ceiling, gbs * 1e9)
     log(f"[10m] streaming exact scan: {stream_s:.1f}s -> {gbs:.3f} GB/s "
-        f"({100*gbs*1e9/ceiling:.0f}% of transfer ceiling)")
+        f"({100*gbs*1e9/best_link:.0f}% of best observed transport rate)")
     emit(
         f"streaming_exact_scan_gbs_{n//1000000}mx{dim}_f32",
         gbs,
         "GB/s",
-        gbs * 1e9 / ceiling,
+        gbs * 1e9 / best_link,
         scan_seconds=round(stream_s, 1),
-        transfer_ceiling_gbs=round(ceiling / 1e9, 3),
-        baseline="measured host->device transfer ceiling (vs_baseline = "
-        "fraction of ceiling sustained end-to-end)",
+        transfer_ceiling_probe_gbs=round(ceiling / 1e9, 3),
+        baseline="best observed host->device transport rate this run "
+        "(vs_baseline = fraction sustained end-to-end; the scan is "
+        "transport-bound on this tunneled chip)",
     )
 
     # the design that beats streaming: device-resident int8 codes + exact
