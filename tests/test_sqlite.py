@@ -824,3 +824,54 @@ def test_tvf_sql_parity_with_c_reference(tmp_path, data):
     np.testing.assert_allclose(
         [r[1] for r in ours_q], [r[1] for r in theirs_q], rtol=1e-5
     )
+
+
+@pytest.mark.skipif(not _vtab_available(), reason="vtab extension unavailable")
+def test_tvf_edge_cases(tmp_path, rng):
+    """TVF edge behavior mirrors the reference: JSON query text accepted,
+    k=0 empty, quantize-scan-before-quantize errors, f16 tables work, and
+    wrap() on an existing connection registers the modules too."""
+    import sqlite3 as sq
+
+    raw = sq.connect(str(tmp_path / "edge.db"))
+    c = svs.wrap(raw)
+    assert c.vtab_loaded
+    dim = 8
+    data = (rng.standard_normal((40, dim)) * 2).astype(np.float16)
+    c.execute("CREATE TABLE t (v BLOB)")
+    c.executemany("INSERT INTO t(v) VALUES (?)", ((r.tobytes(),) for r in data))
+    c.commit()
+    c.vector_init("t", "v", f"type=FLOAT16,dimension={dim},distance=L2")
+
+    # JSON query text accepted directly (API.md:189)
+    q_json = json.dumps([float(x) for x in data[9].astype(np.float32)])
+    rows = c.execute(
+        "SELECT rowid, distance FROM vector_full_scan('t','v',?,3)", (q_json,)
+    ).fetchall()
+    assert rows[0][0] == 10 and rows[0][1] == 0.0
+
+    # k=0 -> empty (reference :1796)
+    assert (
+        c.execute(
+            "SELECT * FROM vector_full_scan('t','v',?,0)", (q_json,)
+        ).fetchall()
+        == []
+    )
+
+    # quantize scan before vector_quantize -> error
+    with pytest.raises(sq.OperationalError):
+        c.execute(
+            "SELECT * FROM vector_quantize_scan('t','v',?,3)", (q_json,)
+        ).fetchall()
+    c.vector_quantize("t", "v")
+    qrows = c.execute(
+        "SELECT rowid FROM vector_quantize_scan('t','v',?,3)", (q_json,)
+    ).fetchall()
+    assert qrows[0][0] == 10
+
+    # wrong arg type (k as text) -> error
+    with pytest.raises(sq.OperationalError):
+        c.execute(
+            "SELECT * FROM vector_full_scan('t','v',?, 'five')", (q_json,)
+        ).fetchall()
+    c.close()
