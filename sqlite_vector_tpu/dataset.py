@@ -276,6 +276,65 @@ class Dataset:
             self._quant.stale = True
         return new_ids
 
+    @classmethod
+    def from_arrays(
+        cls,
+        name: str,
+        vectors: np.ndarray,
+        ids: np.ndarray | Sequence[int] | None = None,
+        *,
+        options: str | VectorOptions | None = None,
+        has_nonfinite: bool | None = None,
+        **kwargs: Any,
+    ) -> "Dataset":
+        """Zero-copy bulk construction: ADOPT an existing [N, dim] host array
+        (numpy, memmap, or a hostarray.ShardedRows view) instead of copying
+        it through add(). The natural constructor for host-resident (>HBM)
+        datasets; with storage='hbm' the matrix is uploaded as usual.
+
+        `has_nonfinite` skips the ingest non-finite scan when the caller
+        already knows (None = scan float dtypes; integer dtypes never scan).
+        """
+        dim = int(vectors.shape[1])
+        if isinstance(options, VectorOptions):
+            opts = options
+        else:
+            opts = parse_options(options)
+        if opts.dimension <= 0:
+            opts.dimension = dim
+        if opts.dimension != dim:
+            raise VectorConfigError(
+                f"Invalid vector dimension: expected {opts.dimension} but "
+                f"found {dim}."
+            )
+        np_dtype = opts.type.np_dtype
+        if vectors.dtype != np_dtype:
+            raise VectorConfigError(
+                f"from_arrays: array dtype {vectors.dtype} does not match "
+                f"the dataset type {opts.type.value}; cast first or use add()."
+            )
+        ds = cls(name, opts, **kwargs)
+        n = vectors.shape[0]
+        if ids is None:
+            ids = np.arange(1, n + 1, dtype=np.int64)
+        ids = np.asarray(ids, np.int64)
+        if ids.shape != (n,):
+            raise VectorConfigError("ids must have one entry per vector")
+        if has_nonfinite is None:
+            if opts.type in (VectorType.F32, VectorType.F16, VectorType.BF16):
+                chunk = max(1, (64 << 20) // max(dim, 1))
+                for s in range(0, n, chunk):
+                    a = np.asarray(vectors[s : s + chunk])
+                    if a.dtype.name == "bfloat16":
+                        a = a.astype(np.float32)
+                    if not np.isfinite(a).all():
+                        ds._has_nonfinite = True
+                        break
+        else:
+            ds._has_nonfinite = bool(has_nonfinite)
+        ds._attach_host(vectors, ids)
+        return ds
+
     def _attach_host(self, vecs: np.ndarray, ids: np.ndarray) -> None:
         """Adopt an existing (possibly memory-mapped, read-only) host array
         without copying — the load path for >RAM datasets."""

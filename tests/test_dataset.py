@@ -506,3 +506,39 @@ def test_sharded_mmap_load_is_lazy(tmp_path, rng):
     ds3 = svt.Dataset.load(d2)
     got, dist = ds3.search(base[42], 1)
     assert got[0] == ids[42] and dist[0] == 0.0
+
+
+def test_from_arrays_zero_copy_adoption(rng):
+    """Dataset.from_arrays adopts the caller's array without copying
+    (the bulk constructor for >HBM host-resident datasets)."""
+    import numpy as np
+    import pytest
+    import sqlite_vector_tpu as svt
+    from sqlite_vector_tpu.errors import VectorConfigError
+
+    base = rng.standard_normal((500, 16)).astype(np.float32)
+    ds = svt.Dataset.from_arrays("za", base, storage="host")
+    assert ds._host_vectors is base  # adopted, not copied
+    assert len(ds) == 500 and ds.dimension == 16
+    got, dist = ds.search(base[77], 3)
+    assert got[0] == 78 and dist[0] == 0.0  # default ids are 1-based
+
+    # explicit ids + hbm storage + options string
+    ids = np.arange(1000, 1500, dtype=np.int64)
+    ds2 = svt.Dataset.from_arrays(
+        "zb", base, ids, options="dimension=16,type=FLOAT32,distance=COSINE"
+    )
+    got, _ = ds2.search(base[5], 1)
+    assert got[0] == 1005
+
+    # dtype mismatch rejected (no silent copy-cast)
+    with pytest.raises(VectorConfigError, match="dtype"):
+        svt.Dataset.from_arrays("zc", base.astype(np.float64))
+    # dimension mismatch rejected
+    with pytest.raises(VectorConfigError, match="dimension"):
+        svt.Dataset.from_arrays("zd", base, options="dimension=32")
+    # non-finite scan happens unless the caller vouches
+    bad = base.copy()
+    bad[3, 3] = np.nan
+    assert svt.Dataset.from_arrays("ze", bad)._has_nonfinite
+    assert not svt.Dataset.from_arrays("zf", bad, has_nonfinite=False)._has_nonfinite
