@@ -81,14 +81,26 @@ def index_dir(conn: svs.VectorConnection, embedder, directory: str) -> None:
 def search(conn: svs.VectorConnection, embedder, query: str, k: int = 5) -> None:
     qvec = embedder.encode([query])[0].astype(np.float32)
     t0 = time.time()
-    rows = conn.vector_quantize_scan(
-        "documents", "embedding", qvec.tobytes(), k
-    )
+    if conn.vtab_loaded:
+        # the reference's own documented query shape (README.md:96-100),
+        # verbatim — one SQL round trip via the real table-valued function
+        rows = conn.execute(
+            "SELECT d.path, d.content, v.distance FROM documents AS d "
+            "JOIN vector_quantize_scan('documents', 'embedding', ?, ?) AS v "
+            "ON d.id = v.rowid ORDER BY v.distance",
+            (qvec.tobytes(), k),
+        ).fetchall()
+    else:  # json_each fallback engines
+        rows = [
+            conn.execute(
+                "SELECT path, content, ? FROM documents WHERE id=?", (dist, rowid)
+            ).fetchone()
+            for rowid, dist in conn.vector_quantize_scan(
+                "documents", "embedding", qvec.tobytes(), k
+            )
+        ]
     dt = time.time() - t0
-    for rank, (rowid, dist) in enumerate(rows, 1):
-        path, content = conn.execute(
-            "SELECT path, content FROM documents WHERE id=?", (rowid,)
-        ).fetchone()
+    for rank, (path, content, dist) in enumerate(rows, 1):
         snippet = " ".join(content.split())[:100]
         print(f"{rank}. [{dist:.4f}] {os.path.basename(path)}: {snippet}")
     print(f"({dt * 1000:.1f} ms)")

@@ -1089,12 +1089,14 @@ class Dataset:
             codes = np.empty((count, self.dimension), rqtype.np_dtype)
             for s in starts:
                 e = min(s + chunk_rows, count)
-                codes[s:e] = oracle.quantize(
-                    np.asarray(self._host_vectors[s:e], np.float32),
-                    scale,
-                    offset,
-                    rqtype,
-                )
+                chunk = np.asarray(self._host_vectors[s:e], np.float32)
+                if self._has_nonfinite:
+                    codes[s:e] = oracle.quantize(chunk, scale, offset, rqtype)
+                else:
+                    # finite fast path: bit-identical, half the memory passes
+                    oracle.quantize_fast(
+                        chunk, scale, offset, rqtype, out=codes[s:e]
+                    )
             self._quant = _QuantState(
                 rqtype, scale, offset, codes, count,
                 ids=self._ids[:count].copy(),

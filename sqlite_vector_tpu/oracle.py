@@ -342,6 +342,34 @@ def quantize(
     raise ValueError("quantize() requires a resolved qtype (U8 or I8)")
 
 
+def quantize_fast(
+    values: np.ndarray,
+    scale: np.float32,
+    offset: np.float32,
+    qtype: QuantType,
+    out: np.ndarray | None = None,
+) -> np.ndarray:
+    """quantize() specialized for FINITE inputs (bit-identical results; the
+    non-finite branches of q_round are unreachable when isfinite(values) —
+    callers gate on the dataset's has_nonfinite flag). In-place temporaries:
+    ~5 memory passes instead of ~10, which matters for the >RAM host
+    quantize (30 GB x passes on one core)."""
+    lo, hi = (0.0, 255.0) if qtype is QuantType.U8 else (-128.0, 127.0)
+    s = np.asarray(values, dtype=np.float32)
+    s = (s - np.float32(offset)) * np.float32(scale)  # one new temp
+    # half-away-from-zero: trunc(s + copysign(0.5, s))
+    half = np.copysign(np.float32(0.5), s)
+    np.add(s, half, out=s)
+    np.trunc(s, out=s)
+    np.clip(s, lo, hi, out=s)
+    if out is None:
+        return s.astype(
+            np.uint8 if qtype is QuantType.U8 else np.int8
+        )
+    np.copyto(out, s, casting="unsafe")
+    return out
+
+
 def topk_reference(
     distances: np.ndarray, k: int
 ) -> tuple[np.ndarray, np.ndarray]:

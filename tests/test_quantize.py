@@ -185,3 +185,31 @@ def test_drop_quantization(rng):
     ds.drop_quantization()  # silent no-op, like the reference (:1510)
     with pytest.raises(VectorStateError):
         ds.search(np.zeros(4, np.float32), 3, exact=False)
+
+
+def test_quantize_fast_bit_parity(rng):
+    """quantize_fast must be bit-identical to quantize on finite inputs,
+    for both qtypes, including exact .5 boundaries and extremes."""
+    import numpy as np
+
+    from sqlite_vector_tpu import oracle
+    from sqlite_vector_tpu.types import QuantType
+
+    vals = np.concatenate(
+        [
+            rng.standard_normal(5000).astype(np.float32) * 100,
+            np.array([0.0, -0.0, 0.5, -0.5, 1.5, -1.5, 1e9, -1e9], np.float32),
+        ]
+    )
+    for qtype in (QuantType.U8, QuantType.I8):
+        for scale, offset in ((1.0, 0.0), (0.37, -3.2), (255.0, -1.0)):
+            a = oracle.quantize(vals, np.float32(scale), np.float32(offset), qtype)
+            b = oracle.quantize_fast(
+                vals, np.float32(scale), np.float32(offset), qtype
+            )
+            np.testing.assert_array_equal(a, b)
+            out = np.empty_like(a)
+            oracle.quantize_fast(
+                vals, np.float32(scale), np.float32(offset), qtype, out=out
+            )
+            np.testing.assert_array_equal(a, out)
