@@ -989,6 +989,7 @@ class Dataset:
                     self.metric,
                     valid_count=self._count,
                     device=self._device,
+                    mesh=self._mesh,
                     policy_vtype=policy,
                 )
             else:
@@ -1002,6 +1003,7 @@ class Dataset:
                     self.metric,
                     valid_count=quant.count,
                     device=self._device,
+                    mesh=self._mesh,
                 )
             return d[0] if single else d
         if exact:

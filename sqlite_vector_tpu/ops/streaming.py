@@ -81,6 +81,7 @@ def streaming_scan_topk(
             policy_vtype=policy_vtype,
         )
     else:
+        n_dev = 1
         put = (
             (lambda a: jax.device_put(a, device))
             if device is not None
@@ -100,6 +101,10 @@ def streaming_scan_topk(
         )
 
     ntiles = -(-n // tile_rows)
+    if ntiles == 1:
+        # single tile: shrink to the data (rounded to a shardable multiple)
+        mult = n_dev if mesh is not None else 1
+        tile_rows = -(-n // mult) * mult
 
     def tile(i: int):
         start = i * tile_rows
@@ -141,33 +146,64 @@ def streaming_scan_distances(
     valid_count: int | None = None,
     tile_rows: int = DEFAULT_STREAM_ROWS,
     device=None,
+    mesh=None,
     policy_vtype=None,
 ) -> np.ndarray:
     """Full [B, N] distances over a host-resident array, computed per tile
-    (the *_stream virtual tables for out-of-HBM datasets)."""
+    (the *_stream virtual tables for out-of-HBM datasets). With `mesh`,
+    each tile is row-sharded across the chips."""
     from sqlite_vector_tpu.ops.scan import scan_distances
 
     n = host_vectors.shape[0] if valid_count is None else int(valid_count)
     b = queries.shape[0]
-    put = (lambda a: jax.device_put(a, device)) if device is not None else jax.device_put
-    qd = put(np.ascontiguousarray(queries))
+    if mesh is not None:
+        from sqlite_vector_tpu.parallel import (
+            replicated_sharding,
+            row_sharding,
+            sharded_scan_distances,
+        )
+
+        n_dev = int(np.prod(list(mesh.shape.values())))
+        row_shard = row_sharding(mesh)
+        put = lambda a: jax.device_put(a, row_shard)  # noqa: E731
+        put_q = lambda a: jax.device_put(a, replicated_sharding(mesh))  # noqa: E731
+
+        def dists(qd, t):
+            return sharded_scan_distances(
+                qd, t, metric, mesh, policy_vtype=policy_vtype
+            )
+
+    else:
+        n_dev = 1
+        put = (
+            (lambda a: jax.device_put(a, device))
+            if device is not None
+            else jax.device_put
+        )
+        put_q = put
+
+        def dists(qd, t):
+            return scan_distances(qd, t, metric, policy_vtype=policy_vtype)
+
+    qd = put_q(np.ascontiguousarray(queries))
     if n == 0:
         return np.zeros((b, 0), np.float32)
+
+    def stage(start):
+        rows = min(tile_rows, n - start)
+        t = np.ascontiguousarray(host_vectors[start : start + rows])
+        if rows % n_dev:  # pad to a shardable multiple
+            pad = -(-rows // n_dev) * n_dev - rows
+            t = np.concatenate([t, np.zeros((pad, t.shape[1]), t.dtype)])
+        return put(t), rows
+
     ntiles = -(-n // tile_rows)
     out = np.empty((b, n), np.float32)
-    next_dev = put(np.ascontiguousarray(host_vectors[0:min(tile_rows, n)]))
+    next_dev = stage(0)
     for i in range(ntiles):
         start = i * tile_rows
-        rows = min(tile_rows, n - start)
-        cur = next_dev
+        cur, rows = next_dev
         if i + 1 < ntiles:
-            nstart = (i + 1) * tile_rows
-            next_dev = put(
-                np.ascontiguousarray(
-                    host_vectors[nstart : nstart + min(tile_rows, n - nstart)]
-                )
-            )
-        out[:, start : start + rows] = np.asarray(
-            scan_distances(qd, cur, metric, policy_vtype=policy_vtype)
-        )[:, :rows]
+            next_dev = stage((i + 1) * tile_rows)
+        out[:, start : start + rows] = np.asarray(dists(qd, cur))[:, :rows]
     return out

@@ -150,3 +150,28 @@ def test_mesh_host_streaming_composition(rng):
     ds.quantize()
     qgot, _ = ds.search(base[123], 3, exact=False)
     assert qgot[0] == ids[123]
+
+
+def test_mesh_host_streaming_distances(rng):
+    """distances() on a host+mesh dataset shards each tile across the mesh."""
+    import numpy as np
+    import sqlite_vector_tpu as svt
+    from sqlite_vector_tpu import oracle
+    from sqlite_vector_tpu.ops.streaming import streaming_scan_distances
+    from sqlite_vector_tpu.parallel import make_mesh
+    from sqlite_vector_tpu.types import DistanceMetric, VectorType
+
+    mesh = make_mesh(8)
+    base = rng.standard_normal((2100, 12)).astype(np.float32)  # not /8
+    q = rng.standard_normal((2, 12)).astype(np.float32)
+    d = streaming_scan_distances(
+        q, base, DistanceMetric.COSINE, tile_rows=1000, mesh=mesh
+    )
+    ref = oracle.distance(q, base, DistanceMetric.COSINE, VectorType.F32)
+    np.testing.assert_allclose(d, ref, rtol=1e-4, atol=1e-5)
+
+    ds = svt.Dataset.from_arrays(
+        "md", base, options="distance=COSINE", storage="host", mesh=mesh
+    )
+    d2 = ds.distances(q)
+    np.testing.assert_allclose(d2, ref, rtol=1e-4, atol=1e-5)
