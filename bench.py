@@ -132,6 +132,10 @@ def bench_core(args):
     store = svt.VectorStore()
     ds = store.create("bench", f"dimension={dim},type=FLOAT32,distance=L2")
     ds.add(data)
+    # add() dispatches the upload asynchronously (by design: ingest overlaps
+    # whatever the caller does next); block here so the transfer time lands
+    # in the ingest line, not in whichever timed stage syncs first
+    jax.block_until_ready(ds._vectors)
     ingest_s = time.time() - t0
     log(f"ingest {n}x{dim}: {ingest_s:.1f}s ({data.nbytes / 1e9:.2f} GB, "
         f"{100*data.nbytes/ingest_s/ceiling:.0f}% of transfer ceiling)")

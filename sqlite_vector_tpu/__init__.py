@@ -19,6 +19,10 @@ Public API (see also sqlite_vector_tpu.sqlite for the SQLite-compatible
 surface mirroring the reference's SQL functions).
 """
 
+from sqlite_vector_tpu.utils.compile_cache import enable_persistent_cache
+
+enable_persistent_cache()
+
 from sqlite_vector_tpu.types import (
     VectorType,
     DistanceMetric,

@@ -56,3 +56,30 @@ def test_sqlite_wrap_existing_connection(tmp_path, rng):
     assert rows[0][0] == 4 and rows[0][1] == 0.0
     # registered SQL functions available on the wrapped connection
     assert raw.execute("SELECT vector_version()").fetchone()[0]
+
+
+def test_persistent_compile_cache_config(tmp_path, monkeypatch):
+    # enable_persistent_cache respects the env override and returns the dir
+    from sqlite_vector_tpu.utils.compile_cache import enable_persistent_cache
+
+    cache_dir = str(tmp_path / "xla-cache")
+    monkeypatch.setenv("SVT_COMPILE_CACHE", cache_dir)
+    assert enable_persistent_cache() == cache_dir
+    import jax
+
+    assert jax.config.jax_compilation_cache_dir == cache_dir
+    # a jitted computation lands an executable in the cache dir
+    import jax.numpy as jnp
+
+    jax.clear_caches()
+    jax.jit(lambda x: x * 2 + 1)(jnp.arange(8.0)).block_until_ready()
+    import os
+
+    assert os.path.isdir(cache_dir) and len(os.listdir(cache_dir)) > 0
+
+    # disable spelling returns None and leaves config pointing elsewhere
+    monkeypatch.setenv("SVT_COMPILE_CACHE", "off")
+    assert enable_persistent_cache() is None
+    # restore the default for other tests in this process
+    monkeypatch.setenv("SVT_COMPILE_CACHE", cache_dir)
+    enable_persistent_cache()
