@@ -93,8 +93,12 @@ def make_chained(metric, k, n, m):
     @jax.jit
     def chained(qs, b, sq):
         def body(c, q):
+            # loop-carry in q's OWN dtype: `q + c*0` with a float carry would
+            # silently promote int8 query codes to f32 and time a different
+            # kernel mix than the real int8 path
             vals, idx = fused_scan_topk(
-                q + c * 0, b, metric, k, valid_count=n, base_sq_norms=sq
+                q + (c * 0).astype(q.dtype), b, metric, k,
+                valid_count=n, base_sq_norms=sq,
             )
             return vals[0, 0], (vals[0], idx[0])
 

@@ -94,19 +94,43 @@ static int svt_best_index(sqlite3_vtab *tab, sqlite3_index_info *info) {
     info->estimatedCost = 1e8;
     info->estimatedRows = 100000;
   } else {
-    /* top-k results come back pre-sorted ascending (reference :1850-1853) */
+    /* top-k results come back pre-sorted by distance ascending. The
+     * reference sets orderByConsumed unconditionally (:1853), which silently
+     * mis-orders ORDER BY id / ORDER BY distance DESC; we consume the order
+     * only when it actually matches what the cursor emits. */
     info->estimatedCost = 1.0;
     info->estimatedRows = 100;
-    info->orderByConsumed = 1;
+    if (info->nOrderBy == 1 && info->aOrderBy[0].iColumn == COL_DISTANCE &&
+        !info->aOrderBy[0].desc) {
+      info->orderByConsumed = 1;
+    }
   }
   info->idxNum = 1;
+  /* positional TVF args land on hidden columns 0..nargs-1; every one must
+   * have a USABLE == constraint in this plan. When an argument comes from
+   * an outer table that is not yet positioned (correlated nested-loop
+   * join), its constraint is present but unusable — returning
+   * SQLITE_CONSTRAINT tells the planner to try another join order instead
+   * of calling xFilter with a gap in argv ("xBestIndex malfunction"). */
+  int nargs = v->is_stream ? 3 : 4;
+  int have[4] = {0, 0, 0, 0};
+  int present[4] = {0, 0, 0, 0};
   const struct sqlite3_index_constraint *c = info->aConstraint;
   for (int i = 0; i < info->nConstraint; i++, c++) {
-    if (!c->usable || c->op != SQLITE_INDEX_CONSTRAINT_EQ) continue;
-    if (c->iColumn >= COL_TBL && c->iColumn <= COL_MEMIDX) {
-      info->aConstraintUsage[i].argvIndex = c->iColumn + 1;
-      info->aConstraintUsage[i].omit = 1;
-    }
+    if (c->op != SQLITE_INDEX_CONSTRAINT_EQ) continue;
+    if (c->iColumn < COL_TBL || c->iColumn >= nargs) continue;
+    present[c->iColumn] = 1;
+    if (!c->usable) continue;
+    info->aConstraintUsage[i].argvIndex = c->iColumn + 1;
+    info->aConstraintUsage[i].omit = 1;
+    have[c->iColumn] = 1;
+  }
+  for (int i = 0; i < nargs; i++) {
+    /* an argument the user DID pass but that is unusable in this join
+     * order (e.g. it references an outer table not yet positioned) makes
+     * the plan infeasible; an argument missing entirely falls through to
+     * xFilter's arity error */
+    if (present[i] && !have[i]) return SQLITE_CONSTRAINT;
   }
   return SQLITE_OK;
 }
@@ -135,6 +159,12 @@ static int svt_filter(sqlite3_vtab_cursor *cur, int idx_num,
   svt_cursor *c = (svt_cursor *)cur;
   svt_vtab *v = (svt_vtab *)cur->pVtab;
   c->n = c->pos = 0;
+  /* a cursor can be re-filtered (nested-loop JOIN rewinds); drop the
+   * previous result buffers (reference frees likewise, :1799) */
+  sqlite3_free(c->ids);
+  sqlite3_free(c->dist);
+  c->ids = NULL;
+  c->dist = NULL;
 
   int nargs = v->is_stream ? 3 : 4;
   if (argc != nargs) {

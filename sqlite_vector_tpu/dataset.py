@@ -60,6 +60,28 @@ from sqlite_vector_tpu.types import (
 )
 
 MIN_CAPACITY = 1024
+# elements per chunk for host-side passes over possibly->RAM row views
+# (the non-finite ingest scan and the chunked quantize pipeline)
+HOST_CHUNK_ELEMS = 64 << 20
+
+_FLOAT_TYPES = (VectorType.F32, VectorType.F16, VectorType.BF16)
+
+
+def _scan_nonfinite(vectors: Any, dtype: VectorType, count: int) -> bool:
+    """Chunked host scan for non-finite values over any row-sliceable array
+    (numpy, memmap, or a hostarray.ShardedRows view). One policy for every
+    ingest path; integer dtypes never scan."""
+    if dtype not in _FLOAT_TYPES or count == 0:
+        return False
+    dim = int(vectors.shape[1]) if len(vectors.shape) > 1 else 1
+    chunk = max(1, HOST_CHUNK_ELEMS // max(dim, 1))
+    for s in range(0, count, chunk):
+        a = np.asarray(vectors[s : min(s + chunk, count)])
+        if a.dtype.name == "bfloat16":
+            a = a.astype(np.float32)
+        if not np.isfinite(a).all():
+            return True
+    return False
 
 
 def _npy_rows(path: str) -> int:
@@ -297,7 +319,8 @@ class Dataset:
         """
         dim = int(vectors.shape[1])
         if isinstance(options, VectorOptions):
-            opts = options
+            # private copy: never mutate (or share) the caller's object
+            opts = dataclasses.replace(options)
         else:
             opts = parse_options(options)
         if opts.dimension <= 0:
@@ -321,15 +344,7 @@ class Dataset:
         if ids.shape != (n,):
             raise VectorConfigError("ids must have one entry per vector")
         if has_nonfinite is None:
-            if opts.type in (VectorType.F32, VectorType.F16, VectorType.BF16):
-                chunk = max(1, (64 << 20) // max(dim, 1))
-                for s in range(0, n, chunk):
-                    a = np.asarray(vectors[s : s + chunk])
-                    if a.dtype.name == "bfloat16":
-                        a = a.astype(np.float32)
-                    if not np.isfinite(a).all():
-                        ds._has_nonfinite = True
-                        break
+            ds._has_nonfinite = _scan_nonfinite(vectors, opts.type, n)
         else:
             ds._has_nonfinite = bool(has_nonfinite)
         ds._attach_host(vectors, ids)
@@ -350,12 +365,7 @@ class Dataset:
         cheap host pass over just the new data; integer dtypes skip it)."""
         if self._has_nonfinite or arr.size == 0:
             return
-        if self.dtype not in (VectorType.F32, VectorType.F16, VectorType.BF16):
-            return
-        a = arr
-        if a.dtype.name == "bfloat16":
-            a = a.astype(np.float32)
-        self._has_nonfinite = not bool(np.isfinite(a).all())
+        self._has_nonfinite = _scan_nonfinite(arr, self.dtype, arr.shape[0])
 
     def _host_writable(self) -> bool:
         hv = self._host_vectors
@@ -737,14 +747,20 @@ class Dataset:
         out[:count] = mask[:count]
         return self._put(out)
 
-    def _nonfinite_policy(self, q: np.ndarray) -> VectorType | None:
+    def _nonfinite_policy(
+        self, q: np.ndarray, *, raw_values: bool = False
+    ) -> VectorType | None:
         """Resolve whether this search must run the non-finite policy kernels
         (reference lane-skip semantics, src/distance-cpu.c:164-197, 318-468):
         only for dtypes with lane-skip rules, and only when the dataset flag
-        or the query itself is non-finite."""
-        from sqlite_vector_tpu.ops.nonfinite import needs_policy
+        or the query itself is non-finite. raw_values=True additionally
+        covers f32 L2/SQUARED_L2, whose matmul decomposition matches the
+        reference's top-k row EXCLUSION but not its raw +Inf values — the
+        streaming vtabs expose the values themselves."""
+        from sqlite_vector_tpu.ops.nonfinite import needs_policy, needs_raw_policy
 
-        if not needs_policy(self.dtype, self.metric):
+        needed = needs_raw_policy if raw_values else needs_policy
+        if not needed(self.dtype, self.metric):
             return None
         if self._has_nonfinite:
             return self.dtype
@@ -977,7 +993,7 @@ class Dataset:
         if self._count == 0:
             out = np.zeros((q.shape[0], 0), np.float32)
             return out[0] if single else out
-        policy = self._nonfinite_policy(q) if exact else None
+        policy = self._nonfinite_policy(q, raw_values=True) if exact else None
         if self._storage == "host":
             from sqlite_vector_tpu.oracle import quantize as oracle_quantize
             from sqlite_vector_tpu.ops.streaming import streaming_scan_distances
@@ -1079,7 +1095,7 @@ class Dataset:
             from sqlite_vector_tpu import oracle
 
             count = self._count
-            chunk_rows = max(1, (64 << 20) // max(self.dimension, 1))
+            chunk_rows = max(1, HOST_CHUNK_ELEMS // max(self.dimension, 1))
             starts = range(0, count, chunk_rows)
             rqtype, scale, offset = oracle.compute_quant_params_chunked(
                 (

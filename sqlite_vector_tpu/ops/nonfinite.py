@@ -41,6 +41,20 @@ def needs_policy(vtype: VectorType, metric: DistanceMetric) -> bool:
     return False
 
 
+def needs_raw_policy(vtype: VectorType, metric: DistanceMetric) -> bool:
+    """needs_policy, plus the configurations where only the RAW distance
+    value (not the top-k ordering) diverges from the reference: f32
+    L2/SQUARED_L2 via the matmul decomposition turns an Inf row into
+    qsq + inf - 2*(+-inf) = NaN, where the reference's direct sum((a-b)^2)
+    emits +Inf (src/distance-cpu.c:39-74). Top-k paths are unaffected (NaN
+    and +Inf are both never selected), but the streaming vtabs expose the
+    value itself, so Dataset.distances routes these through the direct
+    element-wise kernel."""
+    if needs_policy(vtype, metric):
+        return True
+    return vtype is VectorType.F32 and metric in _LASSQ_METRICS
+
+
 def policy_pairwise(
     q: jnp.ndarray,
     tile: jnp.ndarray,
@@ -55,6 +69,14 @@ def policy_pairwise(
     """
     x = q.astype(jnp.float32)[:, None, :]
     y = tile.astype(jnp.float32)[None, :, :]
+
+    if vtype is VectorType.F32 and metric in _LASSQ_METRICS:
+        # f32 is PLAIN math, not LASSQ (src/distance-cpu.c:39-74): NaN
+        # propagates, an unmatched Inf lane gives +Inf, matched Infs give
+        # inf-inf = NaN — the direct sum reproduces all of it
+        d = x - y
+        s = jnp.sum(d * d, axis=-1)
+        return jnp.sqrt(s) if metric is DistanceMetric.L2 else s
 
     if metric in _LASSQ_METRICS:
         # LASSQ (f16 :318-356, bf16 :164-197): NaN diff lanes -> 0, matched

@@ -263,7 +263,10 @@ def scan_distances(
 
     The reference emits every (rowid, distance) pair and lets SQLite sort or
     filter (src/sqlite-vector.c:2243-2373); here the caller gets the dense
-    matrix and applies arbitrary post-processing. Raw values — NaN stays NaN,
-    exactly what the reference's streaming cursor would emit per row.
+    matrix and applies arbitrary post-processing. Raw values — NaN stays NaN.
+    For reference-parity values on non-finite inputs the caller must pass
+    policy_vtype (Dataset.distances resolves it via needs_raw_policy): the
+    bare matmul decomposition turns f32 L2 rows containing Inf into NaN
+    where the reference's direct kernel emits +Inf.
     """
     return _tile_distance(queries, base, metric, base_sq_norms, policy_vtype)

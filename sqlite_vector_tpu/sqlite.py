@@ -348,17 +348,32 @@ class VectorConnection:
         if len(id_arr):
             ds.add(arr, id_arr)
         ctx.dataset = ds
-        ctx.max_pk = int(id_arr.max()) if len(id_arr) else None
+        ctx.max_pk = self._table_max_pk(ctx)
         ctx.stamp = stamp
         return ds
+
+    def _table_max_pk(self, ctx: _TableContext) -> int | None:
+        """Table-wide MAX(pk) — including rows whose vector column is NULL.
+        The append-only proof in _refresh_incremental needs 'pk > max_pk' to
+        mean 'row did not exist at load time'; stamping with the max LOADED
+        pk instead would let a pre-existing NULL-vector row above it absorb
+        the total_changes delta of an UPDATE to a loaded row (serving a
+        stale vector with no error)."""
+        row = self._conn.execute(
+            f"SELECT MAX({_quote(ctx.pk)}) FROM {_quote(ctx.table)}"
+        ).fetchone()
+        return int(row[0]) if row and row[0] is not None else None
 
     def _refresh_incremental(self, ctx: _TableContext, stamp: tuple) -> bool:
         """Append fast path. Sound because: data_version unchanged means no
         OTHER connection committed anything; total_changes counts every row
-        this connection inserted/updated/deleted (triggers included), so a
-        delta exactly equal to the number of rows now sitting above max_pk
-        proves all changes were those inserts — no old row can have been
-        touched. Any mismatch falls back to a full reload."""
+        this connection inserted/updated/deleted (triggers included); and
+        max_pk is the table-wide MAX(pk) at the last (re)load, so a delta
+        exactly equal to the number of rows now sitting above max_pk proves
+        all changes were inserts of brand-new rows — no row that existed at
+        load time can have been touched. A pk UPDATE that moves an old row
+        above max_pk passes the first check but is caught by the population
+        count below. Any mismatch falls back to a full reload."""
         if ctx.dataset is None or ctx.stamp is None or ctx.max_pk is None:
             return False
         old_dv, old_tc = ctx.stamp
@@ -384,7 +399,10 @@ class VectorConnection:
         id_arr, arr = self._load_rows(ctx, min_pk=ctx.max_pk)
         if len(id_arr):
             ctx.dataset.add(arr, id_arr)
-            ctx.max_pk = int(id_arr.max())
+        # table-wide max, NOT id_arr.max(): an appended row with a NULL
+        # vector sits above every loaded pk and must not be double-counted
+        # by the next append-only proof
+        ctx.max_pk = self._table_max_pk(ctx)
         ctx.stamp = stamp
         return True
 

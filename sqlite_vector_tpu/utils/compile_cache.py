@@ -14,6 +14,11 @@ only a disk read.
 Controls (read once at import):
   SVT_COMPILE_CACHE=<dir>   cache directory (default ~/.cache/sqlite_vector_tpu/xla)
   SVT_COMPILE_CACHE=0|off   disable entirely
+
+If the process already configured a cache (jax_compilation_cache_dir or the
+JAX_COMPILATION_CACHE_DIR env var), the package leaves it — and the user's
+min-compile-time/min-entry-size thresholds — completely untouched; only an
+explicit SVT_COMPILE_CACHE=<dir> overrides a user cache.
 """
 
 from __future__ import annotations
@@ -36,11 +41,16 @@ def enable_persistent_cache() -> str | None:
     raw = os.environ.get("SVT_COMPILE_CACHE", "")
     if raw.strip().lower() in ("0", "off", "false", "none", "disable"):
         return None
-    cache_dir = raw or _DEFAULT_DIR
     try:
         import jax
 
         prev = getattr(jax.config, "jax_compilation_cache_dir", None)
+        if not raw and (prev or os.environ.get("JAX_COMPILATION_CACHE_DIR")):
+            # the user configured their own cache — leave it (and their
+            # size/time thresholds) completely alone; only an explicit
+            # SVT_COMPILE_CACHE=<dir> overrides it
+            return prev or os.environ["JAX_COMPILATION_CACHE_DIR"]
+        cache_dir = raw or _DEFAULT_DIR
         jax.config.update("jax_compilation_cache_dir", cache_dir)
         if prev is not None and prev != cache_dir:
             # the cache backend is a lazily-initialized singleton bound to

@@ -542,3 +542,21 @@ def test_from_arrays_zero_copy_adoption(rng):
     bad[3, 3] = np.nan
     assert svt.Dataset.from_arrays("ze", bad)._has_nonfinite
     assert not svt.Dataset.from_arrays("zf", bad, has_nonfinite=False)._has_nonfinite
+
+
+def test_from_arrays_does_not_mutate_caller_options(rng):
+    """from_arrays must copy a caller-supplied VectorOptions (it resolves
+    dimension=0 in place otherwise, breaking reuse across datasets)."""
+    from sqlite_vector_tpu import parse_options
+
+    opts = parse_options("type=FLOAT32")
+    assert opts.dimension <= 0
+    a16 = rng.standard_normal((10, 16)).astype(np.float32)
+    a32 = rng.standard_normal((10, 32)).astype(np.float32)
+    d1 = Dataset.from_arrays("m16", a16, options=opts)
+    assert opts.dimension <= 0  # caller object untouched
+    d2 = Dataset.from_arrays("m32", a32, options=opts)
+    assert d1.dimension == 16 and d2.dimension == 32
+    # and the adopted options are private: external mutation is inert
+    opts.dimension = 999
+    assert d1.dimension == 16

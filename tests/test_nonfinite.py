@@ -207,3 +207,39 @@ def test_mesh_sharded_policy(rng):
     q[2] = 0.0
     got_ids, _ = ds.search(q, 5)
     assert int(ids[33]) in got_ids.tolist()
+
+
+@pytest.mark.parametrize("metric", ["L2", "SQUARED_L2"])
+def test_f32_stream_raw_values_match_reference_semantics(metric, rng):
+    """The streaming vtabs expose RAW distances. For f32 L2/SQUARED_L2 the
+    matmul decomposition yields NaN on Inf rows (inf - inf) where the
+    reference's direct sum((a-b)^2) emits +Inf — Dataset.distances must
+    route through the direct kernel and match the oracle value-for-value
+    (src/distance-cpu.c:39-74)."""
+    base = rng.standard_normal((64, DIM)).astype(np.float32)
+    base[8, 2] = np.inf       # unmatched Inf lane -> +Inf distance
+    base[11, 4] = -np.inf
+    base[3, 7] = np.nan       # NaN propagates -> NaN distance
+    m = DistanceMetric.from_name(metric)
+    ds = svt.Dataset(
+        "raw", svt.parse_options(f"dimension={DIM},type=FLOAT32,distance={metric}")
+    )
+    ds.add(base)
+    q = rng.standard_normal(DIM).astype(np.float32)
+    got = ds.distances(q)
+    want = oracle.snap_zero(
+        oracle.distance(q[None], base, m, VectorType.F32)[0]
+    )
+    assert np.isposinf(got[8]) and np.isposinf(got[11])
+    assert np.isnan(got[3])
+    np.testing.assert_allclose(got, want, rtol=2e-4, atol=1e-5)
+
+    # host-storage path takes the same policy routing
+    ds2 = svt.Dataset(
+        "raw2",
+        svt.parse_options(f"dimension={DIM},type=FLOAT32,distance={metric}"),
+        storage="host",
+    )
+    ds2.add(base)
+    got2 = ds2.distances(q)
+    assert np.isposinf(got2[8]) and np.isnan(got2[3])

@@ -613,6 +613,46 @@ def test_incremental_refresh_append_fast_path(tmp_path, data, monkeypatch):
     c.close()
 
 
+def test_incremental_refresh_null_row_above_max(tmp_path, data):
+    """A pre-existing NULL-vector row ABOVE every loaded pk must not let an
+    UPDATE of a loaded row masquerade as an append (the fast-path proof
+    counts rows above the stamp; stamping with the max LOADED pk instead of
+    the table-wide MAX(pk) made the NULL row absorb the change delta and
+    the search served the stale vector)."""
+    c = svs.connect(str(tmp_path / "nullrow.db"))
+    c.execute("CREATE TABLE t (v BLOB)")
+    c.executemany("INSERT INTO t(v) VALUES (?)", ((r.tobytes(),) for r in data))
+    c.execute("INSERT INTO t(v) VALUES (NULL)")  # pk N+1, skipped by loads
+    c.commit()
+    c.vector_init("t", "v", f"type=FLOAT32,dimension={DIM}")
+    rows = c.vector_full_scan("t", "v", data[4].tobytes(), 1)
+    assert rows[0][0] == 5 and rows[0][1] == 0.0
+
+    # same-connection UPDATE of a loaded row: must be visible (full reload)
+    newvec = np.full(DIM, 42.0, np.float32)
+    c.execute("UPDATE t SET v=? WHERE rowid=5", (newvec.tobytes(),))
+    c.commit()
+    rows = c.vector_full_scan("t", "v", newvec.tobytes(), 1)
+    assert rows[0][0] == 5 and rows[0][1] == 0.0
+    # and the old content is gone
+    rows = c.vector_full_scan("t", "v", data[4].tobytes(), 1)
+    assert rows[0][1] != 0.0
+
+    # appends still take the fast path with NULL rows in the mix, including
+    # a NULL row appended above everything (must not poison the next proof)
+    extra = np.arange(DIM, dtype=np.float32)
+    c.execute("INSERT INTO t(v) VALUES (?)", (extra.tobytes(),))
+    c.execute("INSERT INTO t(v) VALUES (NULL)")
+    c.commit()
+    rows = c.vector_full_scan("t", "v", extra.tobytes(), 1)
+    assert rows[0][1] == 0.0
+    c.execute("UPDATE t SET v=? WHERE rowid=1", ((extra + 3).tobytes(),))
+    c.commit()
+    rows = c.vector_full_scan("t", "v", (extra + 3).tobytes(), 1)
+    assert rows[0][0] == 1 and rows[0][1] == 0.0
+    c.close()
+
+
 @pytest.mark.skipif(not _ref_available(), reason="C reference not built")
 @pytest.mark.parametrize("metric", ["L2", "SQUARED_L2", "L1", "COSINE", "DOT"])
 def test_interop_nonfinite_vectors(tmp_path, rng, metric):
@@ -929,3 +969,65 @@ def test_stream_tvf_sql_parity_with_c_reference(tmp_path, data):
     # the phantom row also pollutes MIN(distance) on the C side (0.0 at
     # best); compare our aggregate against the true minimum instead
     assert ours_q[1] >= 0.0
+
+
+@pytest.mark.skipif(not _vtab_available(), reason="vtab extension unavailable")
+def test_tvf_order_by_not_blindly_consumed(tmp_path, data):
+    """ORDER BY clauses other than distance-ASC must actually be applied.
+    The C reference sets orderByConsumed unconditionally and silently
+    mis-orders ORDER BY id / ORDER BY distance DESC; we consume the order
+    only when it matches the cursor's natural emission."""
+    c = svs.connect(str(tmp_path / "order.db"))
+    c.execute("CREATE TABLE t (v BLOB)")
+    c.executemany("INSERT INTO t(v) VALUES (?)", ((r.tobytes(),) for r in data))
+    c.commit()
+    c.vector_init("t", "v", f"type=FLOAT32,dimension={DIM}")
+    q = data[7].tobytes()
+    asc = c.execute(
+        "SELECT rowid, distance FROM vector_full_scan('t','v',?,8) "
+        "ORDER BY distance",
+        (q,),
+    ).fetchall()
+    desc = c.execute(
+        "SELECT rowid, distance FROM vector_full_scan('t','v',?,8) "
+        "ORDER BY distance DESC",
+        (q,),
+    ).fetchall()
+    by_id = c.execute(
+        "SELECT rowid, distance FROM vector_full_scan('t','v',?,8) "
+        "ORDER BY rowid",
+        (q,),
+    ).fetchall()
+    assert desc == asc[::-1]
+    assert [r[0] for r in by_id] == sorted(r[0] for r in asc)
+    c.close()
+
+
+@pytest.mark.skipif(not _vtab_available(), reason="vtab extension unavailable")
+def test_tvf_cursor_refilter_in_nested_loop(tmp_path, data):
+    """A TVF cursor re-filtered per outer row (correlated nested-loop JOIN)
+    must produce the right rows every iteration — exercises the xFilter
+    buffer reuse path (previously leaked; the reference frees likewise,
+    src/sqlite-vector.c:1799)."""
+    c = svs.connect(str(tmp_path / "refilter.db"))
+    c.execute("CREATE TABLE t (v BLOB)")
+    c.executemany("INSERT INTO t(v) VALUES (?)", ((r.tobytes(),) for r in data))
+    c.execute("CREATE TABLE probes (pid INTEGER PRIMARY KEY, pv BLOB)")
+    for i in (0, 5, 9):
+        c.execute(
+            "INSERT INTO probes(pv) VALUES (?)", (data[i].tobytes(),)
+        )
+    c.commit()
+    c.vector_init("t", "v", f"type=FLOAT32,dimension={DIM}")
+    # correlated: the TVF is the inner loop, re-filtered per probe row
+    rows = c.execute(
+        "SELECT p.pid, v.rowid, v.distance FROM probes AS p "
+        "JOIN vector_full_scan('t', 'v', p.pv, 1) AS v "
+        "ORDER BY p.pid"
+    ).fetchall()
+    assert [(r[0], r[1], r[2]) for r in rows] == [
+        (1, 1, 0.0),
+        (2, 6, 0.0),
+        (3, 10, 0.0),
+    ]
+    c.close()

@@ -80,6 +80,12 @@ def test_persistent_compile_cache_config(tmp_path, monkeypatch):
     # disable spelling returns None and leaves config pointing elsewhere
     monkeypatch.setenv("SVT_COMPILE_CACHE", "off")
     assert enable_persistent_cache() is None
+
+    # a user-configured cache is respected: with no SVT override, the
+    # existing jax_compilation_cache_dir wins and is not re-pointed
+    monkeypatch.delenv("SVT_COMPILE_CACHE", raising=False)
+    assert enable_persistent_cache() == cache_dir  # the dir set above
+    assert jax.config.jax_compilation_cache_dir == cache_dir
     # restore the default for other tests in this process
     monkeypatch.setenv("SVT_COMPILE_CACHE", cache_dir)
     enable_persistent_cache()
