@@ -7,10 +7,15 @@ The reference's f16/bf16 kernels do NOT let a NaN element poison a row:
   - f16 DOT/L1/COSINE skip lanes where either input is NaN; an infinite
     product short-circuits DOT with flipped sign; COSINE returns 1.0 on any
     Inf lane or non-finite denominator (src/distance-cpu.c:358-468).
-  - f32 (all metrics) and bf16 DOT/L1/COSINE are plain float math: a
-    non-finite element yields a NaN/Inf distance, which the k-slot loop's
-    strict `<` never selects — equivalent to excluding the row, which the
-    scan paths reproduce by mapping NaN distances to +Inf before top-k.
+  - f32 (all metrics) is plain float math: a non-finite element yields a
+    NaN/Inf distance, which the k-slot loop's strict `<` never selects —
+    equivalent to excluding the row, which the scan paths reproduce by
+    mapping NaN distances to +Inf before top-k.
+  - bf16 DOT/L1/COSINE: the reference's backends DISAGREE (scalar/NEON are
+    plain math; SSE2/AVX2 lane-skip like f16). We pin bf16 to the f16
+    policy family — uniform semantics, matching the x86 SIMD kernels the
+    compiled extension dispatches (see STATUS.md "reference backend
+    inconsistencies").
 
 This module is the device implementation of the first two groups, mirroring
 `oracle.py` rule for rule with element-wise masks (accumulation in f32 rather
@@ -33,12 +38,13 @@ _LASSQ_METRICS = (DistanceMetric.L2, DistanceMetric.SQUARED_L2)
 
 def needs_policy(vtype: VectorType, metric: DistanceMetric) -> bool:
     """True when this (dtype, metric) has lane-skip semantics that the plain
-    matmul path cannot reproduce (a single NaN would poison the row)."""
-    if vtype is VectorType.F16:
-        return True
-    if vtype is VectorType.BF16:
-        return metric in _LASSQ_METRICS
-    return False
+    matmul path cannot reproduce (a single NaN would poison the row).
+
+    bf16 uses the same policy family as f16 on every metric: the reference's
+    scalar/NEON bf16 dot/l1/cosine kernels are plain math, but its SSE2/AVX2
+    kernels lane-skip — we pin to the x86 SIMD behavior the compiled
+    extension actually dispatches (see oracle.py module docstring)."""
+    return vtype in (VectorType.F16, VectorType.BF16)
 
 
 def needs_raw_policy(vtype: VectorType, metric: DistanceMetric) -> bool:

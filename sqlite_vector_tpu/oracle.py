@@ -11,8 +11,15 @@ Per-dtype policies reproduced exactly:
     contributing 0 and any unmatched +-Inf lane returning +Inf (:318-356);
     dot/l1/cosine skip NaN lanes, computed in f64; cosine clamps to [-1, 1]
     and returns 1.0 on Inf lanes or non-finite denominator (:463-465).
-  - bf16: L2 as f16 (LASSQ policy, :164-197); cosine/dot/l1 convert to f32 and
-    accumulate in f32 without NaN skipping (:207-310).
+  - bf16: L2 as f16 (LASSQ policy, :164-197). For dot/l1/cosine the
+    reference's own backends DISAGREE on non-finite inputs: the scalar and
+    NEON kernels are plain math with no NaN skipping (distance-cpu.c:207-310,
+    distance-neon.c:297-383), while the SSE2 and AVX2 kernels apply the full
+    f16-style lane-skip/Inf policies (distance-avx2.c:434-585,
+    distance-sse2.c bf16 L1/DOT). We pin to the SSE2/AVX2 behavior — the
+    compiled extension this framework is parity-tested against dispatches
+    those on every x86 host — so bf16 uses the same policy family as f16
+    (with f64 accumulation, matching the SIMD kernels).
   - u8/i8: integer diff^2 / dot accumulation (:470-693); cosine zero-norm -> 1.0.
 
 Quantization reproduced exactly (integer outputs match bit-for-bit):
@@ -132,63 +139,47 @@ def _distance_float(
         out = np.sqrt(s) if metric is DistanceMetric.L2 else s
         return out.astype(np.float32)
 
-    if vtype is VectorType.F16:
-        # NaN lanes skipped; f64 accumulation (:358-468)
-        lane_ok = ~(np.isnan(xb) | np.isnan(yb))
-        if metric is DistanceMetric.L1:
-            d = np.where(lane_ok, np.abs(xb - yb), 0.0)
-            inf_lane = np.isinf(xb) | np.isinf(yb)
-            matched = np.isinf(xb) & np.isinf(yb) & (np.sign(xb) == np.sign(yb))
-            any_inf = np.any(inf_lane & ~matched & lane_ok, axis=-1)
-            s = np.sum(d, axis=-1, dtype=np.float64)
-            return np.where(any_inf, np.inf, s).astype(np.float32)
-        if metric is DistanceMetric.DOT:
-            p = np.where(lane_ok, xb * yb, 0.0)
-            # an infinite product short-circuits with flipped sign (:414-421)
-            inf_p = np.isinf(p)
-            s = np.sum(np.where(inf_p, 0.0, p), axis=-1, dtype=np.float64)
-            any_inf = np.any(inf_p, axis=-1)
-            # sign of the first infinite product decides; for the oracle any
-            # row with an infinite product returns -+Inf of that product
-            first_sign = np.where(
-                any_inf,
-                np.sign(
-                    np.take_along_axis(
-                        p, np.argmax(inf_p, axis=-1)[..., None], axis=-1
-                    )[..., 0]
-                ),
-                0.0,
-            )
-            out = np.where(any_inf, -first_sign * np.inf, -s)
-            return out.astype(np.float32)
-        # cosine (:431-468)
-        any_inf = np.any((np.isinf(xb) | np.isinf(yb)) & lane_ok, axis=-1)
-        xm = np.where(lane_ok, xb, 0.0)
-        ym = np.where(lane_ok, yb, 0.0)
-        dot = np.sum(xm * ym, axis=-1, dtype=np.float64)
-        nx = np.sum(xm * xm, axis=-1, dtype=np.float64)
-        ny = np.sum(ym * ym, axis=-1, dtype=np.float64)
-        denom = np.sqrt(nx) * np.sqrt(ny)
-        with np.errstate(divide="ignore", invalid="ignore"):
-            cos = np.clip(dot / denom, -1.0, 1.0)
-        bad = ~(denom > 0) | ~np.isfinite(denom) | ~np.isfinite(dot) | any_inf
-        return np.where(bad, 1.0, 1.0 - cos).astype(np.float32)
-
-    # bf16 dot/cosine/l1: f32 accumulation, no NaN skipping (:207-310)
-    xb32 = xf[:, None, :]
-    yb32 = yf[None, :, :]
+    # f16 (:358-468) and bf16 (SSE2/AVX2 kernels — see module docstring):
+    # NaN lanes skipped; f64 accumulation
+    lane_ok = ~(np.isnan(xb) | np.isnan(yb))
     if metric is DistanceMetric.L1:
-        return np.sum(np.abs(xb32 - yb32), axis=-1, dtype=np.float32)
-    dot = np.sum(xb32 * yb32, axis=-1, dtype=np.float32)
+        d = np.where(lane_ok, np.abs(xb - yb), 0.0)
+        inf_lane = np.isinf(xb) | np.isinf(yb)
+        matched = np.isinf(xb) & np.isinf(yb) & (np.sign(xb) == np.sign(yb))
+        any_inf = np.any(inf_lane & ~matched & lane_ok, axis=-1)
+        s = np.sum(d, axis=-1, dtype=np.float64)
+        return np.where(any_inf, np.inf, s).astype(np.float32)
     if metric is DistanceMetric.DOT:
-        return -dot
-    nx = np.sum(xf * xf, axis=-1, dtype=np.float32)[:, None]
-    ny = np.sum(yf * yf, axis=-1, dtype=np.float32)[None, :]
+        p = np.where(lane_ok, xb * yb, 0.0)
+        # an infinite product short-circuits with flipped sign (:414-421)
+        inf_p = np.isinf(p)
+        s = np.sum(np.where(inf_p, 0.0, p), axis=-1, dtype=np.float64)
+        any_inf = np.any(inf_p, axis=-1)
+        # sign of the first infinite product decides; for the oracle any
+        # row with an infinite product returns -+Inf of that product
+        first_sign = np.where(
+            any_inf,
+            np.sign(
+                np.take_along_axis(
+                    p, np.argmax(inf_p, axis=-1)[..., None], axis=-1
+                )[..., 0]
+            ),
+            0.0,
+        )
+        out = np.where(any_inf, -first_sign * np.inf, -s)
+        return out.astype(np.float32)
+    # cosine (:431-468)
+    any_inf = np.any((np.isinf(xb) | np.isinf(yb)) & lane_ok, axis=-1)
+    xm = np.where(lane_ok, xb, 0.0)
+    ym = np.where(lane_ok, yb, 0.0)
+    dot = np.sum(xm * ym, axis=-1, dtype=np.float64)
+    nx = np.sum(xm * xm, axis=-1, dtype=np.float64)
+    ny = np.sum(ym * ym, axis=-1, dtype=np.float64)
+    denom = np.sqrt(nx) * np.sqrt(ny)
     with np.errstate(divide="ignore", invalid="ignore"):
-        cos = dot / (np.sqrt(nx) * np.sqrt(ny))
-    return np.where((nx == 0) | (ny == 0), np.float32(1.0), np.float32(1.0) - cos).astype(
-        np.float32
-    )
+        cos = np.clip(dot / denom, -1.0, 1.0)
+    bad = ~(denom > 0) | ~np.isfinite(denom) | ~np.isfinite(dot) | any_inf
+    return np.where(bad, 1.0, 1.0 - cos).astype(np.float32)
 
 
 def _distance_u8(a: np.ndarray, b: np.ndarray, metric: DistanceMetric) -> np.ndarray:

@@ -51,7 +51,9 @@ def assert_topk_parity(
     if kk == 0:
         return
     kth = d[order[kk - 1]]
-    tol = rel_tol * max(1.0, abs(kth))
+    # a non-finite boundary (e.g. DOT with an Inf row -> -inf best) admits
+    # no numeric slack; rel_tol * inf would be NaN and poison the checks
+    tol = rel_tol * max(1.0, abs(kth)) if np.isfinite(kth) else 0.0
 
     id_to_pos = {int(v): i for i, v in enumerate(np.asarray(ids_all))}
     pos = np.array([id_to_pos[int(i)] for i in got_ids[valid]], np.int64)

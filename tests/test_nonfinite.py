@@ -5,11 +5,14 @@ The reference's scalar kernels have per-dtype non-finite policies
 in the numpy oracle. These tests pin the DEVICE path (XLA scan + policy
 kernels) to the oracle on every metric x float dtype:
 
-  - f32 / bf16-dot/cosine/l1: plain math — a non-finite element yields a
-    NaN/Inf distance and the row is never returned (the k-slot loop's strict
-    `<`, src/sqlite-vector.c:2102-2106).
-  - f16 (all metrics), bf16 L2/SQUARED_L2: lane-skip / LASSQ / Inf-mismatch
-    policies — rows with NaN lanes ARE returned, with the NaN lanes skipped.
+  - f32: plain math — a non-finite element yields a NaN/Inf distance and
+    the row is never returned (the k-slot loop's strict `<`,
+    src/sqlite-vector.c:2102-2106).
+  - f16 AND bf16 (all metrics): lane-skip / LASSQ / Inf-mismatch policies —
+    rows with NaN lanes ARE returned, with the NaN lanes skipped. For bf16
+    dot/l1/cosine the reference's own backends disagree (scalar/NEON plain
+    math vs SSE2/AVX2 lane-skip); we pin to the x86 SIMD behavior — see
+    STATUS.md "reference backend inconsistencies".
 """
 
 import numpy as np
