@@ -1064,13 +1064,29 @@ class Dataset:
             )
         return self._quant
 
-    def quantize(self, options: str | None = None, *, qtype: QuantType | str | None = None) -> int:
+    def quantize(
+        self,
+        options: str | None = None,
+        *,
+        qtype: QuantType | str | None = None,
+        checkpoint: str | None = None,
+    ) -> int:
         """(Re)build int8/uint8 quantized codes; returns the row count.
 
         Mirrors vector_quantize (src/sqlite-vector.c:1406-1459): existing
         codes are replaced; the scale/offset formulas and AUTO resolution
         match the reference bit-for-bit. The codes land directly in HBM
         (the reference's separate preload step is the default here).
+
+        checkpoint (host-storage datasets): directory for a RESUMABLE build.
+        The quantize params and per-chunk progress are persisted there and
+        the codes are written into an on-disk memmap; a crashed build picks
+        up at the first unfinished chunk on the next call with the same
+        directory (the >RAM analogue of the reference's transactional
+        rebuild, src/sqlite-vector.c:1418-1452 — its ROLLBACK restarts from
+        scratch, ours restarts from the last completed chunk). Rows must not
+        mutate between resume attempts; a mismatch (count/dim/dtype/qtype
+        options) discards the checkpoint and starts over.
         """
         opts = parse_options(options, self.options)
         if qtype is not None:
@@ -1088,38 +1104,7 @@ class Dataset:
             )
             return 0
         if self._storage == "host":
-            # host-resident build: chunked numpy pipeline with identical
-            # semantics (oracle mirrors q_round/scale formulas bit-for-bit).
-            # Chunking keeps peak RAM at one tile even when _host_vectors is
-            # a lazy mmap shard view (hostarray.ShardedRows) larger than RAM.
-            from sqlite_vector_tpu import oracle
-
-            count = self._count
-            chunk_rows = max(1, HOST_CHUNK_ELEMS // max(self.dimension, 1))
-            starts = range(0, count, chunk_rows)
-            rqtype, scale, offset = oracle.compute_quant_params_chunked(
-                (
-                    self._host_vectors[s : min(s + chunk_rows, count)]
-                    for s in starts
-                ),
-                opts.qtype,
-            )
-            codes = np.empty((count, self.dimension), rqtype.np_dtype)
-            for s in starts:
-                e = min(s + chunk_rows, count)
-                chunk = np.asarray(self._host_vectors[s:e], np.float32)
-                if self._has_nonfinite:
-                    codes[s:e] = oracle.quantize(chunk, scale, offset, rqtype)
-                else:
-                    # finite fast path: bit-identical, half the memory passes
-                    oracle.quantize_fast(
-                        chunk, scale, offset, rqtype, out=codes[s:e]
-                    )
-            self._quant = _QuantState(
-                rqtype, scale, offset, codes, count,
-                ids=self._ids[:count].copy(),
-            )
-            return count
+            return self._quantize_host(opts, checkpoint)
         mn, mx, neg = minmax_and_negative(
             self._vectors, self._count, valid_is_full=False
         )
@@ -1132,6 +1117,122 @@ class Dataset:
             ids=self._ids[: self._count].copy(),
         )
         return self._count
+
+    def _quantize_host(self, opts: VectorOptions, checkpoint: str | None) -> int:
+        """Host-resident quantize build: chunked numpy pipeline with
+        semantics identical to the device path (the oracle mirrors the
+        reference's q_round/scale formulas bit-for-bit). Chunking keeps
+        peak RAM at one tile even when _host_vectors is a lazy mmap shard
+        view (hostarray.ShardedRows) larger than RAM. With `checkpoint`,
+        progress persists across crashes (see quantize())."""
+        from sqlite_vector_tpu import oracle
+
+        count = self._count
+        dim = self.dimension
+        chunk_rows = max(1, HOST_CHUNK_ELEMS // max(dim, 1))
+        starts = range(0, count, chunk_rows)
+
+        meta = None
+        meta_path = codes_path = None
+        if checkpoint:
+            os.makedirs(checkpoint, exist_ok=True)
+            meta_path = os.path.join(checkpoint, "quant_checkpoint.json")
+            codes_path = os.path.join(checkpoint, "qcodes.npy")
+            meta = self._load_quant_checkpoint(
+                meta_path, codes_path, opts, count, chunk_rows
+            )
+
+        if meta is None:
+            # pass 1: global min/max over all chunks (one streaming pass)
+            rqtype, scale, offset = oracle.compute_quant_params_chunked(
+                (self._host_vectors[s : min(s + chunk_rows, count)] for s in starts),
+                opts.qtype,
+            )
+            done = 0
+            if checkpoint:
+                codes = np.lib.format.open_memmap(
+                    codes_path, mode="w+", dtype=rqtype.np_dtype,
+                    shape=(count, dim),
+                )
+                meta = {
+                    "qtype": rqtype.value,
+                    "scale": float(scale),
+                    "offset": float(offset),
+                    "count": count,
+                    "dim": dim,
+                    "chunk_rows": chunk_rows,
+                    "requested_qtype": opts.qtype.value,
+                    "done": 0,
+                }
+                self._write_quant_checkpoint(meta_path, meta)
+            else:
+                codes = np.empty((count, dim), rqtype.np_dtype)
+        else:
+            rqtype = QuantType.from_name(meta["qtype"])
+            scale = np.float32(meta["scale"])
+            offset = np.float32(meta["offset"])
+            done = int(meta["done"])
+            codes = np.lib.format.open_memmap(codes_path, mode="r+")
+
+        # pass 2: quantize chunk by chunk, resuming after `done` chunks
+        for ci, s in enumerate(starts):
+            if ci < done:
+                continue
+            e = min(s + chunk_rows, count)
+            chunk = np.asarray(self._host_vectors[s:e], np.float32)
+            if self._has_nonfinite:
+                codes[s:e] = oracle.quantize(chunk, scale, offset, rqtype)
+            else:
+                # finite fast path: bit-identical, half the memory passes
+                oracle.quantize_fast(chunk, scale, offset, rqtype, out=codes[s:e])
+            if checkpoint:
+                codes.flush()
+                meta["done"] = ci + 1
+                self._write_quant_checkpoint(meta_path, meta)
+
+        self._quant = _QuantState(
+            rqtype, scale, offset, codes, count,
+            ids=self._ids[:count].copy(),
+        )
+        return count
+
+    @staticmethod
+    def _write_quant_checkpoint(meta_path: str, meta: dict) -> None:
+        tmp = meta_path + ".tmp"
+        with open(tmp, "w") as f:
+            json.dump(meta, f)
+        os.replace(tmp, meta_path)  # atomic: a crash never corrupts the meta
+
+    def _load_quant_checkpoint(
+        self,
+        meta_path: str,
+        codes_path: str,
+        opts: VectorOptions,
+        count: int,
+        chunk_rows: int,
+    ) -> dict | None:
+        """Return the checkpoint meta if it matches this build, else None
+        (start over). A finished checkpoint (done == nchunks) is still
+        resumed — the final loop below skips every chunk and the codes load
+        straight from the memmap."""
+        try:
+            with open(meta_path) as f:
+                meta = json.load(f)
+            if (
+                meta["count"] == count
+                and meta["dim"] == self.dimension
+                and meta["chunk_rows"] == chunk_rows
+                and meta["requested_qtype"] == opts.qtype.value
+                and os.path.exists(codes_path)
+            ):
+                probe = np.lib.format.open_memmap(codes_path, mode="r")
+                ok = probe.shape == (count, self.dimension)
+                del probe
+                if ok:
+                    return meta
+        except Exception:
+            pass
+        return None
 
     def quantize_memory(self) -> int:
         """Bytes needed for the quantized representation.

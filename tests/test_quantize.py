@@ -213,3 +213,119 @@ def test_quantize_fast_bit_parity(rng):
                 vals, np.float32(scale), np.float32(offset), qtype, out=out
             )
             np.testing.assert_array_equal(a, out)
+
+
+# ---------------------------------------------------------------------------
+# resumable host-storage quantize builds (checkpoint=)
+# ---------------------------------------------------------------------------
+
+
+def _host_ds(rng, n=500, dim=16):
+    import sqlite_vector_tpu as svt
+
+    data = (rng.standard_normal((n, dim)) * 5).astype(np.float32)
+    ds = svt.Dataset(
+        "ckpt", svt.parse_options(f"dimension={dim},type=FLOAT32"),
+        storage="host",
+    )
+    ds.add(data)
+    return ds, data
+
+
+def test_quantize_checkpoint_bit_identical(tmp_path, rng, monkeypatch):
+    import sqlite_vector_tpu.dataset as dsmod
+
+    monkeypatch.setattr(dsmod, "HOST_CHUNK_ELEMS", 16 * 64)  # many chunks
+    ds, data = _host_ds(rng)
+    ds.quantize()
+    plain = np.asarray(ds._quant.codes).copy()
+    plain_params = (ds._quant.qtype, float(ds._quant.scale), float(ds._quant.offset))
+
+    ds.drop_quantization()
+    n = ds.quantize(checkpoint=str(tmp_path / "ck"))
+    assert n == len(data)
+    np.testing.assert_array_equal(np.asarray(ds._quant.codes), plain)
+    assert (
+        ds._quant.qtype, float(ds._quant.scale), float(ds._quant.offset)
+    ) == plain_params
+    # progress marker reached the end
+    import json as _json
+
+    meta = _json.load(open(tmp_path / "ck" / "quant_checkpoint.json"))
+    assert meta["done"] == -(-len(data) // max(1, (16 * 64) // 16))
+
+
+def test_quantize_checkpoint_resumes_after_crash(tmp_path, rng, monkeypatch):
+    import sqlite_vector_tpu.dataset as dsmod
+    from sqlite_vector_tpu import oracle
+
+    monkeypatch.setattr(dsmod, "HOST_CHUNK_ELEMS", 16 * 64)  # 64-row chunks
+    ds, data = _host_ds(rng)
+    ck = str(tmp_path / "ck")
+
+    calls = {"n": 0}
+    real = oracle.quantize_fast
+
+    def dying(*a, **kw):
+        if calls["n"] >= 3:
+            raise RuntimeError("simulated crash mid-build")
+        calls["n"] += 1
+        return real(*a, **kw)
+
+    monkeypatch.setattr(oracle, "quantize_fast", dying)
+    with pytest.raises(RuntimeError, match="simulated crash"):
+        ds.quantize(checkpoint=ck)
+    assert ds._quant is None  # the failed build published nothing
+
+    # resume with a healthy pipeline: only the REMAINING chunks run
+    calls2 = {"n": 0}
+
+    def counting(*a, **kw):
+        calls2["n"] += 1
+        return real(*a, **kw)
+
+    monkeypatch.setattr(oracle, "quantize_fast", counting)
+    n = ds.quantize(checkpoint=ck)
+    assert n == len(data)
+    total_chunks = -(-len(data) // 64)
+    assert calls2["n"] == total_chunks - 3  # resumed, not restarted
+
+    # results identical to a from-scratch build
+    monkeypatch.setattr(oracle, "quantize_fast", real)
+    got = np.asarray(ds._quant.codes).copy()
+    ds.drop_quantization()
+    ds.quantize()
+    np.testing.assert_array_equal(got, np.asarray(ds._quant.codes))
+
+    # a finished checkpoint re-loads without re-quantizing any chunk
+    calls3 = {"n": 0}
+
+    def never(*a, **kw):  # pragma: no cover - would fail the assert below
+        calls3["n"] += 1
+        return real(*a, **kw)
+
+    monkeypatch.setattr(oracle, "quantize_fast", never)
+    ds.quantize(checkpoint=ck)
+    assert calls3["n"] == 0
+    np.testing.assert_array_equal(np.asarray(ds._quant.codes), got)
+
+
+def test_quantize_checkpoint_mismatch_restarts(tmp_path, rng, monkeypatch):
+    import sqlite_vector_tpu.dataset as dsmod
+
+    monkeypatch.setattr(dsmod, "HOST_CHUNK_ELEMS", 16 * 64)
+    ds, data = _host_ds(rng)
+    ck = str(tmp_path / "ck")
+    ds.quantize(checkpoint=ck)
+
+    # a GROWN dataset invalidates the checkpoint (count mismatch) — the
+    # build restarts cleanly instead of serving a half-sized memmap
+    ds.add((rng.standard_normal((64, 16)) * 5).astype(np.float32))
+    n = ds.quantize(checkpoint=ck)
+    assert n == len(data) + 64
+    got = np.asarray(ds._quant.codes).copy()
+    assert got.shape[0] == n
+    # identical to a from-scratch (non-checkpointed) build of the grown set
+    ds.drop_quantization()
+    ds.quantize()
+    np.testing.assert_array_equal(got, np.asarray(ds._quant.codes))
