@@ -70,8 +70,17 @@ def _oracle_distances(q, state, metric: DistanceMetric, vtype: VectorType):
     return np.array(pks, np.int64), oracle.snap_zero(d)
 
 
-@pytest.mark.parametrize("seed", range(8))
+@pytest.mark.parametrize("seed", list(range(8)) + ["mesh"])
 def test_differential_op_sequences(tmp_path, seed):
+    """seed='mesh' runs our engine sharded over the 8-virtual-device mesh —
+    the full SQL surface through shard_map + ICI merge vs the single-thread
+    C reference on the same database."""
+    mesh = None
+    if seed == "mesh":
+        from sqlite_vector_tpu.parallel import make_mesh
+
+        mesh = make_mesh(8)
+        seed = 5  # f32, finite — strict reference comparison throughout
     rng = np.random.default_rng(1000 + seed)
     vtype = VectorType.from_name(TYPES[seed % len(TYPES)])
     metric = DistanceMetric.from_name(METRICS[(seed * 3 + 1) % len(METRICS)])
@@ -88,14 +97,13 @@ def test_differential_op_sequences(tmp_path, seed):
     writer.commit()
 
     opts = f"type={vtype.value},dimension={dim},distance={metric.value}"
-    ours = svs.connect(path)
+    ours = svs.connect(path, mesh=mesh)
     ours.vector_init("t", "v", opts)
     ref = _ref_connect(path)
     ref.execute(f"SELECT vector_init('t','v','{opts}')")
 
     state: dict[int, np.ndarray] = {}
     next_pk = 1
-    quantized_by = None  # engine that last quantized; None = stale/absent
 
     def insert(n: int):
         nonlocal next_pk
@@ -109,7 +117,6 @@ def test_differential_op_sequences(tmp_path, seed):
         writer.commit()
 
     def mutate():
-        nonlocal quantized_by
         op = rng.choice(["insert", "insert", "update", "delete"])
         if op == "insert" or not state:
             insert(int(rng.integers(1, 12)))
@@ -124,7 +131,6 @@ def test_differential_op_sequences(tmp_path, seed):
             writer.execute("DELETE FROM t WHERE rowid=?", (pk,))
             writer.commit()
             del state[pk]
-        quantized_by = None  # rows changed -> quantization stale
 
     def check_exact():
         if not state:
@@ -166,8 +172,7 @@ def test_differential_op_sequences(tmp_path, seed):
             (qarg, k),
         ).fetchall()
         rids = np.array([r[0] for r in rrows], np.int64)
-        # the C extension emits NULL for non-finite distances through
-        # sqlite3_result_double? no — sqlite stores real NaN as NULL
+        # sqlite3 surfaces a NaN REAL as NULL through the Python driver
         rvals = np.array(
             [np.nan if r[1] is None else r[1] for r in rrows], np.float64
         )
@@ -201,21 +206,19 @@ def test_differential_op_sequences(tmp_path, seed):
         assert [r[0] for r in rreal] == ids_all.tolist()
 
     def check_quantized():
-        nonlocal quantized_by, ours, ref
+        nonlocal ours, ref
         if len(state) < 3 or nonfinite:
             return
         # reference quantizes into the SHARED shadow table; our engine must
         # serve scans from the same persisted params (and vice versa)
-        who = rng.choice(["ours", "ref"])
-        if who == "ours":
+        if rng.choice(["ours", "ref"]) == "ours":
             ours.vector_quantize("t", "v")
         else:
             ref.execute("SELECT vector_quantize('t','v')").fetchall()
-        quantized_by = who
         # reopen both connections: params restore from _sqliteai_vector
         ours.close()
         ref.close()
-        ours = svs.connect(path)
+        ours = svs.connect(path, mesh=mesh)
         ours.vector_init("t", "v", opts)
         ref = _ref_connect(path)
         ref.execute(f"SELECT vector_init('t','v','{opts}')")
