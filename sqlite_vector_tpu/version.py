@@ -8,7 +8,7 @@ active JAX platform and whether the fused Pallas scan path is in use.
 
 from __future__ import annotations
 
-__version__ = "0.1.0"
+__version__ = "0.2.0"
 
 
 def version() -> str:
