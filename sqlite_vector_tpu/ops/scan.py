@@ -34,7 +34,12 @@ from sqlite_vector_tpu.types import DistanceMetric, VectorType
 # the whole scan in ONE tile whenever the [B, N] f32 intermediate fits the
 # budget; tiling only kicks in to bound that intermediate for large B*N.
 DEFAULT_ROW_TILE = 131072
-L1_ROW_TILE = 8192
+# L1 (and the non-finite policy path) evaluate an element-wise [B, tile, d]
+# cube that XLA fuses into the reduction — it is never materialized, so the
+# tile can be much larger than a materialized-intermediate budget would
+# allow. Measured on v5e (1M x 384, B in {1, 8}): 32768 is ~9% faster than
+# 8192 and within noise of 131072.
+L1_ROW_TILE = 32768
 # cap on the [B, N] f32 distance intermediate (bytes)
 INTERMEDIATE_BUDGET = 256 * 1024 * 1024
 
