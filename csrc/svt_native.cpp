@@ -50,6 +50,9 @@ static PyObject *parse_json_f64(PyObject *, PyObject *args) {
   p++;
   const char *start = p;
 
+  // NUL-terminated-scan semantics of the reference (:1563-1641): EOF at the
+  // loop top (after '[' or after a comma+spaces) is ACCEPTED; EOF right
+  // after a number raises unexpected-character '?'.
   std::vector<double> values;
   values.reserve(64);
   while (p < end) {
@@ -81,10 +84,12 @@ static PyObject *parse_json_f64(PyObject *, PyObject *args) {
       if (p < end && *p == ']') break;  // trailing comma tolerated (:1627-1635)
     } else if (p < end && *p == ']') {
       break;
-    } else if (p < end) {
+    } else {
+      // includes EOF right after a number: reference reports '?'
+      char ch = p < end ? *p : '?';
       PyErr_Format(PyExc_ValueError,
                    "Malformed JSON: unexpected character '%c' at position %zd.",
-                   *p, (Py_ssize_t)(p - start + 1));
+                   ch, (Py_ssize_t)(p - start + 1));
       return nullptr;
     }
   }

@@ -104,6 +104,11 @@ def _parse_python(
     p += 1
     start = p
 
+    # The reference scans a NUL-terminated string (:1563-1641): EOF at the
+    # loop top (right after '[' or after a comma+spaces) falls out of
+    # `while (*p)` and is ACCEPTED; EOF right after a number hits the
+    # unexpected-character branch with '?'; EOF after '['+whitespace hits
+    # the expected-a-number branch. Mirror each state exactly.
     values: list[float] = []
     while p < n:
         while p < n and s[p].isspace():
@@ -132,9 +137,11 @@ def _parse_python(
                 break  # trailing comma tolerated (:1627-1635)
         elif p < n and s[p] == "]":
             break
-        elif p < n:
+        else:
+            # includes EOF right after a number: reference reports '?'
+            ch = s[p] if p < n else "?"
             raise VectorCodecError(
-                f"Malformed JSON: unexpected character '{s[p]}' at position {p - start + 1}."
+                f"Malformed JSON: unexpected character '{ch}' at position {p - start + 1}."
             )
 
     if dimension > 0 and dimension != len(values):

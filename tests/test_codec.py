@@ -119,3 +119,40 @@ def test_json_from_string_via_as_blob():
 def test_unsupported_input_type():
     with pytest.raises(VectorCodecError, match="Unsupported input type"):
         vector_as_blob(12345, VectorType.F32)
+
+
+def test_json_unterminated_array_states():
+    """The reference's NUL-terminated scan accepts/rejects unterminated
+    arrays by WHERE the input ends (src/sqlite-vector.c:1563-1641) — found
+    by the differential codec fuzzer and pinned here:
+      accepted: EOF right after '[' (empty), EOF right after a comma
+      rejected: EOF right after a number ('?'), EOF after '['+whitespace
+    """
+    assert vector_from_json("[", VectorType.F32).size == 0
+    got = vector_from_json("[1,", VectorType.F32)
+    np.testing.assert_array_equal(got, [1.0])
+    got = vector_from_json("[1,  ", VectorType.F32)
+    np.testing.assert_array_equal(got, [1.0])
+    with pytest.raises(VectorCodecError, match=r"unexpected character '\?'"):
+        vector_from_json("[1", VectorType.F32)
+    with pytest.raises(VectorCodecError, match=r"unexpected character '\?'"):
+        vector_from_json("[1.5, 2 \t", VectorType.F32)
+    with pytest.raises(VectorCodecError, match="expected a number"):
+        vector_from_json("[  ", VectorType.F32)
+
+
+def test_json_unterminated_python_fallback_matches_native():
+    """Both parser implementations (C++ fast path, Python fallback) encode
+    the same unterminated-array automaton."""
+    from sqlite_vector_tpu.codec import _parse_python
+
+    for s in ("[", "[1,", "[1,  ", "[2.5]", "[2.5,]"):
+        np.testing.assert_array_equal(
+            vector_from_json(s, VectorType.F32),
+            _parse_python(s, VectorType.F32),
+        )
+    for s in ("[1", "[  ", "[1 2]"):
+        with pytest.raises(VectorCodecError):
+            _parse_python(s, VectorType.F32)
+        with pytest.raises(VectorCodecError):
+            vector_from_json(s, VectorType.F32)
