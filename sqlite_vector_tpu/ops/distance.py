@@ -119,7 +119,23 @@ def _pairwise_float(
         b_sq = b_sq.astype(acc)
     qf = q.astype(acc)
     q_sq = jnp.sum(qf * qf, axis=-1)  # [B]
+    return compose_float(metric, dot, q_sq, b_sq, snap=snap)
 
+
+def compose_float(
+    metric: DistanceMetric,
+    dot: jnp.ndarray,
+    q_sq: jnp.ndarray,
+    b_sq: jnp.ndarray,
+    *,
+    snap: bool = True,
+) -> jnp.ndarray:
+    """Float distances from the dim-separable components (dot [B,N],
+    q_sq [B], b_sq [N]) — shared by the single-chip matmul decomposition and
+    the 2-D-mesh path, where each component is a psum over dim slices."""
+    if metric is DistanceMetric.DOT:
+        d = -dot
+        return _snap(d) if snap else d
     if metric in (DistanceMetric.L2, DistanceMetric.SQUARED_L2):
         d = q_sq[:, None] + b_sq[None, :] - 2.0 * dot
         # The matmul decomposition carries a residual of O(eps * (|q|^2+|b|^2))
@@ -143,6 +159,61 @@ def _pairwise_float(
     # not slip through the `denom > 0` comparison as cos=0 -> d=1
     d = jnp.where(jnp.isnan(dot) | jnp.isnan(denom), jnp.nan, d)
     return _snap(d) if snap else d
+
+
+def partial_components(
+    q: jnp.ndarray, b: jnp.ndarray, metric: DistanceMetric
+) -> tuple[jnp.ndarray, jnp.ndarray | None, jnp.ndarray | None]:
+    """Per-feature-slice partial sums for the 2-D (rows x dim) mesh scan.
+
+    Every metric is dim-separable: psum'ing these over the dim axis yields
+    the exact full-dim components, which compose_float / compose_int turn
+    into distances. Returns (main [B,N], q_sq [B]|None, b_sq [N]|None):
+      L1:          main = partial sum |q-b|          (no norms)
+      DOT:         main = partial dot                (no norms)
+      L2/COSINE:   main = partial dot, plus partial squared norms
+    Integer inputs produce exact int32 partials.
+    """
+    if _is_int(q) or _is_int(b):
+        if metric is DistanceMetric.L1:
+            part = jnp.sum(
+                jnp.abs(
+                    q.astype(jnp.int32)[:, None, :]
+                    - b.astype(jnp.int32)[None, :, :]
+                ),
+                axis=-1,
+            )
+            return part, None, None
+        dot = jax.lax.dot_general(
+            q, b,
+            dimension_numbers=(((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.int32,
+        )
+        if metric is DistanceMetric.DOT:
+            return dot, None, None
+        q_sq = jnp.sum(q.astype(jnp.int32) * q.astype(jnp.int32), axis=-1)
+        b_sq = jnp.sum(b.astype(jnp.int32) * b.astype(jnp.int32), axis=-1)
+        return dot, q_sq, b_sq
+
+    acc = jnp.float32
+    if metric is DistanceMetric.L1:
+        part = jnp.sum(
+            jnp.abs(q.astype(acc)[:, None, :] - b.astype(acc)[None, :, :]),
+            axis=-1,
+        )
+        return part, None, None
+    precision = None if q.dtype == jnp.bfloat16 else matmul_precision()
+    dot = jax.lax.dot_general(
+        q, b,
+        dimension_numbers=(((1,), (1,)), ((), ())),
+        preferred_element_type=acc,
+        precision=precision,
+    )
+    if metric is DistanceMetric.DOT:
+        return dot, None, None
+    qf = q.astype(acc)
+    bf = b.astype(acc)
+    return dot, jnp.sum(qf * qf, axis=-1), jnp.sum(bf * bf, axis=-1)
 
 
 def _pairwise_int(
@@ -182,7 +253,19 @@ def _pairwise_int(
         b_sq = jnp.sum(b.astype(jnp.int32) * b.astype(jnp.int32), axis=-1)
     b_sq = b_sq.astype(jnp.int32)
     q_sq = jnp.sum(q.astype(jnp.int32) * q.astype(jnp.int32), axis=-1)
+    return compose_int(metric, dot, q_sq, b_sq)
 
+
+def compose_int(
+    metric: DistanceMetric,
+    dot: jnp.ndarray,
+    q_sq: jnp.ndarray,
+    b_sq: jnp.ndarray,
+) -> jnp.ndarray:
+    """Integer-domain distances from the dim-separable int32 components —
+    shared by the single-chip path and the 2-D-mesh psum path."""
+    if metric is DistanceMetric.DOT:
+        return (-dot).astype(jnp.float32)
     if metric in (DistanceMetric.L2, DistanceMetric.SQUARED_L2):
         d = q_sq[:, None] + b_sq[None, :] - 2 * dot  # exact int32
         df = d.astype(jnp.float32)

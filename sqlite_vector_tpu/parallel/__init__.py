@@ -6,7 +6,10 @@ distributed backend the TPU framework needs instead:
 
   - the embedding matrix [N, dim] is sharded row-wise over a 1-D
     `jax.sharding.Mesh` (the TPU analogue of the reference's chunked
-    vector0_* blobs, src/sqlite-vector.c:1314-1320);
+    vector0_* blobs, src/sqlite-vector.c:1314-1320) — or block-sharded
+    (rows x dim) over a 2-D mesh for very large feature dims, where
+    distances are composed from dim-slice partial sums psum'd over ICI
+    (sharded_scan_topk_2d; every supported metric is dim-separable);
   - each chip computes a partial top-k over its local rows (the same fused
     scan used single-chip), then candidates ride ICI through one
     `lax.all_gather` of [k] candidates per chip and a final `lax.top_k`
@@ -17,21 +20,31 @@ distributed backend the TPU framework needs instead:
 """
 
 from sqlite_vector_tpu.parallel.mesh import (
+    DIM_AXIS,
     ROWS_AXIS,
+    block_sharding_2d,
+    dim_sharding_2d,
     make_mesh,
+    make_mesh_2d,
     row_sharding,
     replicated_sharding,
 )
 from sqlite_vector_tpu.parallel.ops import (
     sharded_scan_topk,
+    sharded_scan_topk_2d,
     sharded_scan_distances,
 )
 
 __all__ = [
+    "DIM_AXIS",
     "ROWS_AXIS",
+    "block_sharding_2d",
+    "dim_sharding_2d",
     "make_mesh",
+    "make_mesh_2d",
     "row_sharding",
     "replicated_sharding",
     "sharded_scan_topk",
+    "sharded_scan_topk_2d",
     "sharded_scan_distances",
 ]

@@ -16,6 +16,43 @@ import numpy as np
 from jax.sharding import Mesh, NamedSharding, PartitionSpec
 
 ROWS_AXIS = "rows"
+DIM_AXIS = "dim"
+
+
+def make_mesh_2d(
+    rows: int,
+    dims: int,
+    devices: Sequence[Any] | None = None,
+    axis_names: tuple[str, str] = (ROWS_AXIS, DIM_AXIS),
+) -> Mesh:
+    """Build a 2-D (rows x dim) device mesh for very large feature dims.
+
+    Rows-only (make_mesh) is the right default for embedding dims up to a
+    few thousand; the dim axis pays off when per-row slices are so wide that
+    a single chip's HBM or matmul tile would be dominated by one row block
+    (the reference caps dim at 65536). Each (rows=r, dim=c) chip holds the
+    [N/rows, d/dims] sub-block; scans psum partial components over `dim`
+    and merge top-k candidates over `rows` (sharded_scan_topk_2d)."""
+    if devices is None:
+        devices = jax.devices()
+    devices = list(devices)[: rows * dims]
+    if len(devices) < rows * dims:
+        raise ValueError(
+            f"make_mesh_2d: need {rows * dims} devices, have {len(devices)}"
+        )
+    return Mesh(np.array(devices).reshape(rows, dims), axis_names)
+
+
+def block_sharding_2d(mesh: Mesh) -> NamedSharding:
+    """Shard rows over the first mesh axis and features over the second."""
+    names = mesh.axis_names
+    return NamedSharding(mesh, PartitionSpec(names[0], names[1]))
+
+
+def dim_sharding_2d(mesh: Mesh) -> NamedSharding:
+    """Queries on a 2-D mesh: replicated over rows, sharded over features."""
+    names = mesh.axis_names
+    return NamedSharding(mesh, PartitionSpec(None, names[1]))
 
 
 def make_mesh(

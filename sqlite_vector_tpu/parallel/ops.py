@@ -42,10 +42,31 @@ def shard_map(f, mesh, in_specs, out_specs):
             f, mesh=mesh, in_specs=in_specs, out_specs=out_specs, check_rep=False
         )
 
-from sqlite_vector_tpu.ops.scan import fused_scan_topk, scan_distances
+from sqlite_vector_tpu.ops.distance import (
+    compose_float,
+    compose_int,
+    partial_components,
+)
+from sqlite_vector_tpu.ops.scan import _sanitize_nan, fused_scan_topk, scan_distances
 from sqlite_vector_tpu.ops.topk import topk_ascending
-from sqlite_vector_tpu.parallel.mesh import ROWS_AXIS
+from sqlite_vector_tpu.parallel.mesh import DIM_AXIS, ROWS_AXIS
 from sqlite_vector_tpu.types import DistanceMetric
+
+
+def _merge_candidates_over_axis(
+    vals: jnp.ndarray, gidx: jnp.ndarray, k: int, axis: str
+) -> tuple[jnp.ndarray, jnp.ndarray]:
+    """ICI top-k merge: all_gather B*k candidates per chip (device-major ==
+    global row order, preserving reference tie behavior) + final selection."""
+    all_vals = jax.lax.all_gather(vals, axis)  # [D, B, k]
+    all_idx = jax.lax.all_gather(gidx, axis)
+    bsz = vals.shape[0]
+    cand_vals = jnp.moveaxis(all_vals, 0, 1).reshape(bsz, -1)
+    cand_idx = jnp.moveaxis(all_idx, 0, 1).reshape(bsz, -1)
+    mvals, pos = topk_ascending(cand_vals, k)
+    mids = jnp.take_along_axis(cand_idx, pos, axis=-1)
+    mids = jnp.where(jnp.isposinf(mvals), jnp.int32(-1), mids)
+    return mvals, mids
 
 
 def _local_topk_merge(
@@ -69,17 +90,7 @@ def _local_topk_merge(
         row_mask=mask, policy_vtype=policy_vtype,
     )
     gidx = jnp.where(idx >= 0, idx + start, jnp.int32(-1))
-
-    # ICI merge: B*k candidates per chip, device-major order == row order.
-    all_vals = jax.lax.all_gather(vals, axis)  # [D, B, k]
-    all_idx = jax.lax.all_gather(gidx, axis)
-    bsz = q.shape[0]
-    cand_vals = jnp.moveaxis(all_vals, 0, 1).reshape(bsz, -1)
-    cand_idx = jnp.moveaxis(all_idx, 0, 1).reshape(bsz, -1)
-    mvals, pos = topk_ascending(cand_vals, k)
-    mids = jnp.take_along_axis(cand_idx, pos, axis=-1)
-    mids = jnp.where(jnp.isposinf(mvals), jnp.int32(-1), mids)
-    return mvals, mids
+    return _merge_candidates_over_axis(vals, gidx, k, axis)
 
 
 @functools.partial(
@@ -210,3 +221,116 @@ def sharded_scan_distances(
         out_specs=P(None, axis),
     )
     return fn(queries, base)
+
+
+# ---------------------------------------------------------------------------
+# 2-D mesh: rows x dim (very large feature dimensions)
+# ---------------------------------------------------------------------------
+
+
+def _local_topk_merge_2d(
+    q: jnp.ndarray,
+    b: jnp.ndarray,
+    valid: jnp.ndarray,
+    *,
+    metric: DistanceMetric,
+    k: int,
+    rows_axis: str,
+    dim_axis: str,
+) -> tuple[jnp.ndarray, jnp.ndarray]:
+    """Per-chip body on a (rows, dim) mesh: partial distance components over
+    the local feature slice, psum over `dim` (every metric is
+    dim-separable), compose, local top-k, then the candidate merge over
+    `rows`. The merge runs redundantly on every dim-group chip — it is
+    O(B·k·R), negligible next to the scan."""
+    main, q_sq, b_sq = partial_components(q, b, metric)
+    main = jax.lax.psum(main, dim_axis)
+    if q_sq is not None:
+        q_sq = jax.lax.psum(q_sq, dim_axis)
+        b_sq = jax.lax.psum(b_sq, dim_axis)
+
+    if metric is DistanceMetric.L1:
+        dist = (
+            main.astype(jnp.float32)
+            if jnp.issubdtype(main.dtype, jnp.integer)
+            else main
+        )
+    elif jnp.issubdtype(main.dtype, jnp.integer):
+        dist = compose_int(metric, main, q_sq, b_sq)
+    else:
+        dist = compose_float(metric, main, q_sq, b_sq)
+
+    dist = _sanitize_nan(dist)
+    shard_rows = b.shape[0]
+    start = (jax.lax.axis_index(rows_axis) * shard_rows).astype(jnp.int32)
+    local_valid = jnp.clip(valid - start, 0, shard_rows)
+    row_idx = jnp.arange(shard_rows, dtype=jnp.int32)
+    dist = jnp.where(row_idx[None, :] < local_valid, dist, jnp.inf)
+
+    vals, idx = topk_ascending(dist, min(k, shard_rows))
+    if vals.shape[1] < k:  # fewer local rows than k: pad candidates
+        pad = ((0, 0), (0, k - vals.shape[1]))
+        vals = jnp.pad(vals, pad, constant_values=jnp.inf)
+        idx = jnp.pad(idx, pad, constant_values=-1)
+    gidx = jnp.where(jnp.isposinf(vals), jnp.int32(-1), idx + start)
+    return _merge_candidates_over_axis(vals, gidx, k, rows_axis)
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("metric", "k", "mesh", "rows_axis", "dim_axis"),
+)
+def _sharded_scan_topk_2d_impl(
+    queries, base, valid, *, metric, k, mesh, rows_axis, dim_axis
+):
+    body = functools.partial(
+        _local_topk_merge_2d,
+        metric=metric, k=k, rows_axis=rows_axis, dim_axis=dim_axis,
+    )
+    fn = shard_map(
+        body,
+        mesh,
+        in_specs=(P(None, dim_axis), P(rows_axis, dim_axis), P()),
+        out_specs=(P(), P()),
+    )
+    return fn(queries, base, valid)
+
+
+def sharded_scan_topk_2d(
+    queries: jnp.ndarray,
+    base: jnp.ndarray,
+    metric: DistanceMetric,
+    k: int,
+    mesh: Mesh,
+    *,
+    valid_count: jnp.ndarray | int | None = None,
+    rows_axis: str = ROWS_AXIS,
+    dim_axis: str = DIM_AXIS,
+) -> tuple[jnp.ndarray, jnp.ndarray]:
+    """Fused top-k scan on a 2-D (rows x dim) mesh for very large dims.
+
+    queries: [B, dpad] sharded over `dim_axis`; base: [Npad, dpad] sharded
+    (rows, dim). Rows/dim must divide evenly by the respective mesh axes
+    (pad first; feature padding with zeros is distance-neutral for every
+    metric). Distances are built from dim-slice partial components psum'd
+    over ICI — one [B, N/rows] collective per scan — then merged over rows
+    exactly like the 1-D path. Non-finite lane-skip policies are not
+    supported on the dim-sharded path (route f16/bf16 non-finite datasets
+    through the 1-D mesh).
+
+    Returns replicated (distances [B, k], global positions [B, k]).
+    """
+    n, dim = base.shape
+    r = mesh.shape[rows_axis]
+    c = mesh.shape[dim_axis]
+    if n % r != 0 or dim % c != 0:
+        raise ValueError(
+            f"sharded_scan_topk_2d: base [{n}, {dim}] must divide evenly by "
+            f"the mesh ({r} x {c}); pad before sharding"
+        )
+    valid = jnp.asarray(n if valid_count is None else valid_count, jnp.int32)
+    return _sharded_scan_topk_2d_impl(
+        queries, base, valid,
+        metric=metric, k=k, mesh=mesh,
+        rows_axis=rows_axis, dim_axis=dim_axis,
+    )

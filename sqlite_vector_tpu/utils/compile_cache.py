@@ -19,6 +19,10 @@ If the process already configured a cache (jax_compilation_cache_dir or the
 JAX_COMPILATION_CACHE_DIR env var), the package leaves it — and the user's
 min-compile-time/min-entry-size thresholds — completely untouched; only an
 explicit SVT_COMPILE_CACHE=<dir> overrides a user cache.
+
+The cache is per-machine: CPU-backend entries bake in the compiling host's
+ISA features, and XLA warns (and may refuse) when loading them elsewhere —
+don't ship the cache directory across machines.
 """
 
 from __future__ import annotations

@@ -171,3 +171,104 @@ def test_sqlite_surface_on_mesh(mesh, tmp_path, rng):
     qrows = c.vector_quantize_scan("t", "v", data[9].tobytes(), 3)
     assert qrows[0][0] == 10
     c.close()
+
+
+# ---------------------------------------------------------------------------
+# 2-D mesh: rows x dim
+# ---------------------------------------------------------------------------
+
+
+@pytest.fixture(scope="module")
+def mesh2d():
+    from sqlite_vector_tpu.parallel import make_mesh_2d
+
+    return make_mesh_2d(4, 2)
+
+
+@pytest.mark.parametrize("metric", METRICS)
+def test_sharded_2d_topk_matches_oracle(mesh2d, metric, rng):
+    """(rows x dim) block sharding: distances from psum'd dim-slice partial
+    components must match the oracle across all metrics."""
+    from sqlite_vector_tpu.parallel import (
+        block_sharding_2d,
+        dim_sharding_2d,
+        sharded_scan_topk_2d,
+    )
+
+    n, d, b, k = 4 * 50, 64, 3, 7
+    base_h = rng.standard_normal((n, d)).astype(np.float32)
+    q_h = rng.standard_normal((b, d)).astype(np.float32)
+    base = jax.device_put(base_h, block_sharding_2d(mesh2d))
+    q = jax.device_put(q_h, dim_sharding_2d(mesh2d))
+    vals, idx = jax.device_get(
+        sharded_scan_topk_2d(q, base, metric, k, mesh2d)
+    )
+    want_idx, want_d = _oracle_topk(base_h, q_h, metric, k)
+    for bi in range(b):
+        assert idx[bi].tolist() == want_idx[bi].tolist(), (metric, bi)
+        np.testing.assert_allclose(
+            vals[bi], oracle.snap_zero(want_d[bi]), rtol=5e-4, atol=1e-5
+        )
+
+
+def test_sharded_2d_int_codes_exact(mesh2d, rng):
+    """Quantized codes on a 2-D mesh: int32 partial sums stay exact under
+    psum (bit-equal distances to the single-chip integer path)."""
+    from sqlite_vector_tpu.parallel import (
+        block_sharding_2d,
+        dim_sharding_2d,
+        sharded_scan_topk_2d,
+    )
+    from sqlite_vector_tpu.types import VectorType
+
+    n, d, k = 4 * 32, 32, 5
+    codes_h = rng.integers(-128, 128, (n, d)).astype(np.int8)
+    q_h = rng.integers(-128, 128, (2, d)).astype(np.int8)
+    codes = jax.device_put(codes_h, block_sharding_2d(mesh2d))
+    q = jax.device_put(q_h, dim_sharding_2d(mesh2d))
+    vals, idx = jax.device_get(
+        sharded_scan_topk_2d(q, codes, DistanceMetric.SQUARED_L2, k, mesh2d)
+    )
+    ref = oracle.distance(q_h, codes_h, DistanceMetric.SQUARED_L2, VectorType.I8)
+    for bi in range(2):
+        order = np.argsort(ref[bi], kind="stable")[:k]
+        assert idx[bi].tolist() == order.tolist()
+        np.testing.assert_array_equal(vals[bi], ref[bi][order])
+
+
+def test_sharded_2d_valid_count_and_padding(mesh2d, rng):
+    """Padding rows (beyond valid_count) and zero feature padding must not
+    affect results; k > valid trims with -1/inf."""
+    from sqlite_vector_tpu.parallel import (
+        block_sharding_2d,
+        dim_sharding_2d,
+        sharded_scan_topk_2d,
+    )
+
+    n, d, valid = 4 * 16, 32, 10
+    base_h = np.zeros((n, d), np.float32)
+    base_h[:valid] = rng.standard_normal((valid, d))
+    base_h[valid:] = 7.7  # padding rows, must be masked
+    # zero-pad two feature columns (distance-neutral)
+    base_h[:, d - 2 :] = 0.0
+    q_h = rng.standard_normal((1, d)).astype(np.float32)
+    q_h[:, d - 2 :] = 0.0
+    base = jax.device_put(base_h, block_sharding_2d(mesh2d))
+    q = jax.device_put(q_h, dim_sharding_2d(mesh2d))
+    vals, idx = jax.device_get(
+        sharded_scan_topk_2d(
+            q, base, DistanceMetric.L2, 15, mesh2d, valid_count=valid
+        )
+    )
+    assert (idx[0][:valid] >= 0).all() and (idx[0][:valid] < valid).all()
+    assert (idx[0][valid:] == -1).all()
+    assert np.isposinf(vals[0][valid:]).all()
+
+
+def test_sharded_2d_rejects_uneven_blocks(mesh2d, rng):
+    from sqlite_vector_tpu.parallel import sharded_scan_topk_2d
+
+    base = np.zeros((101, 64), np.float32)
+    q = np.zeros((1, 64), np.float32)
+    with pytest.raises(ValueError, match="divide evenly"):
+        sharded_scan_topk_2d(q, base, DistanceMetric.L2, 3, mesh2d)
