@@ -104,6 +104,14 @@ def _next_capacity(n: int, multiple_of: int = 1) -> int:
     return cap
 
 
+@functools.partial(jax.jit, static_argnames=("dim",))
+def _zero_pad_columns(arr, dim: int):
+    """Zero feature columns >= dim (2-D-mesh code matrices: quantized
+    padding must stay 0 so padded query lanes contribute nothing)."""
+    col = jnp.arange(arr.shape[1], dtype=jnp.int32)
+    return jnp.where(col[None, :] < dim, arr, jnp.zeros((), arr.dtype))
+
+
 @jax.jit
 def _device_row_update(vectors, new_rows, start):
     # NOTE: no donate_argnums — donation deletes the old buffer, which a
@@ -183,13 +191,41 @@ class Dataset:
         self._device = device
         self._sharding = sharding
         self._mesh = mesh
+        self._mesh_2d = False
+        self._dim_mult = 1
         if mesh is not None:
-            self._row_sharding = row_sharding(mesh)
-            self._repl_sharding = replicated_sharding(mesh)
-            self._mesh_size = int(np.prod(list(mesh.shape.values())))
+            axes = list(mesh.axis_names)
+            if len(axes) == 2:
+                # 2-D (rows x dim) mesh: block-sharded matrix, dim-sharded
+                # queries, distances via psum'd partial components
+                # (parallel.sharded_scan_topk_2d)
+                from sqlite_vector_tpu.parallel import (
+                    block_sharding_2d,
+                    dim_sharding_2d,
+                )
+                from jax.sharding import NamedSharding, PartitionSpec
+
+                if storage == "host":
+                    raise VectorConfigError(
+                        "storage='host' is not supported with a 2-D mesh — "
+                        "host streaming shards tiles over rows only (use a "
+                        "1-D mesh, or hbm storage)."
+                    )
+                self._mesh_2d = True
+                self._row_sharding = block_sharding_2d(mesh)
+                self._repl_sharding = dim_sharding_2d(mesh)
+                self._mask_sharding = NamedSharding(mesh, PartitionSpec(axes[0]))
+                self._mesh_size = int(mesh.shape[axes[0]])
+                self._dim_mult = int(mesh.shape[axes[1]])
+            else:
+                self._row_sharding = row_sharding(mesh)
+                self._repl_sharding = replicated_sharding(mesh)
+                self._mask_sharding = self._row_sharding
+                self._mesh_size = int(np.prod(list(mesh.shape.values())))
         else:
             self._row_sharding = sharding
             self._repl_sharding = None
+            self._mask_sharding = sharding
             self._mesh_size = 1
         import threading
 
@@ -556,8 +592,27 @@ class Dataset:
                 rows.append(a.astype(np_dtype, copy=False))
         return np.stack(rows) if rows else np.zeros((0, dim), np_dtype)
 
+    @property
+    def _dim_padded(self) -> int:
+        """Device-matrix feature width: the dataset dim rounded up to the
+        dim-axis mesh multiple (2-D meshes only; zero padding is
+        distance-neutral for every metric)."""
+        d = self.dimension
+        m = self._dim_mult
+        return -(-d // m) * m if m > 1 else d
+
+    def _pad_dim(self, arr: np.ndarray) -> np.ndarray:
+        """Zero-pad the trailing feature axis to _dim_padded."""
+        dpad = self._dim_padded
+        if arr.shape[-1] >= dpad:
+            return arr
+        widths = [(0, 0)] * (arr.ndim - 1) + [(0, dpad - arr.shape[-1])]
+        return np.pad(np.asarray(arr), widths)
+
     def _put(self, arr: np.ndarray) -> jnp.ndarray:
-        """Place a row-partitioned array (database rows / quantized codes)."""
+        """Place a row-partitioned matrix (database rows / quantized codes)."""
+        if self._mesh_2d:
+            arr = self._pad_dim(arr)
         if self._row_sharding is not None:
             return jax.device_put(arr, self._row_sharding)
         if self._device is not None:
@@ -565,7 +620,12 @@ class Dataset:
         return jnp.asarray(arr)
 
     def _put_query(self, arr: np.ndarray) -> jnp.ndarray:
-        """Place a query batch (replicated across the mesh)."""
+        """Place a query batch (replicated over rows; dim-sharded on a 2-D
+        mesh). NOTE: on 2-D meshes the zero dim-padding happens here, so
+        integer query CODES must be quantized before this call — quantizing
+        padded zeros would produce nonzero pad codes."""
+        if self._mesh_2d and arr.ndim == 2:
+            arr = self._pad_dim(arr)
         if self._repl_sharding is not None:
             return jax.device_put(arr, self._repl_sharding)
         if self._device is not None:
@@ -745,7 +805,13 @@ class Dataset:
             return None
         out = np.zeros((cap,), bool)
         out[:count] = mask[:count]
-        return self._put(out)
+        # masks are 1-D over rows: on a 2-D mesh they shard over the rows
+        # axis only (self._put would try to block-shard / dim-pad them)
+        if self._mask_sharding is not None:
+            return jax.device_put(out, self._mask_sharding)
+        if self._device is not None:
+            return jax.device_put(out, self._device)
+        return jnp.asarray(out)
 
     def _nonfinite_policy(
         self, q: np.ndarray, *, raw_values: bool = False
@@ -792,6 +858,19 @@ class Dataset:
             )
         qd = self._put_query(q)
         dmask = self._pad_mask(mask, self._vectors.shape[0], self._count)
+        if self._mesh_2d:
+            self._require_no_policy_2d(policy)
+            from sqlite_vector_tpu.parallel import sharded_scan_topk_2d
+
+            return sharded_scan_topk_2d(
+                qd,
+                self._vectors,
+                self.metric,
+                k,
+                self._mesh,
+                valid_count=self._count,
+                row_mask=dmask,
+            )
         if self._mesh is not None:
             return sharded_scan_topk(
                 qd,
@@ -839,16 +918,39 @@ class Dataset:
                 device=self._device,
                 mesh=self._mesh,
             )
-        if quant.sq_norms is None and self.metric in (
-            DistanceMetric.L2,
-            DistanceMetric.SQUARED_L2,
-            DistanceMetric.COSINE,
+        if (
+            quant.sq_norms is None
+            and not self._mesh_2d
+            and self.metric
+            in (
+                DistanceMetric.L2,
+                DistanceMetric.SQUARED_L2,
+                DistanceMetric.COSINE,
+            )
         ):
             codes = quant.codes
             quant.sq_norms = jax.jit(
                 lambda x: jnp.sum(x.astype(jnp.int32) * x.astype(jnp.int32), axis=-1)
             )(codes)
         dmask = self._pad_mask(mask, quant.codes.shape[0], quant.count)
+        if self._mesh_2d:
+            from sqlite_vector_tpu import oracle
+            from sqlite_vector_tpu.parallel import sharded_scan_topk_2d
+
+            # quantize host-side BEFORE the zero dim-padding (quantizing a
+            # padded zero would produce a nonzero pad code)
+            qq_h = oracle.quantize(
+                q.astype(np.float32), quant.scale, quant.offset, quant.qtype
+            )
+            return sharded_scan_topk_2d(
+                self._put_query(qq_h),
+                quant.codes,
+                self.metric,
+                k,
+                self._mesh,
+                valid_count=quant.count,
+                row_mask=dmask,
+            )
         if self._mesh is not None:
             # quantize the query with the stored scale/offset
             # (src/sqlite-vector.c:2162-2177)
@@ -1024,7 +1126,14 @@ class Dataset:
             return d[0] if single else d
         if exact:
             qd = self._put_query(q)
-            if self._mesh is not None:
+            if self._mesh_2d:
+                self._require_no_policy_2d(policy)
+                from sqlite_vector_tpu.parallel import sharded_scan_distances_2d
+
+                d = sharded_scan_distances_2d(
+                    qd, self._vectors, self.metric, self._mesh
+                )
+            elif self._mesh is not None:
                 d = sharded_scan_distances(
                     qd,
                     self._vectors,
@@ -1044,12 +1153,26 @@ class Dataset:
             d = np.asarray(d)[:, : self._count]
         else:
             quant = self._require_quant("vector_quantize_scan_stream")
-            qq = quantize_device(
-                self._put_query(q), quant.scale, quant.offset, quant.qtype
-            )
-            if self._mesh is not None:
+            if self._mesh_2d:
+                from sqlite_vector_tpu import oracle
+                from sqlite_vector_tpu.parallel import sharded_scan_distances_2d
+
+                # quantize before the zero dim-padding (see _put_query)
+                qq_h = oracle.quantize(
+                    q.astype(np.float32), quant.scale, quant.offset, quant.qtype
+                )
+                d = sharded_scan_distances_2d(
+                    self._put_query(qq_h), quant.codes, self.metric, self._mesh
+                )
+            elif self._mesh is not None:
+                qq = quantize_device(
+                    self._put_query(q), quant.scale, quant.offset, quant.qtype
+                )
                 d = sharded_scan_distances(qq, quant.codes, self.metric, self._mesh)
             else:
+                qq = quantize_device(
+                    self._put_query(q), quant.scale, quant.offset, quant.qtype
+                )
                 d = scan_distances(qq, quant.codes, self.metric)
             d = np.asarray(d)[:, : quant.count]
         return d[0] if single else d
@@ -1105,18 +1228,46 @@ class Dataset:
             return 0
         if self._storage == "host":
             return self._quantize_host(opts, checkpoint)
-        mn, mx, neg = minmax_and_negative(
-            self._vectors, self._count, valid_is_full=False
-        )
-        rqtype, scale, offset = resolve_quant_params(
-            float(mn), float(mx), bool(neg), opts.qtype
-        )
-        codes = quantize_device(self._vectors, scale, offset, rqtype)
+        if self._mesh_2d:
+            # the device matrix carries zero dim-padding that would poison
+            # the global min/max; compute params from the (unpadded) host
+            # mirror with the bit-parity oracle formulas, quantize on device,
+            # and re-zero the padded columns (a quantized 0 is nonzero codes)
+            from sqlite_vector_tpu import oracle
+
+            count = self._count
+            chunk = max(1, HOST_CHUNK_ELEMS // max(self.dimension, 1))
+            rqtype, scale, offset = oracle.compute_quant_params_chunked(
+                (
+                    self._host_vectors[s : min(s + chunk, count)]
+                    for s in range(0, count, chunk)
+                ),
+                opts.qtype,
+            )
+            codes = quantize_device(self._vectors, scale, offset, rqtype)
+            codes = _zero_pad_columns(codes, self.dimension)
+        else:
+            mn, mx, neg = minmax_and_negative(
+                self._vectors, self._count, valid_is_full=False
+            )
+            rqtype, scale, offset = resolve_quant_params(
+                float(mn), float(mx), bool(neg), opts.qtype
+            )
+            codes = quantize_device(self._vectors, scale, offset, rqtype)
         self._quant = _QuantState(
             rqtype, scale, offset, codes, self._count,
             ids=self._ids[: self._count].copy(),
         )
         return self._count
+
+    @staticmethod
+    def _require_no_policy_2d(policy) -> None:
+        if policy is not None:
+            raise VectorConfigError(
+                "Non-finite f16/bf16 lane-skip policies are not supported on "
+                "a 2-D (rows x dim) mesh — use a 1-D rows mesh for datasets "
+                "with non-finite values."
+            )
 
     def _quantize_host(self, opts: VectorOptions, checkpoint: str | None) -> int:
         """Host-resident quantize build: chunked numpy pipeline with

@@ -33,6 +33,7 @@ from sqlite_vector_tpu.parallel.ops import (
     sharded_scan_topk,
     sharded_scan_topk_2d,
     sharded_scan_distances,
+    sharded_scan_distances_2d,
 )
 
 __all__ = [
@@ -47,4 +48,5 @@ __all__ = [
     "sharded_scan_topk",
     "sharded_scan_topk_2d",
     "sharded_scan_distances",
+    "sharded_scan_distances_2d",
 ]

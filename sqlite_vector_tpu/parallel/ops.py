@@ -228,10 +228,31 @@ def sharded_scan_distances(
 # ---------------------------------------------------------------------------
 
 
+def _compose_2d(q, b, metric, dim_axis):
+    """Distances on a (rows, dim) chip: partial components over the local
+    feature slice, psum over `dim` (every metric is dim-separable; int32
+    partials stay exact), metric composition shared with the 1-chip path."""
+    main, q_sq, b_sq = partial_components(q, b, metric)
+    main = jax.lax.psum(main, dim_axis)
+    if q_sq is not None:
+        q_sq = jax.lax.psum(q_sq, dim_axis)
+        b_sq = jax.lax.psum(b_sq, dim_axis)
+    if metric is DistanceMetric.L1:
+        return (
+            main.astype(jnp.float32)
+            if jnp.issubdtype(main.dtype, jnp.integer)
+            else main
+        )
+    if jnp.issubdtype(main.dtype, jnp.integer):
+        return compose_int(metric, main, q_sq, b_sq)
+    return compose_float(metric, main, q_sq, b_sq)
+
+
 def _local_topk_merge_2d(
     q: jnp.ndarray,
     b: jnp.ndarray,
     valid: jnp.ndarray,
+    mask: jnp.ndarray | None = None,
     *,
     metric: DistanceMetric,
     k: int,
@@ -266,6 +287,8 @@ def _local_topk_merge_2d(
     local_valid = jnp.clip(valid - start, 0, shard_rows)
     row_idx = jnp.arange(shard_rows, dtype=jnp.int32)
     dist = jnp.where(row_idx[None, :] < local_valid, dist, jnp.inf)
+    if mask is not None:
+        dist = jnp.where(mask[None, :], dist, jnp.inf)
 
     vals, idx = topk_ascending(dist, min(k, shard_rows))
     if vals.shape[1] < k:  # fewer local rows than k: pad candidates
@@ -278,22 +301,25 @@ def _local_topk_merge_2d(
 
 @functools.partial(
     jax.jit,
-    static_argnames=("metric", "k", "mesh", "rows_axis", "dim_axis"),
+    static_argnames=("metric", "k", "mesh", "rows_axis", "dim_axis", "has_mask"),
 )
 def _sharded_scan_topk_2d_impl(
-    queries, base, valid, *, metric, k, mesh, rows_axis, dim_axis
+    queries, base, valid, row_mask, *,
+    metric, k, mesh, rows_axis, dim_axis, has_mask,
 ):
     body = functools.partial(
         _local_topk_merge_2d,
         metric=metric, k=k, rows_axis=rows_axis, dim_axis=dim_axis,
     )
+    in_specs = [P(None, dim_axis), P(rows_axis, dim_axis), P()]
+    args = [queries, base, valid]
+    if has_mask:
+        in_specs.append(P(rows_axis))
+        args.append(row_mask)
     fn = shard_map(
-        body,
-        mesh,
-        in_specs=(P(None, dim_axis), P(rows_axis, dim_axis), P()),
-        out_specs=(P(), P()),
+        body, mesh, in_specs=tuple(in_specs), out_specs=(P(), P())
     )
-    return fn(queries, base, valid)
+    return fn(*args)
 
 
 def sharded_scan_topk_2d(
@@ -304,6 +330,7 @@ def sharded_scan_topk_2d(
     mesh: Mesh,
     *,
     valid_count: jnp.ndarray | int | None = None,
+    row_mask: jnp.ndarray | None = None,
     rows_axis: str = ROWS_AXIS,
     dim_axis: str = DIM_AXIS,
 ) -> tuple[jnp.ndarray, jnp.ndarray]:
@@ -330,7 +357,30 @@ def sharded_scan_topk_2d(
         )
     valid = jnp.asarray(n if valid_count is None else valid_count, jnp.int32)
     return _sharded_scan_topk_2d_impl(
-        queries, base, valid,
+        queries, base, valid, row_mask,
         metric=metric, k=k, mesh=mesh,
         rows_axis=rows_axis, dim_axis=dim_axis,
+        has_mask=row_mask is not None,
     )
+
+
+def sharded_scan_distances_2d(
+    queries: jnp.ndarray,
+    base: jnp.ndarray,
+    metric: DistanceMetric,
+    mesh: Mesh,
+    *,
+    rows_axis: str = ROWS_AXIS,
+    dim_axis: str = DIM_AXIS,
+) -> jnp.ndarray:
+    """Full [B, N] distance matrix on a (rows x dim) mesh: partial
+    components psum'd over `dim`, result column-sharded over `rows`
+    (replicated across the dim groups). Streaming-vtab analogue."""
+    body = functools.partial(_compose_2d, metric=metric, dim_axis=dim_axis)
+    fn = shard_map(
+        lambda q, b: body(q, b),
+        mesh,
+        in_specs=(P(None, dim_axis), P(rows_axis, dim_axis)),
+        out_specs=P(None, rows_axis),
+    )
+    return fn(queries, base)

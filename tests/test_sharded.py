@@ -272,3 +272,108 @@ def test_sharded_2d_rejects_uneven_blocks(mesh2d, rng):
     q = np.zeros((1, 64), np.float32)
     with pytest.raises(ValueError, match="divide evenly"):
         sharded_scan_topk_2d(q, base, DistanceMetric.L2, 3, mesh2d)
+
+
+def test_dataset_on_2d_mesh_end_to_end(mesh2d, rng):
+    """A Dataset constructed with a 2-D mesh: add / exact search / quantize /
+    quantized search / rerank / distances / filters, all value-checked.
+    Uses a dim that does NOT divide the dim axis (exercises zero padding)."""
+    from sqlite_vector_tpu.types import VectorOptions
+
+    d = 33  # not a multiple of the dim-axis size (2)
+    ds = svt.Dataset(
+        "d2", VectorOptions(dimension=d, distance=DistanceMetric.L2), mesh=mesh2d
+    )
+    base = (rng.standard_normal((500, d)) * 2).astype(np.float32)
+    ids = ds.add(base)
+    assert ds._vectors.shape[1] == 34  # padded to the dim-axis multiple
+
+    q = base[123]
+    got, dist = ds.search(q, 5)
+    assert got[0] == ids[123] and dist[0] == 0.0
+    ref = oracle.distance(q[None], base, DistanceMetric.L2, VectorType.F32)[0]
+    order = np.argsort(ref, kind="stable")[:5]
+    assert got.tolist() == [int(ids[i]) for i in order]
+    np.testing.assert_allclose(dist, oracle.snap_zero(ref[order]), rtol=1e-4, atol=1e-6)
+
+    # batched
+    got_b, dist_b = ds.search(base[:7], 3)
+    assert got_b.shape == (7, 3) and (got_b[:, 0] == ids[:7]).all()
+
+    # quantize: params must match the oracle bit-for-bit despite padding
+    n = ds.quantize()
+    assert n == 500
+    qt, scale, offset = ds.quant_params
+    oqt, oscale, ooffset = oracle.compute_quant_params(
+        base, svt.QuantType.AUTO
+    )
+    assert (qt, np.float32(scale), np.float32(offset)) == (oqt, oscale, ooffset)
+    # padded code columns stay zero (quantized zero-padding invariant)
+    codes_h = np.asarray(ds._quant.codes)
+    assert (codes_h[:, d:] == 0).all()
+
+    a_ids, a_vals = ds.search(q, 5, exact=False)
+    qcodes = oracle.quantize(base, oscale, ooffset, oqt)
+    qq = oracle.quantize(q[None].astype(np.float32), oscale, ooffset, oqt)
+    qref = oracle.distance(
+        qq, qcodes, DistanceMetric.L2,
+        VectorType.I8 if oqt is svt.QuantType.I8 else VectorType.U8,
+    )[0]
+    qorder = np.argsort(qref, kind="stable")[:5]
+    assert a_ids.tolist() == [int(ids[i]) for i in qorder]
+    np.testing.assert_allclose(a_vals, qref[qorder], rtol=1e-5)
+
+    # rerank (staged path on meshes): exact-quality results
+    r_ids, r_vals = ds.search(q, 5, mode="rerank")
+    assert r_ids[0] == ids[123] and r_vals[0] == 0.0
+
+    # streaming distances
+    dmat = ds.distances(base[:3])
+    np.testing.assert_allclose(
+        dmat,
+        oracle.snap_zero(
+            oracle.distance(base[:3], base, DistanceMetric.L2, VectorType.F32)
+        ),
+        rtol=1e-4, atol=1e-6,
+    )
+    qd = ds.distances(q, exact=False)
+    np.testing.assert_allclose(qd, qref, rtol=1e-5)
+
+    # ids_filter masks through the 2-D path
+    flt = ids[100:110]
+    f_ids, _ = ds.search(q, 3, ids_filter=flt)
+    assert set(f_ids.tolist()) <= set(int(i) for i in flt)
+
+    # appends keep working (full re-upload path on meshes)
+    extra = np.full((1, d), 0.25, np.float32)
+    new_ids = ds.add(extra)
+    g2, d2 = ds.search(extra[0], 1)
+    assert g2[0] == new_ids[0] and d2[0] == 0.0
+
+
+def test_dataset_2d_mesh_rejects_host_storage(mesh2d):
+    from sqlite_vector_tpu.errors import VectorConfigError
+    from sqlite_vector_tpu.types import VectorOptions
+
+    with pytest.raises(VectorConfigError, match="2-D mesh"):
+        svt.Dataset(
+            "h2", VectorOptions(dimension=8), mesh=mesh2d, storage="host"
+        )
+
+
+def test_dataset_2d_mesh_nonfinite_policy_rejected(mesh2d, rng):
+    """f16 lane-skip policies need the 1-D mesh; the 2-D path must refuse
+    loudly rather than return silently-wrong distances."""
+    from sqlite_vector_tpu.errors import VectorConfigError
+    from sqlite_vector_tpu.types import VectorOptions, VectorType as VT
+
+    ds = svt.Dataset(
+        "nf2",
+        VectorOptions(dimension=8, type=VT.F16, distance=DistanceMetric.L1),
+        mesh=mesh2d,
+    )
+    base = rng.standard_normal((64, 8)).astype(np.float16)
+    base[3, 2] = np.nan
+    ds.add(base)
+    with pytest.raises(VectorConfigError, match="1-D rows mesh"):
+        ds.search(base[0].astype(np.float32), 3)
