@@ -541,7 +541,8 @@ class Dataset:
             return self._update_locked(ids, vectors)
 
     def _update_locked(self, ids, vectors) -> int:
-        ids = np.asarray(ids, np.int64)
+        # a scalar id updates one row (mirrors get()'s ergonomics)
+        ids = np.atleast_1d(np.asarray(ids, np.int64))
         arr = self._coerce_batch(vectors)
         if arr.shape[0] != ids.size:
             raise VectorConfigError("ids must have one entry per vector")

@@ -1,0 +1,183 @@
+"""Stateful API-sequence fuzzer: Dataset mutations vs a model state.
+
+Random interleavings of add / update / remove / quantize / search /
+save+load drive the native Python API while a plain dict mirrors the
+expected live rows; every checkpoint validates exact search, quantized
+search (against a quantize-time snapshot of the state — the reference's
+shadow-table staleness contract), streaming distances, and filters against
+the numpy oracle. Unlike test_fuzz_differential this needs no compiled C
+reference, so it runs on every CI machine; it exercises engine STATE
+transitions (capacity growth, id remapping after removals, stale codes)
+rather than SQL parity.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+
+import sqlite_vector_tpu as svt
+from sqlite_vector_tpu import oracle
+from sqlite_vector_tpu.types import DistanceMetric, VectorType
+
+from tests.parity import REL_TOL_BY_TYPE, assert_topk_parity
+
+TYPES = [VectorType.F32, VectorType.F16, VectorType.BF16, VectorType.U8]
+METRICS = list(DistanceMetric)
+
+
+def _rand_rows(rng, n, dim, vtype):
+    if vtype is VectorType.U8:
+        return rng.integers(0, 256, (n, dim)).astype(np.uint8)
+    if vtype is VectorType.I8:
+        return rng.integers(-128, 128, (n, dim)).astype(np.int8)
+    return (rng.standard_normal((n, dim)) * 2).astype(vtype.np_dtype)
+
+
+@pytest.mark.parametrize("seed", range(6))
+def test_api_op_sequences(tmp_path, seed):
+    rng = np.random.default_rng(4000 + seed)
+    vtype = TYPES[seed % len(TYPES)]
+    metric = METRICS[(seed * 2 + 1) % len(METRICS)]
+    dim = int(rng.integers(4, 32))
+    rel_tol = REL_TOL_BY_TYPE[vtype.value]
+    use_mesh = seed % 3 == 0
+
+    mesh = svt.make_mesh() if use_mesh else None
+    ds = svt.Dataset(
+        f"api{seed}",
+        svt.parse_options(
+            f"dimension={dim},type={vtype.value},distance={metric.value}"
+        ),
+        mesh=mesh,
+    )
+
+    state: dict[int, np.ndarray] = {}  # live rows by id
+    qsnap: dict[int, np.ndarray] | None = None  # state at last quantize()
+
+    def do_add():
+        n = int(rng.integers(1, 20))
+        rows = _rand_rows(rng, n, dim, vtype)
+        ids = ds.add(rows)
+        for i, rid in enumerate(ids):
+            state[int(rid)] = rows[i]
+
+    def do_update():
+        if not state:
+            return
+        rid = int(rng.choice(list(state)))
+        row = _rand_rows(rng, 1, dim, vtype)[0]
+        ds.update(rid, row)
+        state[rid] = row
+
+    def do_remove():
+        if not state:
+            return
+        rid = int(rng.choice(list(state)))
+        ds.remove([rid])
+        del state[rid]
+
+    def do_quantize():
+        nonlocal qsnap
+        if not state:
+            return
+        assert ds.quantize() == len(state)
+        qsnap = dict(state)
+
+    def do_roundtrip():
+        nonlocal ds
+        d = str(tmp_path / f"rt{seed}")
+        ds.save(d)
+        ds = svt.Dataset.load(d, mesh=mesh)
+
+    def check():
+        assert len(ds) == len(state)
+        if not state:
+            return
+        ids_all = np.array(sorted(state), np.int64)
+        base = np.stack([state[i] for i in ids_all])
+        qid = int(rng.choice(ids_all))
+        q = state[qid]
+        k = int(rng.choice([1, 4]))
+        d = oracle.snap_zero(oracle.distance(q[None], base, metric, vtype)[0])
+
+        got_ids, got_vals = ds.search(q, k)
+        kk = min(k, len(ids_all))
+        assert_topk_parity(
+            ids_all, d,
+            np.pad(np.asarray(got_ids, np.int64), (0, k - len(got_ids)),
+                   constant_values=-1),
+            np.pad(np.asarray(got_vals, np.float64), (0, k - len(got_vals)),
+                   constant_values=np.inf),
+            k, rel_tol=rel_tol, label=f"api seed={seed}",
+        )
+
+        # streaming distances over live rows (ids in insertion order)
+        live_order = [int(i) for i in ds.ids]
+        dm = ds.distances(q)
+        want = oracle.snap_zero(
+            oracle.distance(
+                q[None], np.stack([state[i] for i in live_order]), metric, vtype
+            )[0]
+        )
+        finite = np.isfinite(want)
+        np.testing.assert_allclose(
+            dm[finite], want[finite], rtol=max(rel_tol, 1e-5), atol=1e-5
+        )
+
+        # quantized scans serve the QUANTIZE-TIME snapshot (stale contract)
+        if qsnap:
+            q_ids = np.array(sorted(qsnap), np.int64)
+            qbase = np.stack([qsnap[i] for i in q_ids])
+            _, qscale, qoffset = (
+                ds.quant_params[0], ds.quant_params[1], ds.quant_params[2]
+            )
+            qt = ds.quant_params[0]
+            qc = oracle.quantize(
+                qbase.astype(np.float32), np.float32(qscale),
+                np.float32(qoffset), qt,
+            )
+            qq = oracle.quantize(
+                np.asarray(q, np.float32)[None], np.float32(qscale),
+                np.float32(qoffset), qt,
+            )
+            qd = oracle.distance(
+                qq, qc, metric,
+                VectorType.I8 if qt is svt.QuantType.I8 else VectorType.U8,
+            )[0]
+            a_ids, a_vals = ds.search(q, k, exact=False)
+            kq = min(k, len(q_ids))
+            assert_topk_parity(
+                q_ids, qd,
+                np.pad(np.asarray(a_ids, np.int64), (0, k - len(a_ids)),
+                       constant_values=-1),
+                np.pad(np.asarray(a_vals, np.float64), (0, k - len(a_vals)),
+                       constant_values=np.inf),
+                k, rel_tol=1e-6, label=f"api-quant seed={seed}",
+            )
+
+        # filtered search stays within the filter and finds the best member
+        if len(ids_all) >= 4:
+            flt = rng.choice(ids_all, size=len(ids_all) // 2, replace=False)
+            f_ids, _ = ds.search(q, min(k, len(flt)), ids_filter=flt)
+            assert set(int(i) for i in f_ids) <= set(int(i) for i in flt)
+            sub = np.array(sorted(flt), np.int64)
+            subd = oracle.distance(
+                q[None], np.stack([state[int(i)] for i in sub]), metric, vtype
+            )[0]
+            subd = np.where(np.isnan(subd), np.inf, subd)
+            if np.isfinite(subd).any() and len(f_ids):
+                best = int(sub[np.argmin(subd)])
+                tol = max(rel_tol, 1e-6) * max(1.0, abs(float(subd.min())))
+                winners = {
+                    int(sub[j])
+                    for j in np.flatnonzero(subd <= subd.min() + tol)
+                }
+                assert int(f_ids[0]) in winners
+
+    ops = [do_add, do_add, do_update, do_remove, do_quantize, do_roundtrip]
+    do_add()
+    check()
+    for _ in range(10):
+        rng.choice(ops)()
+        check()
