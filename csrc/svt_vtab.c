@@ -121,6 +121,12 @@ static int svt_best_index(sqlite3_vtab *tab, sqlite3_index_info *info) {
     if (c->iColumn < COL_TBL || c->iColumn >= nargs) continue;
     present[c->iColumn] = 1;
     if (!c->usable) continue;
+    /* a second EQ term on the same hidden column (e.g. a WHERE clause
+     * duplicating a TVF argument) would assign the same argvIndex twice —
+     * SQLite treats that as an xBestIndex malfunction — and binding either
+     * one silently drops the other; declare the plan infeasible instead
+     * (SQLite reports 'no query solution', a clear diagnostic) */
+    if (have[c->iColumn]) return SQLITE_CONSTRAINT;
     info->aConstraintUsage[i].argvIndex = c->iColumn + 1;
     info->aConstraintUsage[i].omit = 1;
     have[c->iColumn] = 1;

@@ -212,6 +212,7 @@ class Dataset:
                         "1-D mesh, or hbm storage)."
                     )
                 self._mesh_2d = True
+                self._axes_2d = (axes[0], axes[1])
                 self._row_sharding = block_sharding_2d(mesh)
                 self._repl_sharding = dim_sharding_2d(mesh)
                 self._mask_sharding = NamedSharding(mesh, PartitionSpec(axes[0]))
@@ -588,7 +589,8 @@ class Dataset:
                 a = np.asarray(v)
                 if a.shape != (dim,):
                     raise VectorCodecError(
-                        f"Invalid vector dimension: expected {dim} but found {a.shape[-1]}."
+                        f"Invalid vector dimension: expected {dim} but found "
+                    f"{a.shape[-1] if a.ndim else 'a scalar'}."
                     )
                 rows.append(a.astype(np_dtype, copy=False))
         return np.stack(rows) if rows else np.zeros((0, dim), np_dtype)
@@ -871,6 +873,8 @@ class Dataset:
                 self._mesh,
                 valid_count=self._count,
                 row_mask=dmask,
+                rows_axis=self._axes_2d[0],
+                dim_axis=self._axes_2d[1],
             )
         if self._mesh is not None:
             return sharded_scan_topk(
@@ -951,6 +955,8 @@ class Dataset:
                 self._mesh,
                 valid_count=quant.count,
                 row_mask=dmask,
+                rows_axis=self._axes_2d[0],
+                dim_axis=self._axes_2d[1],
             )
         if self._mesh is not None:
             # quantize the query with the stored scale/offset
@@ -1132,7 +1138,8 @@ class Dataset:
                 from sqlite_vector_tpu.parallel import sharded_scan_distances_2d
 
                 d = sharded_scan_distances_2d(
-                    qd, self._vectors, self.metric, self._mesh
+                    qd, self._vectors, self.metric, self._mesh,
+                    rows_axis=self._axes_2d[0], dim_axis=self._axes_2d[1],
                 )
             elif self._mesh is not None:
                 d = sharded_scan_distances(
@@ -1163,18 +1170,19 @@ class Dataset:
                     q.astype(np.float32), quant.scale, quant.offset, quant.qtype
                 )
                 d = sharded_scan_distances_2d(
-                    self._put_query(qq_h), quant.codes, self.metric, self._mesh
+                    self._put_query(qq_h), quant.codes, self.metric, self._mesh,
+                    rows_axis=self._axes_2d[0], dim_axis=self._axes_2d[1],
                 )
-            elif self._mesh is not None:
-                qq = quantize_device(
-                    self._put_query(q), quant.scale, quant.offset, quant.qtype
-                )
-                d = sharded_scan_distances(qq, quant.codes, self.metric, self._mesh)
             else:
                 qq = quantize_device(
                     self._put_query(q), quant.scale, quant.offset, quant.qtype
                 )
-                d = scan_distances(qq, quant.codes, self.metric)
+                if self._mesh is not None:
+                    d = sharded_scan_distances(
+                        qq, quant.codes, self.metric, self._mesh
+                    )
+                else:
+                    d = scan_distances(qq, quant.codes, self.metric)
             d = np.asarray(d)[:, : quant.count]
         return d[0] if single else d
 
@@ -1229,32 +1237,22 @@ class Dataset:
             return 0
         if self._storage == "host":
             return self._quantize_host(opts, checkpoint)
+        # on a 2-D mesh the device matrix carries zero dim-padding that
+        # would poison the global min/max: reduce over the unpadded column
+        # slice (still on device), and re-zero the padded code columns after
+        # quantizing (a quantized 0 is a nonzero code)
+        mat = (
+            self._vectors[:, : self.dimension]
+            if self._mesh_2d
+            else self._vectors
+        )
+        mn, mx, neg = minmax_and_negative(mat, self._count, valid_is_full=False)
+        rqtype, scale, offset = resolve_quant_params(
+            float(mn), float(mx), bool(neg), opts.qtype
+        )
+        codes = quantize_device(self._vectors, scale, offset, rqtype)
         if self._mesh_2d:
-            # the device matrix carries zero dim-padding that would poison
-            # the global min/max; compute params from the (unpadded) host
-            # mirror with the bit-parity oracle formulas, quantize on device,
-            # and re-zero the padded columns (a quantized 0 is nonzero codes)
-            from sqlite_vector_tpu import oracle
-
-            count = self._count
-            chunk = max(1, HOST_CHUNK_ELEMS // max(self.dimension, 1))
-            rqtype, scale, offset = oracle.compute_quant_params_chunked(
-                (
-                    self._host_vectors[s : min(s + chunk, count)]
-                    for s in range(0, count, chunk)
-                ),
-                opts.qtype,
-            )
-            codes = quantize_device(self._vectors, scale, offset, rqtype)
             codes = _zero_pad_columns(codes, self.dimension)
-        else:
-            mn, mx, neg = minmax_and_negative(
-                self._vectors, self._count, valid_is_full=False
-            )
-            rqtype, scale, offset = resolve_quant_params(
-                float(mn), float(mx), bool(neg), opts.qtype
-            )
-            codes = quantize_device(self._vectors, scale, offset, rqtype)
         self._quant = _QuantState(
             rqtype, scale, offset, codes, self._count,
             ids=self._ids[: self._count].copy(),
@@ -1265,9 +1263,10 @@ class Dataset:
     def _require_no_policy_2d(policy) -> None:
         if policy is not None:
             raise VectorConfigError(
-                "Non-finite f16/bf16 lane-skip policies are not supported on "
-                "a 2-D (rows x dim) mesh — use a 1-D rows mesh for datasets "
-                "with non-finite values."
+                "Non-finite input handling (f16/bf16 lane-skip policies, and "
+                "raw +Inf value parity for f32 streamed distances) is not "
+                "supported on a 2-D (rows x dim) mesh — use a 1-D rows mesh "
+                "for datasets or queries with non-finite values."
             )
 
     def _quantize_host(self, opts: VectorOptions, checkpoint: str | None) -> int:

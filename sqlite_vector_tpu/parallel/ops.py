@@ -43,6 +43,7 @@ def shard_map(f, mesh, in_specs, out_specs):
         )
 
 from sqlite_vector_tpu.ops.distance import (
+    _snap,
     compose_float,
     compose_int,
     partial_components,
@@ -238,11 +239,10 @@ def _compose_2d(q, b, metric, dim_axis):
         q_sq = jax.lax.psum(q_sq, dim_axis)
         b_sq = jax.lax.psum(b_sq, dim_axis)
     if metric is DistanceMetric.L1:
-        return (
-            main.astype(jnp.float32)
-            if jnp.issubdtype(main.dtype, jnp.integer)
-            else main
-        )
+        if jnp.issubdtype(main.dtype, jnp.integer):
+            return main.astype(jnp.float32)
+        # same nearly-zero snap as every other float path
+        return _snap(main)
     if jnp.issubdtype(main.dtype, jnp.integer):
         return compose_int(metric, main, q_sq, b_sq)
     return compose_float(metric, main, q_sq, b_sq)
@@ -264,24 +264,7 @@ def _local_topk_merge_2d(
     dim-separable), compose, local top-k, then the candidate merge over
     `rows`. The merge runs redundantly on every dim-group chip — it is
     O(B·k·R), negligible next to the scan."""
-    main, q_sq, b_sq = partial_components(q, b, metric)
-    main = jax.lax.psum(main, dim_axis)
-    if q_sq is not None:
-        q_sq = jax.lax.psum(q_sq, dim_axis)
-        b_sq = jax.lax.psum(b_sq, dim_axis)
-
-    if metric is DistanceMetric.L1:
-        dist = (
-            main.astype(jnp.float32)
-            if jnp.issubdtype(main.dtype, jnp.integer)
-            else main
-        )
-    elif jnp.issubdtype(main.dtype, jnp.integer):
-        dist = compose_int(metric, main, q_sq, b_sq)
-    else:
-        dist = compose_float(metric, main, q_sq, b_sq)
-
-    dist = _sanitize_nan(dist)
+    dist = _sanitize_nan(_compose_2d(q, b, metric, dim_axis))
     shard_rows = b.shape[0]
     start = (jax.lax.axis_index(rows_axis) * shard_rows).astype(jnp.int32)
     local_valid = jnp.clip(valid - start, 0, shard_rows)
@@ -376,6 +359,14 @@ def sharded_scan_distances_2d(
     """Full [B, N] distance matrix on a (rows x dim) mesh: partial
     components psum'd over `dim`, result column-sharded over `rows`
     (replicated across the dim groups). Streaming-vtab analogue."""
+    n, dim = base.shape
+    r = mesh.shape[rows_axis]
+    c = mesh.shape[dim_axis]
+    if n % r != 0 or dim % c != 0:
+        raise ValueError(
+            f"sharded_scan_distances_2d: base [{n}, {dim}] must divide "
+            f"evenly by the mesh ({r} x {c}); pad before sharding"
+        )
     body = functools.partial(_compose_2d, metric=metric, dim_axis=dim_axis)
     fn = shard_map(
         lambda q, b: body(q, b),

@@ -377,3 +377,43 @@ def test_dataset_2d_mesh_nonfinite_policy_rejected(mesh2d, rng):
     ds.add(base)
     with pytest.raises(VectorConfigError, match="1-D rows mesh"):
         ds.search(base[0].astype(np.float32), 3)
+
+
+def test_dataset_2d_mesh_custom_axis_names(rng):
+    """make_mesh_2d's axis_names parameter must thread through the Dataset
+    routing (scan calls previously hard-coded 'rows'/'dim')."""
+    from sqlite_vector_tpu.parallel import make_mesh_2d
+    from sqlite_vector_tpu.types import VectorOptions
+
+    mesh = make_mesh_2d(4, 2, axis_names=("r", "d"))
+    ds = svt.Dataset(
+        "ax", VectorOptions(dimension=16, distance=DistanceMetric.L2), mesh=mesh
+    )
+    base = rng.standard_normal((200, 16)).astype(np.float32)
+    ids = ds.add(base)
+    got, dist = ds.search(base[42], 3)
+    assert got[0] == ids[42] and dist[0] == 0.0
+    ds.quantize()
+    a, _ = ds.search(base[42], 3, exact=False)
+    assert a[0] == ids[42]
+    dm = ds.distances(base[7])
+    assert dm.shape == (200,) and abs(dm[7]) < 1e-5
+
+
+def test_sharded_2d_l1_snaps_nearly_zero(mesh2d, rng):
+    """Float L1 on the 2-D mesh applies the same nearly-zero snap as every
+    other path (self-distance must be exactly 0.0, not ~1e-8)."""
+    from sqlite_vector_tpu.parallel import (
+        block_sharding_2d,
+        dim_sharding_2d,
+        sharded_scan_topk_2d,
+    )
+
+    base_h = rng.standard_normal((4 * 16, 32)).astype(np.float32)
+    q_h = base_h[5][None]
+    base = jax.device_put(base_h, block_sharding_2d(mesh2d))
+    q = jax.device_put(q_h, dim_sharding_2d(mesh2d))
+    vals, idx = jax.device_get(
+        sharded_scan_topk_2d(q, base, DistanceMetric.L1, 1, mesh2d)
+    )
+    assert idx[0][0] == 5 and vals[0][0] == 0.0

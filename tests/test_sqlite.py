@@ -1031,3 +1031,29 @@ def test_tvf_cursor_refilter_in_nested_loop(tmp_path, data):
         (3, 10, 0.0),
     ]
     c.close()
+
+
+@pytest.mark.skipif(not _vtab_available(), reason="vtab extension unavailable")
+def test_tvf_duplicate_constraint_on_hidden_column(tmp_path, data):
+    """A WHERE term duplicating a TVF argument's hidden column binds
+    contradictory values to one argv slot; the plan is declared infeasible
+    (clear 'no query solution') instead of SQLite's 'xBestIndex malfunction'
+    (which the C reference hits) or a silent mis-bind."""
+    c = svs.connect(str(tmp_path / "dup.db"))
+    c.execute("CREATE TABLE t (v BLOB)")
+    c.executemany("INSERT INTO t(v) VALUES (?)", ((r.tobytes(),) for r in data))
+    c.commit()
+    c.vector_init("t", "v", f"type=FLOAT32,dimension={DIM}")
+    with pytest.raises(sqlite3.OperationalError, match="no query solution"):
+        c.execute(
+            "SELECT rowid, distance FROM vector_full_scan('t','v',?,5) "
+            "WHERE k = 5",
+            (data[2].tobytes(),),
+        ).fetchall()
+    # and the plain query still plans fine
+    rows = c.execute(
+        "SELECT rowid, distance FROM vector_full_scan('t','v',?,5)",
+        (data[2].tobytes(),),
+    ).fetchall()
+    assert rows[0][0] == 3 and len(rows) == 5
+    c.close()
