@@ -244,7 +244,10 @@ class Dataset:
         self._id_pos_cache: dict[int, int] | None = None
         self._next_rowid = 1
         self._vectors: jnp.ndarray | None = None  # [cap, dim] device array
-        self._sq_norms: jnp.ndarray | None = None  # cached f32 row sq-norms
+        # cached f32 row sq-norms, keyed by matrix identity: (matrix, norms).
+        # The key makes a stale cache impossible when a mutator swaps
+        # self._vectors concurrently with a search's norm lookup.
+        self._sq_norms: tuple | None = None
         self._quant: _QuantState | None = None
         # optional observability hook (utils.profiling.timed_search)
         self.stats_recorder = None
@@ -525,8 +528,7 @@ class Dataset:
         self._ids = self._ids[: self._count][mask]
         self._id_pos_cache = None
         self._count = len(kept)
-        self._vectors = None  # force full re-upload at the new size
-        self._sync_device()
+        self._sync_device(full=True)  # rows moved: full re-upload, one swap
         if self._quant is not None:
             self._quant.stale = True
         return removed
@@ -561,8 +563,7 @@ class Dataset:
             )
         self._note_nonfinite(arr)
         self._host_vectors[pos] = arr
-        self._vectors = None
-        self._sync_device()
+        self._sync_device(full=True)  # rows changed in place: full re-upload
         if self._quant is not None:
             self._quant.stale = True
         return int(ids.size)
@@ -635,7 +636,17 @@ class Dataset:
             return jax.device_put(arr, self._device)
         return jnp.asarray(arr)
 
-    def _sync_device(self, start: int = 0, count: int | None = None) -> None:
+    def _sync_device(
+        self, start: int = 0, count: int | None = None, *, full: bool = False
+    ) -> None:
+        """Bring the device matrix up to date with the host mirror.
+
+        The new matrix is built first and installed with ONE reference
+        assignment — concurrent searches snapshot either the old or the new
+        matrix, never a torn/None intermediate (remove/update used to null
+        self._vectors before re-uploading, which crashed searcher threads in
+        the serving soak). full=True forces a complete re-upload even when
+        the padded capacity is unchanged (rows moved/changed in place)."""
         if count is None:
             count = self._count
         if self._storage == "host":
@@ -644,19 +655,21 @@ class Dataset:
             return
         cap = _next_capacity(count, self._mesh_size)
         cur_cap = 0 if self._vectors is None else self._vectors.shape[0]
-        if cap != cur_cap or self._mesh is not None:
-            # capacity change: full (re)upload at the new padded size
+        if full or cap != cur_cap or self._mesh is not None:
+            # capacity change or in-place row movement: full (re)upload at
+            # the new padded size
             padded = np.zeros((cap, self.dimension), self.dtype.np_dtype)
             padded[:count] = self._host_vectors[:count]
-            self._vectors = self._put(padded)
+            new_vecs = self._put(padded)
         else:
             # amortized append: device-side slice update of the new rows only
             # (no host->device transfer of the existing matrix)
             new_rows = np.ascontiguousarray(self._host_vectors[start:count])
-            self._vectors = _device_row_update(
+            new_vecs = _device_row_update(
                 self._vectors, self._put_query(new_rows), start
             )
-        self._sq_norms = None  # recomputed lazily
+        self._vectors = new_vecs
+        self._sq_norms = None  # recomputed lazily (cache is keyed by matrix)
 
     # -- queries --------------------------------------------------------------
 
@@ -677,17 +690,25 @@ class Dataset:
             )
         return arr.astype(self.dtype.np_dtype), single
 
-    def _exact_sq_norms(self) -> jnp.ndarray | None:
+    def _exact_sq_norms(self, vecs: jnp.ndarray | None) -> jnp.ndarray | None:
+        """Row sq-norms for the GIVEN matrix snapshot (not self._vectors —
+        a mutator may have swapped it since the caller snapshotted)."""
         if self.metric not in (
             DistanceMetric.L2,
             DistanceMetric.SQUARED_L2,
             DistanceMetric.COSINE,
         ):
             return None
-        if self._sq_norms is None and self._vectors is not None:
-            v = self._vectors.astype(jnp.float32)
-            self._sq_norms = jax.jit(lambda x: jnp.sum(x * x, axis=-1))(v)
-        return self._sq_norms
+        if vecs is None:
+            return None
+        cache = self._sq_norms
+        if cache is not None and cache[0] is vecs:
+            return cache[1]
+        norms = jax.jit(lambda x: jnp.sum(x * x, axis=-1))(
+            vecs.astype(jnp.float32)
+        )
+        self._sq_norms = (vecs, norms)
+        return norms
 
     def search(
         self,
@@ -741,6 +762,10 @@ class Dataset:
                 np.full((q.shape[0], k), -1, np.int64),
                 np.full((q.shape[0], k), np.inf, np.float32),
             )
+        # ONE quant snapshot for the whole query: the filter-mask space, the
+        # scanned codes, and the final id map must all agree even if a
+        # concurrent quantize()/drop_quantization() swaps self._quant mid-query
+        quant = self._quant
         mask = None
         if ids_filter is not None:
             flt = np.asarray(ids_filter, np.int64)
@@ -752,8 +777,8 @@ class Dataset:
                 # quantized scans and rerank stage 1 index the codes AT
                 # QUANTIZE TIME (the reference's shadow table keeps its own
                 # rowids for the same reason)
-                qids = self._quant_id_map()
-                qcount = self._quant.count if self._quant else 0
+                qids = self._quant_id_map(quant)
+                qcount = quant.count if quant else 0
                 mask = np.isin(qids[:qcount], flt)
 
         policy = self._nonfinite_policy(q) if mode in ("exact", "approx") else None
@@ -761,7 +786,7 @@ class Dataset:
         if mode == "exact":
             vals, idx = self._search_exact(q, k, mask, policy=policy)
         elif mode == "quantized":
-            vals, idx = self._search_quantized(q, k, mask)
+            vals, idx = self._search_quantized(q, k, mask, quant=quant)
         elif mode == "approx":
             if policy is not None:
                 # lane-skip semantics need the exact policy kernels
@@ -769,7 +794,7 @@ class Dataset:
             else:
                 vals, idx = self._search_approx(q, k, mask, recall_target)
         else:
-            vals, idx = self._search_rerank(q, k, mask, expand)
+            vals, idx = self._search_rerank(q, k, mask, expand, quant=quant)
 
         # single device->host fetch for both outputs (one round trip);
         # device_get returns numpy arrays directly
@@ -777,12 +802,20 @@ class Dataset:
         if mode == "quantized":
             # quantized positions index the codes AT QUANTIZE TIME — map
             # through the snapshot ids, not the (possibly compacted) live ids
-            id_map = self._quant_id_map()
+            id_map = self._quant_id_map(quant)
         else:  # exact and rerank positions index the live rows
             id_map = self._ids
-        out_ids = np.where(idx >= 0, id_map[np.clip(idx, 0, None)], -1)
+        # bounds-guarded mapping: under concurrent mutation the scanned
+        # matrix may be an older/larger generation than id_map — such slots
+        # surface as -1 (trimmed) rather than an IndexError
+        n_map = len(id_map)
+        valid = (idx >= 0) & (idx < n_map)
+        if n_map == 0:
+            out_ids = np.full(idx.shape, -1, np.int64)
+        else:
+            out_ids = np.where(valid, id_map[np.clip(idx, 0, n_map - 1)], -1)
         if single:
-            keep = idx[0] >= 0
+            keep = valid[0]
             return out_ids[0][keep], vals[0][keep]
         return out_ids, vals
 
@@ -794,8 +827,7 @@ class Dataset:
             }
         return self._id_pos_cache
 
-    def _quant_id_map(self) -> np.ndarray:
-        quant = self._quant
+    def _quant_id_map(self, quant: "_QuantState | None") -> np.ndarray:
         if quant is not None and quant.ids is not None:
             # pad so np indexing with clipped positions stays in bounds
             if len(quant.ids) == 0:
@@ -859,19 +891,24 @@ class Dataset:
                 mesh=self._mesh,
                 policy_vtype=policy,
             )
+        # one snapshot of (matrix, count) for the whole scan: a concurrent
+        # mutator swaps self._vectors atomically, so we see old or new state,
+        # never a torn one
+        vecs = self._vectors
+        count = self._count
         qd = self._put_query(q)
-        dmask = self._pad_mask(mask, self._vectors.shape[0], self._count)
+        dmask = self._pad_mask(mask, vecs.shape[0], count)
         if self._mesh_2d:
             self._require_no_policy_2d(policy)
             from sqlite_vector_tpu.parallel import sharded_scan_topk_2d
 
             return sharded_scan_topk_2d(
                 qd,
-                self._vectors,
+                vecs,
                 self.metric,
                 k,
                 self._mesh,
-                valid_count=self._count,
+                valid_count=count,
                 row_mask=dmask,
                 rows_axis=self._axes_2d[0],
                 dim_axis=self._axes_2d[1],
@@ -879,30 +916,34 @@ class Dataset:
         if self._mesh is not None:
             return sharded_scan_topk(
                 qd,
-                self._vectors,
+                vecs,
                 self.metric,
                 k,
                 self._mesh,
-                valid_count=self._count,
-                base_sq_norms=self._exact_sq_norms(),
+                valid_count=count,
+                base_sq_norms=self._exact_sq_norms(vecs),
                 row_mask=dmask,
                 policy_vtype=policy,
             )
         return fused_scan_topk(
             qd,
-            self._vectors,
+            vecs,
             self.metric,
             k,
-            valid_count=self._count,
-            base_sq_norms=self._exact_sq_norms(),
+            valid_count=count,
+            base_sq_norms=self._exact_sq_norms(vecs),
             row_mask=dmask,
             policy_vtype=policy,
         )
 
     def _search_quantized(
-        self, q: np.ndarray, k: int, mask: np.ndarray | None = None
+        self,
+        q: np.ndarray,
+        k: int,
+        mask: np.ndarray | None = None,
+        quant: _QuantState | None = None,
     ):
-        quant = self._require_quant("vector_quantize_scan")
+        quant = self._require_quant("vector_quantize_scan", quant)
         # host-mode codes stream per query UNLESS preload() pinned them in
         # HBM — the reference's preloaded-vs-disk split (4-5x speedup,
         # QUANTIZATION.md:15,23)
@@ -1002,18 +1043,24 @@ class Dataset:
             # approx selection is a single-chip HBM fast path; other layouts
             # fall back to the exact scan (still correct, recall = 1)
             return self._search_exact(q, k, mask)
+        vecs = self._vectors  # one snapshot (see _search_exact)
         return approx_scan_topk(
             self._put_query(q),
-            self._vectors,
+            vecs,
             self.metric,
             k,
             valid_count=self._count,
-            base_sq_norms=self._exact_sq_norms(),
+            base_sq_norms=self._exact_sq_norms(vecs),
             recall_target=recall_target,
         )
 
     def _search_rerank(
-        self, q: np.ndarray, k: int, mask: np.ndarray | None, expand: int
+        self,
+        q: np.ndarray,
+        k: int,
+        mask: np.ndarray | None,
+        expand: int,
+        quant: _QuantState | None = None,
     ):
         """int8 prefilter + exact rescore.
 
@@ -1025,13 +1072,20 @@ class Dataset:
         stale snapshots, where quantize-time positions must be re-mapped)."""
         from sqlite_vector_tpu import oracle
 
-        quant = self._require_quant("rerank")
+        quant = self._require_quant("rerank", quant)
+        vecs = self._vectors  # one snapshot (see _search_exact)
         if (
             not quant.stale
             and self._storage == "hbm"
             and self._mesh is None
             and mask is None
             and isinstance(quant.codes, jnp.ndarray)
+            # under concurrent mutation the matrix may already be a newer
+            # generation than the codes (stale flips only after the swap);
+            # the fused kernel requires positionally-aligned matrices, so any
+            # capacity skew routes to the id-remapping host rescore below
+            and vecs is not None
+            and vecs.shape[0] == quant.codes.shape[0]
         ):
             from sqlite_vector_tpu.ops.rerank import rerank_topk
 
@@ -1053,7 +1107,7 @@ class Dataset:
             )
             return rerank_topk(
                 self._put_query(q.astype(np.float32)),
-                self._vectors,
+                vecs,
                 self._put_query(qq),
                 quant.codes,
                 self.metric,
@@ -1064,11 +1118,11 @@ class Dataset:
             )
 
         ke = max(k * expand, k)
-        _, idx = self._search_quantized(q, ke, mask)
+        _, idx = self._search_quantized(q, ke, mask, quant=quant)
         idx = np.asarray(idx)
         # stage-1 positions index the quantize-time snapshot; map them to
         # CURRENT row positions via ids (rows may have moved/been removed)
-        qids = self._quant_id_map()
+        qids = self._quant_id_map(quant)
         live = self._id_to_pos()
         b = q.shape[0]
         out_vals = np.full((b, k), np.inf, np.float32)
@@ -1133,32 +1187,34 @@ class Dataset:
             return d[0] if single else d
         if exact:
             qd = self._put_query(q)
+            vecs = self._vectors  # one snapshot (see _search_exact)
+            count = self._count
             if self._mesh_2d:
                 self._require_no_policy_2d(policy)
                 from sqlite_vector_tpu.parallel import sharded_scan_distances_2d
 
                 d = sharded_scan_distances_2d(
-                    qd, self._vectors, self.metric, self._mesh,
+                    qd, vecs, self.metric, self._mesh,
                     rows_axis=self._axes_2d[0], dim_axis=self._axes_2d[1],
                 )
             elif self._mesh is not None:
                 d = sharded_scan_distances(
                     qd,
-                    self._vectors,
+                    vecs,
                     self.metric,
                     self._mesh,
-                    base_sq_norms=self._exact_sq_norms(),
+                    base_sq_norms=self._exact_sq_norms(vecs),
                     policy_vtype=policy,
                 )
             else:
                 d = scan_distances(
                     qd,
-                    self._vectors,
+                    vecs,
                     self.metric,
-                    base_sq_norms=self._exact_sq_norms(),
+                    base_sq_norms=self._exact_sq_norms(vecs),
                     policy_vtype=policy,
                 )
-            d = np.asarray(d)[:, : self._count]
+            d = np.asarray(d)[:, :count]
         else:
             quant = self._require_quant("vector_quantize_scan_stream")
             if self._mesh_2d:
@@ -1188,13 +1244,19 @@ class Dataset:
 
     # -- quantization ----------------------------------------------------------
 
-    def _require_quant(self, caller: str) -> _QuantState:
-        if self._quant is None or self._quant.codes is None:
+    def _require_quant(
+        self, caller: str, quant: "_QuantState | None" = None
+    ) -> _QuantState:
+        # single snapshot read: a concurrent drop_quantization() between a
+        # check and a use must not crash a searcher thread (serving.py runs
+        # searches and mutations from different threads)
+        q = quant if quant is not None else self._quant
+        if q is None or q.codes is None:
             raise VectorStateError(
                 f"{caller}: quantization not found — run quantize() first "
                 "(reference requires vector_quantize before vector_quantize_scan)."
             )
-        return self._quant
+        return q
 
     def quantize(
         self,

@@ -94,6 +94,122 @@ def test_http_server(ds):
         server.shutdown()
 
 
+def test_soak_quant_lifecycle_race(rng):
+    """Sustained concurrent searches (all four modes) against a mutator that
+    adds/removes rows and rebuilds/drops quantization.
+
+    The only acceptable search failure is VectorStateError on the
+    quantized/rerank modes during a drop_quantization() window (the reference
+    errors identically when the shadow table is missing,
+    src/sqlite-vector.c:1780-1787). Anything else — a crash from a torn quant
+    snapshot, mismatched mask/code spaces, an unsorted result — fails.
+    """
+    import time
+
+    from sqlite_vector_tpu.errors import VectorStateError
+
+    ds = svt.VectorStore().create("soak", "dimension=32,type=FLOAT32,distance=L2")
+    ds.add(rng.standard_normal((2000, 32)).astype(np.float32))
+    ds.quantize()
+    # warm up every mode's compiled executable so the soak window measures
+    # the race, not XLA compile time
+    warm = rng.standard_normal(32).astype(np.float32)
+    for m in ("exact", "quantized", "rerank", "approx"):
+        ds.search(warm, 5, mode=m)
+    stop = threading.Event()
+    errors: list = []
+    searches = [0]
+
+    def mutator():
+        mrng = np.random.default_rng(1)
+        i = 0
+        try:
+            while not stop.is_set():
+                added = ds.add(mrng.standard_normal((50, 32)).astype(np.float32))
+                live = ds.ids
+                victims = mrng.choice(live, size=25, replace=False)
+                ds.remove(victims)
+                if i % 7 == 6:
+                    ds.drop_quantization()
+                    ds.quantize()
+                elif i % 3 == 2:
+                    ds.quantize()
+                i += 1
+                del added
+        except Exception as e:  # pragma: no cover
+            errors.append(("mutator", e))
+
+    def searcher(seed):
+        srng = np.random.default_rng(seed)
+        modes = ("exact", "quantized", "rerank", "approx")
+        j = 0
+        try:
+            while not stop.is_set():
+                q = srng.standard_normal(32).astype(np.float32)
+                mode = modes[j % 4]
+                j += 1
+                try:
+                    ids, dist = ds.search(q, 5, mode=mode)
+                except VectorStateError:
+                    # dropped-quantization window; exact/approx never need it
+                    assert mode in ("quantized", "rerank")
+                    continue
+                assert np.all(np.diff(dist) >= 0), (mode, dist)
+                assert np.all(np.isfinite(dist)), (mode, dist)
+                real = ids[ids >= 0]
+                assert len(np.unique(real)) == len(real), (mode, ids)
+                searches[0] += 1
+        except Exception as e:  # pragma: no cover
+            errors.append((f"searcher-{seed}", e))
+
+    threads = [threading.Thread(target=mutator)]
+    threads += [threading.Thread(target=searcher, args=(s,)) for s in range(4)]
+    for t in threads:
+        t.start()
+    time.sleep(2.5)
+    stop.set()
+    for t in threads:
+        t.join(timeout=60)
+    assert not errors, errors[:3]
+    assert searches[0] > 20  # the soak actually exercised the paths
+    # post-soak sanity: a fresh quantize + exact search agrees with brute force
+    ds.quantize()
+    probe = ds._host_vectors[0].copy()
+    ids, dist = ds.search(probe, 1)
+    assert dist[0] == 0.0 and ids[0] == ds.ids[0]
+
+
+def test_no_buffer_leak_across_lifecycle(rng):
+    """Repeated add/remove/quantize/drop cycles must not accumulate device
+    buffers: each quantize() swaps in a fresh _QuantState and the old codes
+    must become collectible once no search holds the snapshot."""
+    import gc
+
+    import jax
+
+    ds = svt.VectorStore().create("leak", "dimension=32,type=FLOAT32,distance=L2")
+    ds.add(rng.standard_normal((1000, 32)).astype(np.float32))
+    ds.quantize()
+    ds.search(rng.standard_normal(32).astype(np.float32), 5)
+    gc.collect()
+    base_bytes = sum(a.nbytes for a in jax.live_arrays())
+    base_count = len(jax.live_arrays())
+    for i in range(10):
+        new_ids = ds.add(rng.standard_normal((64, 32)).astype(np.float32))
+        ds.search(rng.standard_normal(32).astype(np.float32), 5, mode="rerank")
+        ds.remove(new_ids)  # net-zero rows
+        ds.drop_quantization()
+        ds.quantize()
+        ds.search(rng.standard_normal(32).astype(np.float32), 5, mode="quantized")
+    gc.collect()
+    grow_bytes = sum(a.nbytes for a in jax.live_arrays()) - base_bytes
+    grow_count = len(jax.live_arrays()) - base_count
+    # capacity-doubling of the row arrays may retain one larger generation;
+    # anything beyond ~2x the dataset itself is a leak
+    assert grow_bytes < 2 * 1000 * 32 * 4, (grow_bytes, grow_count)
+    assert grow_count < 40, grow_count
+
+
 def test_concurrent_add_and_search(ds, rng):
     """Mutation lock: concurrent adds must not lose rows or corrupt ids."""
     base = ds._host_vectors[: len(ds)].copy()
