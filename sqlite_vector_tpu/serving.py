@@ -61,20 +61,40 @@ class BatchingSearcher:
         self._thread = threading.Thread(target=self._run, daemon=True)
         self._thread.start()
 
-    def submit(self, query: Any, k: int, *, exact: bool = True) -> Future:
-        """Enqueue one query; resolves to (ids [k], distances [k])."""
+    def submit(
+        self,
+        query: Any,
+        k: int,
+        *,
+        exact: bool = True,
+        mode: str | None = None,
+    ) -> Future:
+        """Enqueue one query; resolves to (ids [k], distances [k]).
+
+        mode overrides `exact` with the full Dataset.search mode set
+        (exact | quantized | rerank | approx); queries coalesce only with
+        same-(k, mode) peers since they share one device dispatch."""
         if self._closed:
             raise RuntimeError("BatchingSearcher is closed")
+        if mode is None:
+            mode = "exact" if exact else "quantized"
         q, _ = self.dataset._coerce_queries(query)
         if q.shape[0] != 1:
             raise ValueError("submit() takes a single query; use search_many")
         fut: Future = Future()
-        self._queue.put((q[0], k, exact, fut))
+        self._queue.put((q[0], k, mode, fut))
         return fut
 
-    def search(self, query: Any, k: int, *, exact: bool = True):
+    def search(
+        self,
+        query: Any,
+        k: int,
+        *,
+        exact: bool = True,
+        mode: str | None = None,
+    ):
         """Blocking convenience wrapper around submit()."""
-        return self.submit(query, k, exact=exact).result()
+        return self.submit(query, k, exact=exact, mode=mode).result()
 
     def close(self) -> None:
         self._closed = True
@@ -105,11 +125,11 @@ class BatchingSearcher:
             self._dispatch(batch)
 
     def _dispatch(self, batch: list) -> None:
-        # group by (k, exact) — different k values need separate scans
-        groups: dict[tuple[int, bool], list] = {}
-        for q, k, exact, fut in batch:
-            groups.setdefault((k, exact), []).append((q, fut))
-        for (k, exact), items in groups.items():
+        # group by (k, mode) — different k values / modes need separate scans
+        groups: dict[tuple[int, str], list] = {}
+        for q, k, mode, fut in batch:
+            groups.setdefault((k, mode), []).append((q, fut))
+        for (k, mode), items in groups.items():
             try:
                 qs = np.stack([q for q, _ in items])
                 bsize = _bucket(len(items))
@@ -117,7 +137,7 @@ class BatchingSearcher:
                     qs = np.concatenate(
                         [qs, np.zeros((bsize - len(items),) + qs.shape[1:], qs.dtype)]
                     )
-                ids, dist = self.dataset.search(qs, k, exact=exact)
+                ids, dist = self.dataset.search(qs, k, mode=mode)
                 for i, (_, fut) in enumerate(items):
                     keep = ids[i] >= 0
                     fut.set_result((ids[i][keep], dist[i][keep]))
@@ -137,7 +157,8 @@ def serve(
 ):
     """Serve a dataset over JSON/HTTP. Returns the (started) HTTPServer.
 
-    POST /search   {"vector": [...], "k": 10, "exact": true}
+    POST /search   {"vector": [...], "k": 10, "exact": true,
+                    "mode": "exact|quantized|rerank|approx" (optional)}
                    -> {"ids": [...], "distances": [...]}
     POST /add      {"vectors": [[...], ...]} -> {"ids": [...]}
     GET  /stats    -> {"count": N, "dimension": d, ...}
@@ -185,6 +206,7 @@ def serve(
                     ids, dist = searcher.search(
                         vec, int(req.get("k", 10)),
                         exact=bool(req.get("exact", True)),
+                        mode=req.get("mode"),
                     )
                     self._reply(
                         200,

@@ -1,0 +1,90 @@
+"""CLI workflow: the sqlite3-shell operator loop, end-to-end.
+
+The reference is driven from the sqlite3 CLI (README.md:36-107:
+.load -> vector_init -> INSERT blobs -> vector_quantize ->
+vector_full_scan / vector_quantize_scan). These tests drive the same
+loop through `python -m sqlite_vector_tpu`, in-process via cli.main().
+"""
+
+import json
+
+import numpy as np
+import pytest
+
+from sqlite_vector_tpu.cli import main
+
+
+OPTS = "dimension=16,type=FLOAT32,distance=L2"
+
+
+@pytest.fixture
+def vecs_npy(tmp_path, rng):
+    mat = rng.standard_normal((200, 16)).astype(np.float32)
+    p = tmp_path / "vecs.npy"
+    np.save(p, mat)
+    return str(p), mat
+
+
+def test_version(capsys):
+    assert main(["version"]) == 0
+    out = capsys.readouterr().out
+    assert "sqlite_vector_tpu" in out and "(" in out
+
+
+def test_sqlite_workflow(tmp_path, vecs_npy, capsys):
+    """init -> import -> quantize -> search, metadata persisted in the db."""
+    npy, mat = vecs_npy
+    db = str(tmp_path / "t.db")
+    assert main(["import", db, "docs", "emb", npy, "--create",
+                 "--options", OPTS]) == 0
+    assert "imported 200" in capsys.readouterr().out
+    # idempotent re-init on the populated table (metadata persisted)
+    assert main(["init", db, "docs", "emb", OPTS]) == 0
+    capsys.readouterr()
+    assert main(["quantize", db, "docs", "emb", "--options", OPTS]) == 0
+    assert "quantized 200" in capsys.readouterr().out
+
+    q = json.dumps(mat[17].tolist())
+    assert main(["search", db, "docs", "emb", q, "-k", "3", "--json",
+                 "--options", OPTS]) == 0
+    out = json.loads(capsys.readouterr().out)
+    assert out["ids"][0] == 18  # rowids are 1-based
+    assert out["distances"][0] == 0.0
+
+    assert main(["search", db, "docs", "emb", q, "-k", "3",
+                 "--mode", "quantized", "--options", OPTS]) == 0
+    lines = capsys.readouterr().out.strip().splitlines()
+    assert len(lines) == 3 and lines[0].split("\t")[0] == "18"
+
+
+def test_dataset_dir_workflow(tmp_path, vecs_npy, capsys):
+    """ds-create -> ds-info -> ds-search (exact + rerank via query .npy)."""
+    npy, mat = vecs_npy
+    d = str(tmp_path / "ds")
+    assert main(["ds-create", d, OPTS, "--npy", npy]) == 0
+    assert "saved 200 rows" in capsys.readouterr().out
+
+    assert main(["ds-info", d]) == 0
+    info = json.loads(capsys.readouterr().out)
+    assert info["count"] == 200 and info["dimension"] == 16
+
+    qpath = str(tmp_path / "q.npy")
+    np.save(qpath, mat[5])
+    assert main(["ds-search", d, qpath, "-k", "2", "--json"]) == 0
+    out = json.loads(capsys.readouterr().out)
+    assert out["distances"][0] == 0.0
+
+    # host-streaming variant of the same search
+    assert main(["ds-search", d, qpath, "-k", "2", "--host", "--json"]) == 0
+    out2 = json.loads(capsys.readouterr().out)
+    assert out2["ids"] == out["ids"]
+
+
+def test_search_error_path(tmp_path, capsys):
+    db = str(tmp_path / "e.db")
+    # search without vector_init -> clean error, exit 1
+    main(["init", db, "docs", "emb", OPTS])
+    rc = main(["search", db, "missing", "emb", "[1,2]", "--options",
+               "dimension=2,type=FLOAT32"])
+    assert rc == 1
+    assert "error:" in capsys.readouterr().err
