@@ -171,7 +171,7 @@ def bench_core(args):
     M = 16
     qs_dev = jax.device_put(queries[:M][:, None, :])
     run = make_chained(DistanceMetric.L2, k, n, M)
-    bsq = ds._exact_sq_norms()
+    bsq = ds._exact_sq_norms(ds._vectors)
     run(qs_dev, ds._vectors, bsq)  # compile
     t0 = time.time()
     reps = 3
