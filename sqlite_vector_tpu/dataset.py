@@ -236,6 +236,14 @@ class Dataset:
         self._mutate_lock = threading.RLock()
         self._count = 0
         self._ids = np.zeros((0,), dtype=np.int64)
+        # lazy removal: remove() tombstones rows in place (masked out of
+        # every scan at zero device traffic — the TPU analogue of the
+        # reference's pager-local DELETE) and compaction + full re-upload
+        # runs only when tombstones exceed a capacity threshold
+        self._dead = np.zeros((0,), dtype=bool)
+        self._n_dead = 0
+        self._live_np: np.ndarray | None = None  # cached ~dead[:count]
+        self._live_dev: tuple | None = None  # (cap, device mask) cache
         # sticky flag: any ingested row contained NaN/Inf. Searches on
         # lane-skip dtypes (f16; bf16 L2) route through the exact non-finite
         # policy kernels only when this (or the query) is set, so the clean
@@ -257,7 +265,7 @@ class Dataset:
     # -- properties ---------------------------------------------------------
 
     def __len__(self) -> int:
-        return self._count
+        return self._count - self._n_dead
 
     @property
     def dimension(self) -> int:
@@ -282,6 +290,8 @@ class Dataset:
 
     @property
     def ids(self) -> np.ndarray:
+        if self._n_dead:
+            return self._ids[: self._count][~self._dead[: self._count]]
         return self._ids[: self._count]
 
     def memory_bytes(self) -> int:
@@ -329,7 +339,10 @@ class Dataset:
         self._note_nonfinite(arr)
         self._host_append(arr)
         self._ids = np.concatenate([self._ids, new_ids])
+        self._dead = np.concatenate([self._dead, np.zeros(n_new, dtype=bool)])
         self._id_pos_cache = None
+        self._live_np = None
+        self._live_dev = None
         # device first, then publish the count — concurrent searches never
         # see a count covering rows the device matrix doesn't have yet
         self._sync_device(start, count=self._count + n_new)
@@ -395,6 +408,10 @@ class Dataset:
         without copying — the load path for >RAM datasets."""
         self._host_vectors = vecs
         self._ids = np.asarray(ids, np.int64)
+        self._dead = np.zeros((len(self._ids),), dtype=bool)
+        self._n_dead = 0
+        self._live_np = None
+        self._live_dev = None
         self._id_pos_cache = None
         self._count = len(ids)
         self._next_rowid = int(self._ids.max()) + 1 if len(ids) else 1
@@ -450,6 +467,9 @@ class Dataset:
         re-quantization) and by `sqlite_vector_tpu.sqlite`."""
         import sqlite_vector_tpu.sqlite as svs
 
+        with self._mutate_lock:
+            if self._n_dead:
+                self._compact_locked()  # never export tombstoned rows
         conn = svs.connect(database)
         try:
             q = svs._quote(table)
@@ -516,22 +536,50 @@ class Dataset:
         ids = np.asarray(ids, np.int64)
         if ids.size == 0 or self._count == 0:
             return 0
-        mask = ~np.isin(self._ids[: self._count], ids)
-        removed = int(self._count - mask.sum())
+        cnt = self._count
+        hit = np.isin(self._ids[:cnt], ids) & ~self._dead[:cnt]
+        removed = int(hit.sum())
         if removed == 0:
             return 0
-        kept = self._host_vectors[: self._count][mask]
+        # tombstone: rows stay in place on host AND device; every scan masks
+        # them to +inf via the cached live mask. Cost: one [N]-bool mask
+        # upload (cached until the next mutation) instead of a full-matrix
+        # re-upload — the zero-cost-update contract (reference README.md:117,
+        # where SQLite's DELETE is pager-local) for the device tier.
+        self._dead[:cnt] |= hit
+        self._n_dead += removed
+        self._id_pos_cache = None
+        self._live_np = None
+        self._live_dev = None
+        if self._quant is not None:
+            self._quant.stale = True
+        # compact (one full re-upload) only when tombstones hog capacity
+        if self._n_dead >= max(1024, cnt // 4) or self._n_dead == cnt:
+            self._compact_locked()
+        return removed
+
+    def _compact_locked(self) -> None:
+        """Physically drop tombstoned rows: compact the host mirror and
+        re-upload the device matrix (one atomic swap). Runs from remove()
+        past the tombstone threshold and before quantize/save/export, where
+        positional row alignment must be dead-free."""
+        if self._n_dead == 0:
+            return
+        cnt = self._count
+        keep = ~self._dead[:cnt]
+        kept = np.asarray(self._host_vectors[:cnt][keep])
         self._host_vectors = np.zeros(
             (_next_capacity(len(kept)), self.dimension), self.dtype.np_dtype
         )
         self._host_vectors[: len(kept)] = kept
-        self._ids = self._ids[: self._count][mask]
+        self._ids = self._ids[:cnt][keep]
+        self._dead = np.zeros((len(kept),), dtype=bool)
+        self._n_dead = 0
         self._id_pos_cache = None
+        self._live_np = None
+        self._live_dev = None
         self._count = len(kept)
         self._sync_device(full=True)  # rows moved: full re-upload, one swap
-        if self._quant is not None:
-            self._quant.stale = True
-        return removed
 
     def update(
         self, ids: Sequence[int] | np.ndarray, vectors: np.ndarray | Sequence[Any]
@@ -781,6 +829,16 @@ class Dataset:
                 qcount = quant.count if quant else 0
                 mask = np.isin(qids[:qcount], flt)
 
+        if mode in ("exact", "approx"):
+            # exact scans index live rows: tombstoned rows are masked out.
+            # Quantized scans serve the quantize-time snapshot unfiltered —
+            # the reference's staleness contract (removed rows linger in the
+            # shadow table until vector_quantize re-runs, API.md:242); rerank
+            # stage 2 drops them via the live id remap.
+            live = self._live_row_mask()
+            if live is not None:
+                mask = live if mask is None else (mask & live)
+
         policy = self._nonfinite_policy(q) if mode in ("exact", "approx") else None
 
         if mode == "exact":
@@ -820,12 +878,42 @@ class Dataset:
         return out_ids, vals
 
     def _id_to_pos(self) -> dict[int, int]:
-        """Lazy id -> row-position map, invalidated on mutation."""
+        """Lazy id -> row-position map over LIVE rows, invalidated on
+        mutation (tombstoned rows are not addressable)."""
         if self._id_pos_cache is None:
+            dead = self._dead
             self._id_pos_cache = {
-                int(v): i for i, v in enumerate(self._ids[: self._count])
+                int(v): i
+                for i, v in enumerate(self._ids[: self._count])
+                if not dead[i]
             }
         return self._id_pos_cache
+
+    def _live_row_mask(self) -> np.ndarray | None:
+        """Cached [count]-bool mask of non-tombstoned rows; None when all
+        rows are live (the common case pays nothing)."""
+        if self._n_dead == 0:
+            return None
+        if self._live_np is None or len(self._live_np) != self._count:
+            self._live_np = ~self._dead[: self._count]
+        return self._live_np
+
+    def _mask_to_device(
+        self, mask: np.ndarray | None, cap: int, count: int
+    ):
+        """_pad_mask with a cache for the live-row mask: the tombstone mask
+        is identical across queries, so its device copy uploads once per
+        mutation instead of once per search."""
+        if mask is None:
+            return None
+        if mask is self._live_np:
+            cached = self._live_dev
+            if cached is not None and cached[0] == cap:
+                return cached[1]
+            dm = self._pad_mask(mask, cap, count)
+            self._live_dev = (cap, dm)
+            return dm
+        return self._pad_mask(mask, cap, count)
 
     def _quant_id_map(self, quant: "_QuantState | None") -> np.ndarray:
         if quant is not None and quant.ids is not None:
@@ -897,7 +985,7 @@ class Dataset:
         vecs = self._vectors
         count = self._count
         qd = self._put_query(q)
-        dmask = self._pad_mask(mask, vecs.shape[0], count)
+        dmask = self._mask_to_device(mask, vecs.shape[0], count)
         if self._mesh_2d:
             self._require_no_policy_2d(policy)
             from sqlite_vector_tpu.parallel import sharded_scan_topk_2d
@@ -1184,6 +1272,10 @@ class Dataset:
                     device=self._device,
                     mesh=self._mesh,
                 )
+            if exact:
+                live = self._live_row_mask()
+                if live is not None and np.asarray(d).shape[1] == len(live):
+                    d = np.asarray(d)[:, live]  # drop tombstoned columns
             return d[0] if single else d
         if exact:
             qd = self._put_query(q)
@@ -1215,6 +1307,9 @@ class Dataset:
                     policy_vtype=policy,
                 )
             d = np.asarray(d)[:, :count]
+            live = self._live_row_mask()
+            if live is not None and len(live) == count:
+                d = d[:, live]  # drop tombstoned columns
         else:
             quant = self._require_quant("vector_quantize_scan_stream")
             if self._mesh_2d:
@@ -1267,6 +1362,11 @@ class Dataset:
     ) -> int:
         """(Re)build int8/uint8 quantized codes; returns the row count.
 
+        Serialized against add/remove/update (one mutation at a time);
+        concurrent searches keep serving the previous codes until the new
+        _QuantState is swapped in. Tombstoned rows are compacted away first
+        so codes never cover removed rows.
+
         Mirrors vector_quantize (src/sqlite-vector.c:1406-1459): existing
         codes are replaced; the scale/offset formulas and AUTO resolution
         match the reference bit-for-bit. The codes land directly in HBM
@@ -1282,6 +1382,20 @@ class Dataset:
         mutate between resume attempts; a mismatch (count/dim/dtype/qtype
         options) discards the checkpoint and starts over.
         """
+        with self._mutate_lock:
+            if self._n_dead:
+                self._compact_locked()
+            return self._quantize_under_lock(
+                options, qtype=qtype, checkpoint=checkpoint
+            )
+
+    def _quantize_under_lock(
+        self,
+        options: str | None = None,
+        *,
+        qtype: QuantType | str | None = None,
+        checkpoint: str | None = None,
+    ) -> int:
         opts = parse_options(options, self.options)
         if qtype is not None:
             opts.qtype = (
@@ -1507,6 +1621,9 @@ class Dataset:
         restart an interrupted save of append-only data (rows that changed
         via update()/remove() since the failed save would NOT be rewritten).
         """
+        with self._mutate_lock:
+            if self._n_dead:
+                self._compact_locked()  # never persist tombstoned rows
         os.makedirs(directory, exist_ok=True)
         manifest = {
             "name": self.name,

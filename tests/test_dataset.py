@@ -175,6 +175,116 @@ def test_remove_rows(rng):
     assert ds.remove([99999]) == 0
 
 
+def test_remove_is_lazy_no_device_reupload(rng):
+    """remove() below the compaction threshold tombstones in place: the
+    device matrix object is UNCHANGED (no O(N) re-upload — the zero-cost
+    update contract, reference README.md:117) and scans mask the dead rows."""
+    import numpy as np
+    import sqlite_vector_tpu as svt
+    from sqlite_vector_tpu.errors import VectorStateError
+
+    ds = svt.Dataset("lazy", svt.parse_options("dimension=8,type=FLOAT32"))
+    base = rng.standard_normal((200, 8)).astype("float32")
+    ids = ds.add(base)
+    dev_before = ds._vectors
+    assert ds.remove(ids[50:60]) == 10
+    assert ds._vectors is dev_before  # tombstoned, not re-uploaded
+    assert len(ds) == 190
+    assert 190 == len(ds.ids) == len(np.unique(ds.ids))
+    # removed rows never surface in searches
+    got, dist = ds.search(base[55], 1)
+    assert got[0] != ids[55]
+    # removed rows are gone from streams and get(); live rows unaffected
+    d = ds.distances(base[0])
+    assert d.shape == (190,)
+    import pytest
+
+    with pytest.raises(VectorStateError, match="unknown row id"):
+        ds.get([ids[55]])
+    np.testing.assert_allclose(ds.get([ids[61]])[0], base[61])
+    # filtered search composes with tombstones
+    got, _ = ds.search(base[70], 5, ids_filter=ids[50:80])
+    assert ids[55] not in got and got[0] == ids[70]
+    # k > live rows: trimmed, never returns a tombstoned id
+    sub = svt.Dataset("tiny", svt.parse_options("dimension=8,type=FLOAT32"))
+    sids = sub.add(base[:5])
+    sub.remove(sids[:3])
+    got, dist = sub.search(base[0], 5)
+    assert len(got) == 2 and set(got) == set(sids[3:])
+
+
+def test_remove_compacts_at_threshold(rng):
+    """Removing every row (or past the capacity threshold) triggers physical
+    compaction: a fresh device matrix and zero tombstones."""
+    import sqlite_vector_tpu as svt
+
+    ds = svt.Dataset("cmp", svt.parse_options("dimension=8,type=FLOAT32"))
+    base = rng.standard_normal((40, 8)).astype("float32")
+    ids = ds.add(base)
+    dev_before = ds._vectors
+    ds.remove(ids)  # all dead -> compacts immediately
+    assert ds._n_dead == 0 and len(ds) == 0
+    assert ds._vectors is not dev_before
+
+
+def test_quantize_and_save_compact_tombstones(rng, tmp_path):
+    """quantize() and save() never cover tombstoned rows."""
+    import numpy as np
+    import sqlite_vector_tpu as svt
+
+    ds = svt.Dataset("qc", svt.parse_options("dimension=8,type=FLOAT32"))
+    base = rng.standard_normal((60, 8)).astype("float32")
+    ids = ds.add(base)
+    ds.remove(ids[:15])
+    n = ds.quantize()
+    assert n == 45 and ds._n_dead == 0  # compacted before building codes
+    got, _ = ds.search(base[20], 3, mode="quantized")
+    assert got[0] == ids[20]
+    ds.remove(ids[20:25])
+    ds.save(str(tmp_path / "d"))
+    back = svt.Dataset.load(str(tmp_path / "d"))
+    assert len(back) == 40
+    assert not np.isin(ids[20:25], back.ids).any()
+
+
+def test_rerank_after_remove_drops_dead_candidates(rng):
+    """Rerank on a stale snapshot: stage-1 candidates that were removed
+    after quantize() are dropped by the live-id remap (never returned)."""
+    import sqlite_vector_tpu as svt
+
+    ds = svt.Dataset("rr", svt.parse_options("dimension=8,type=FLOAT32"))
+    base = rng.standard_normal((100, 8)).astype("float32")
+    ids = ds.add(base)
+    ds.quantize()
+    ds.remove([ids[7]])
+    got, dist = ds.search(base[7], 3, mode="rerank")
+    assert ids[7] not in got and len(got) == 3
+
+
+def test_remove_on_mesh_dataset(rng):
+    """Tombstone masks shard over the mesh rows axis like filter masks."""
+    import jax
+    import sqlite_vector_tpu as svt
+
+    if len(jax.devices()) < 2:
+        import pytest
+
+        pytest.skip("needs multiple devices")
+    mesh = svt.make_mesh()
+    ds = svt.Dataset(
+        "mrm", svt.parse_options("dimension=8,type=FLOAT32"), mesh=mesh
+    )
+    base = rng.standard_normal((64, 8)).astype("float32")
+    ids = ds.add(base)
+    dev_before = ds._vectors
+    assert ds.remove(ids[:8]) == 8
+    assert ds._vectors is dev_before and len(ds) == 56
+    got, dist = ds.search(base[3], 1)
+    assert got[0] != ids[3] and dist[0] > 0
+    got, dist = ds.search(base[9], 1)
+    assert got[0] == ids[9] and dist[0] == 0.0
+
+
 def test_update_rows(rng):
     import numpy as np
     import pytest
