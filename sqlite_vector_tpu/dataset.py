@@ -121,6 +121,21 @@ def _device_row_update(vectors, new_rows, start):
     return jax.lax.dynamic_update_slice_in_dim(vectors, new_rows, start, axis=0)
 
 
+def _device_rows_scatter(vectors, pos, rows):
+    """Scatter `rows` into `vectors` at row positions `pos` — the O(changed)
+    device path for update() (same no-donation rationale as above)."""
+    return vectors.at[pos].set(rows)
+
+
+def _device_rows_gather(vectors, idx):
+    """Gather rows by index — device-side compaction: the live rows of the
+    existing HBM matrix are permuted into a fresh padded matrix with NO
+    host->device matrix transfer (only the [cap]-int32 index uploads).
+    Rows past the live count are arbitrary; every scan masks them via
+    valid_count."""
+    return jnp.take(vectors, idx, axis=0)
+
+
 @functools.partial(
     jax.jit, static_argnames=("metric", "k", "qtype", "has_mask")
 )
@@ -566,6 +581,7 @@ class Dataset:
         if self._n_dead == 0:
             return
         cnt = self._count
+        old_vecs = self._vectors
         keep = ~self._dead[:cnt]
         kept = np.asarray(self._host_vectors[:cnt][keep])
         self._host_vectors = np.zeros(
@@ -579,7 +595,26 @@ class Dataset:
         self._live_np = None
         self._live_dev = None
         self._count = len(kept)
-        self._sync_device(full=True)  # rows moved: full re-upload, one swap
+        if (
+            self._storage == "hbm"
+            and self._mesh is None
+            and old_vecs is not None
+        ):
+            # device-side compaction: permute the live rows of the existing
+            # HBM matrix with one gather — uploads a [cap]-int32 index
+            # (~4 MB at 1M rows) instead of the whole matrix (1.5 GB)
+            new_cap = _next_capacity(len(kept))
+            idx = np.zeros((new_cap,), np.int32)
+            idx[: len(kept)] = np.flatnonzero(keep)
+            idx_dev = (
+                jax.device_put(idx, self._device)
+                if self._device is not None
+                else jnp.asarray(idx)
+            )
+            self._vectors = _device_rows_gather(old_vecs, idx_dev)
+            self._sq_norms = None
+        else:
+            self._sync_device(full=True)  # mesh/host tiers: full re-sync
 
     def update(
         self, ids: Sequence[int] | np.ndarray, vectors: np.ndarray | Sequence[Any]
@@ -611,7 +646,34 @@ class Dataset:
             )
         self._note_nonfinite(arr)
         self._host_vectors[pos] = arr
-        self._sync_device(full=True)  # rows changed in place: full re-upload
+        if (
+            self._storage == "hbm"
+            and self._mesh is None
+            and self._vectors is not None
+        ):
+            # O(changed) device scatter instead of a full re-upload. Pad the
+            # batch to a power of two (idempotent duplicate of the last row)
+            # so XLA compiles a bounded set of scatter shapes.
+            npos = len(pos)
+            padn = 1 << (npos - 1).bit_length()
+            pos_p = np.concatenate(
+                [pos, np.full(padn - npos, pos[-1], np.int64)]
+            ).astype(np.int32)
+            rows_p = np.concatenate(
+                [arr, np.broadcast_to(arr[-1], (padn - npos,) + arr.shape[1:])]
+            )
+            put = (
+                (lambda a: jax.device_put(a, self._device))
+                if self._device is not None
+                else jnp.asarray
+            )
+            self._vectors = _device_rows_scatter(
+                self._vectors, put(pos_p), put(rows_p)
+            )
+            self._sq_norms = None
+        else:
+            # mesh-sharded / host-storage matrices take the uniform path
+            self._sync_device(full=True)
         if self._quant is not None:
             self._quant.stale = True
         return int(ids.size)

@@ -147,27 +147,71 @@ class BatchingSearcher:
                         fut.set_exception(e)
 
 
+def _dataset_stats(ds: Dataset) -> dict:
+    return {
+        "count": len(ds),
+        "dimension": ds.dimension,
+        "dtype": ds.dtype.value,
+        "metric": ds.metric.value,
+        "quantized": ds.is_quantized,
+        "memory_bytes": ds.memory_bytes(),
+    }
+
+
 def serve(
-    dataset: Dataset,
+    source,
     host: str = "127.0.0.1",
     port: int = 8377,
     *,
     max_batch: int = 64,
     max_wait_ms: float = 2.0,
 ):
-    """Serve a dataset over JSON/HTTP. Returns the (started) HTTPServer.
+    """Serve a Dataset — or a whole VectorStore — over JSON/HTTP.
+
+    A VectorStore source routes requests by dataset name (the serving
+    analogue of the reference's per-connection multi-(table, column)
+    registry, src/sqlite-vector.c:116-181); each dataset gets its own
+    lazily-created BatchingSearcher. Returns the (started) HTTPServer; stop
+    with server.close().
 
     POST /search   {"vector": [...], "k": 10, "exact": true,
-                    "mode": "exact|quantized|rerank|approx" (optional)}
+                    "mode": "exact|quantized|rerank|approx" (optional),
+                    "dataset": "name" (stores; optional when only one)}
                    -> {"ids": [...], "distances": [...]}
-    POST /add      {"vectors": [[...], ...]} -> {"ids": [...]}
-    GET  /stats    -> {"count": N, "dimension": d, ...}
+    POST /add      {"vectors": [[...], ...], "dataset": ...} -> {"ids": [...]}
+    GET  /stats    -> single dataset's stats, or {"datasets": {name: stats}}
     """
     from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
 
-    searcher = BatchingSearcher(
-        dataset, max_batch=max_batch, max_wait_ms=max_wait_ms
-    )
+    from sqlite_vector_tpu.dataset import VectorStore
+
+    store = source if isinstance(source, VectorStore) else None
+    single = None if store is not None else source
+    searchers: dict[int, BatchingSearcher] = {}
+    searchers_lock = threading.Lock()
+
+    def resolve(req: dict) -> Dataset:
+        if store is None:
+            return single
+        name = req.get("dataset")
+        if name is None:
+            names = store.names()
+            if len(names) == 1:
+                return store.get(names[0])
+            raise ValueError(
+                f"'dataset' is required (store serves {sorted(names)})"
+            )
+        return store.get(name)
+
+    def searcher_for(ds: Dataset) -> BatchingSearcher:
+        with searchers_lock:
+            s = searchers.get(id(ds))
+            if s is None:
+                s = BatchingSearcher(
+                    ds, max_batch=max_batch, max_wait_ms=max_wait_ms
+                )
+                searchers[id(ds)] = s
+            return s
 
     class Handler(BaseHTTPRequestHandler):
         def log_message(self, *a):  # quiet
@@ -183,17 +227,16 @@ def serve(
 
         def do_GET(self):
             if self.path == "/stats":
-                self._reply(
-                    200,
-                    {
-                        "count": len(dataset),
-                        "dimension": dataset.dimension,
-                        "dtype": dataset.dtype.value,
-                        "metric": dataset.metric.value,
-                        "quantized": dataset.is_quantized,
-                        "memory_bytes": dataset.memory_bytes(),
-                    },
-                )
+                if store is not None:
+                    self._reply(
+                        200,
+                        {"datasets": {
+                            n: _dataset_stats(store.get(n))
+                            for n in store.names()
+                        }},
+                    )
+                else:
+                    self._reply(200, _dataset_stats(single))
             else:
                 self._reply(404, {"error": "unknown path"})
 
@@ -201,9 +244,10 @@ def serve(
             try:
                 n = int(self.headers.get("Content-Length", 0))
                 req = json.loads(self.rfile.read(n) or b"{}")
+                ds = resolve(req)
                 if self.path == "/search":
                     vec = np.asarray(req["vector"], np.float32)
-                    ids, dist = searcher.search(
+                    ids, dist = searcher_for(ds).search(
                         vec, int(req.get("k", 10)),
                         exact=bool(req.get("exact", True)),
                         mode=req.get("mode"),
@@ -215,7 +259,7 @@ def serve(
                     )
                 elif self.path == "/add":
                     vecs = np.asarray(req["vectors"], np.float32)
-                    ids = dataset.add(vecs)
+                    ids = ds.add(vecs)
                     self._reply(200, {"ids": ids.tolist()})
                 else:
                     self._reply(404, {"error": "unknown path"})
@@ -223,6 +267,21 @@ def serve(
                 self._reply(400, {"error": f"{type(e).__name__}: {e}"})
 
     server = ThreadingHTTPServer((host, port), Handler)
-    server.searcher = searcher  # keep a handle for close()
+
+    def _close():
+        with searchers_lock:
+            for s in searchers.values():
+                s.close()
+        server.shutdown()
+
+    class _SearcherHandle:
+        # back-compat: server.searcher.close() closes every coalescer
+        def close(self_inner):
+            with searchers_lock:
+                for s in searchers.values():
+                    s.close()
+
+    server.close = _close
+    server.searcher = _SearcherHandle()
     threading.Thread(target=server.serve_forever, daemon=True).start()
     return server

@@ -302,6 +302,30 @@ def test_update_rows(rng):
         ds.update([123456], new_vec)
 
 
+def test_update_scatter_batches(rng):
+    """update() scatters changed rows on device (pow2-padded batches);
+    results stay exact across batch sizes and alongside tombstones."""
+    import numpy as np
+    import sqlite_vector_tpu as svt
+
+    ds = svt.Dataset("us", svt.parse_options("dimension=8,type=FLOAT32"))
+    base = rng.standard_normal((50, 8)).astype("float32")
+    ids = ds.add(base)
+    ds.remove(ids[40:45])  # tombstones present during the scatter
+    for nb in (1, 3, 7):  # non-pow2 batches exercise the idempotent padding
+        sel = ids[:nb]
+        fresh = rng.standard_normal((nb, 8)).astype("float32")
+        assert ds.update(sel, fresh) == nb
+        for j in range(nb):
+            got, dist = ds.search(fresh[j], 1)
+            assert got[0] == sel[j] and dist[0] == 0.0
+    # untouched rows unchanged; dead rows still dead
+    got, dist = ds.search(base[20], 1)
+    assert got[0] == ids[20] and dist[0] == 0.0
+    got, _ = ds.search(base[42], 1)
+    assert got[0] != ids[42]
+
+
 def test_quant_stale_after_remove(rng):
     import sqlite_vector_tpu as svt
 

@@ -2,6 +2,7 @@
 
 import json
 import threading
+import urllib.error
 import urllib.request
 
 import numpy as np
@@ -92,6 +93,48 @@ def test_http_server(ds):
     finally:
         server.searcher.close()
         server.shutdown()
+
+
+def test_http_server_multi_dataset(rng):
+    """serve(VectorStore) routes by dataset name — the per-connection
+    multi-(table,column) registry, served."""
+    store = svt.VectorStore()
+    a = store.create("alpha", "dimension=8,type=FLOAT32,distance=L2")
+    b = store.create("beta", "dimension=4,type=FLOAT32,distance=L2")
+    av = rng.standard_normal((50, 8)).astype(np.float32)
+    bv = rng.standard_normal((30, 4)).astype(np.float32)
+    aids, bids = a.add(av), b.add(bv)
+    server = serve(store, port=0)
+    try:
+        port = server.server_address[1]
+
+        def post(path, payload):
+            req = urllib.request.Request(
+                f"http://127.0.0.1:{port}{path}",
+                data=json.dumps(payload).encode(),
+                headers={"Content-Type": "application/json"},
+            )
+            with urllib.request.urlopen(req, timeout=30) as r:
+                return json.loads(r.read())
+
+        out = post("/search", {"dataset": "alpha", "vector": av[7].tolist(), "k": 2})
+        assert out["ids"][0] == int(aids[7]) and out["distances"][0] == 0.0
+        out = post("/search", {"dataset": "beta", "vector": bv[3].tolist(), "k": 2})
+        assert out["ids"][0] == int(bids[3])
+        # missing dataset name with >1 served -> clean 400
+        try:
+            post("/search", {"vector": av[0].tolist(), "k": 1})
+            raise AssertionError("expected 400")
+        except urllib.error.HTTPError as e:
+            assert e.code == 400 and b"dataset" in e.read()
+        with urllib.request.urlopen(
+            f"http://127.0.0.1:{port}/stats", timeout=10
+        ) as r:
+            stats = json.loads(r.read())
+        assert set(stats["datasets"]) == {"alpha", "beta"}
+        assert stats["datasets"]["beta"]["dimension"] == 4
+    finally:
+        server.close()
 
 
 def test_soak_quant_lifecycle_race(rng):
