@@ -365,7 +365,7 @@ class VectorConnection:
         return int(row[0]) if row and row[0] is not None else None
 
     def _refresh_incremental(self, ctx: _TableContext, stamp: tuple) -> bool:
-        """Append fast path. Sound because: data_version unchanged means no
+        """Append and delete fast paths. Sound because: data_version unchanged means no
         OTHER connection committed anything; total_changes counts every row
         this connection inserted/updated/deleted (triggers included); and
         max_pk is the table-wide MAX(pk) at the last (re)load, so a delta
@@ -387,24 +387,48 @@ class VectorConnection:
         n_above = self._conn.execute(
             f"SELECT COUNT(*) FROM {tq} WHERE {pq} > ?", (ctx.max_pk,)
         ).fetchone()[0]
-        if n_above != delta:
-            return False
-        # belt-and-braces: the loaded (non-NULL) row population below max_pk
-        # must be untouched
         n_old = self._conn.execute(
             f"SELECT COUNT({cq}) FROM {tq} WHERE {pq} <= ?", (ctx.max_pk,)
         ).fetchone()[0]
-        if n_old != len(ctx.dataset):
+        if n_above == delta and n_old == len(ctx.dataset):
+            # append-only: all delta changes are inserts above max_pk and the
+            # loaded (non-NULL) population below max_pk is untouched
+            id_arr, arr = self._load_rows(ctx, min_pk=ctx.max_pk)
+            if len(id_arr):
+                ctx.dataset.add(arr, id_arr)
+            # table-wide max, NOT id_arr.max(): an appended row with a NULL
+            # vector sits above every loaded pk and must not be
+            # double-counted by the next append-only proof
+            ctx.max_pk = self._table_max_pk(ctx)
+            ctx.stamp = stamp
+            return True
+        if n_above == 0 and n_old == len(ctx.dataset) - delta and delta > 0:
+            # delete-only: nothing appeared above max_pk and EXACTLY delta
+            # loaded rows vanished (DELETEd, or vector set to NULL — which
+            # the reference's scan also skips, :2093). A vector UPDATE keeps
+            # the population count and falls through to a full reload; any
+            # insert below max_pk changes the count off-by-delta and falls
+            # through too. Diff the surviving pk set and tombstone the rest:
+            # O(delta) device cost via Dataset.remove's lazy tombstones
+            # instead of a full O(N) re-ingest.
+            live = np.fromiter(
+                (
+                    r[0]
+                    for r in self._conn.execute(
+                        f"SELECT {pq} FROM {tq} "
+                        f"WHERE {cq} IS NOT NULL AND {pq} <= ?",
+                        (ctx.max_pk,),
+                    )
+                ),
+                np.int64,
+            )
+            gone = np.setdiff1d(ctx.dataset.ids, live)
+            if len(gone) == delta:
+                ctx.dataset.remove(gone)
+                ctx.stamp = stamp  # max_pk unchanged: nothing above it
+                return True
             return False
-        id_arr, arr = self._load_rows(ctx, min_pk=ctx.max_pk)
-        if len(id_arr):
-            ctx.dataset.add(arr, id_arr)
-        # table-wide max, NOT id_arr.max(): an appended row with a NULL
-        # vector sits above every loaded pk and must not be double-counted
-        # by the next append-only proof
-        ctx.max_pk = self._table_max_pk(ctx)
-        ctx.stamp = stamp
-        return True
+        return False
 
     def _load_rows(
         self, ctx: _TableContext, *, min_pk: int | None

@@ -582,13 +582,13 @@ def test_incremental_refresh_append_fast_path(tmp_path, data, monkeypatch):
     assert rows[0][0] == 1 and rows[0][1] == 0.0
     assert calls and calls[0][0] is None
 
-    # DELETE: full reload, row gone
+    # DELETE: fast path — the row is tombstoned with NO row loading at all
     calls.clear()
     c.execute("DELETE FROM t WHERE rowid=2")
     c.commit()
     rows = c.vector_full_scan("t", "v", data[1].tobytes(), 1)
     assert rows[0][0] != 2
-    assert calls and calls[0][0] is None
+    assert calls == [], calls  # delete-only: zero _load_rows calls
 
     # mixed insert+update in one batch: must NOT take the fast path
     calls.clear()
@@ -610,6 +610,64 @@ def test_incremental_refresh_append_fast_path(tmp_path, data, monkeypatch):
     rows = c.vector_full_scan("t", "v", (extra + 13).tobytes(), 1)
     assert rows[0][1] == 0.0
     assert calls and calls[0][0] is None
+    c.close()
+
+
+def test_incremental_refresh_delete_fast_path(tmp_path, data, monkeypatch):
+    """DELETE-only changes tombstone the loaded dataset in place (same
+    Dataset object, zero row loading); ambiguous changes still fully
+    reload."""
+    c = svs.connect(str(tmp_path / "del.db"))
+    c.execute("CREATE TABLE t (v BLOB)")
+    c.executemany("INSERT INTO t(v) VALUES (?)", ((r.tobytes(),) for r in data))
+    c.commit()
+    c.vector_init("t", "v", f"type=FLOAT32,dimension={DIM}")
+    c.vector_full_scan("t", "v", data[0].tobytes(), 1)
+    ctx = c._lookup("t", "v", "test")
+    ds_before = ctx.dataset
+
+    calls = []
+    orig = svs.VectorConnection._load_rows
+
+    def spy(self, ctx, *, min_pk):
+        ids, arr = orig(self, ctx, min_pk=min_pk)
+        calls.append(min_pk)
+        return ids, arr
+
+    monkeypatch.setattr(svs.VectorConnection, "_load_rows", spy)
+
+    # multi-row DELETE in one statement: fast path
+    c.execute("DELETE FROM t WHERE rowid IN (2, 5, 7)")
+    c.commit()
+    rows = c.vector_full_scan("t", "v", data[1].tobytes(), 3)
+    assert 2 not in [r[0] for r in rows]
+    assert calls == [] and ctx.dataset is ds_before  # tombstoned in place
+    assert len(ctx.dataset) == N - 3
+
+    # UPDATE vector to NULL: row leaves the scan population — also the
+    # fast path (the reference's scan skips NULL vectors, :2093)
+    c.execute("UPDATE t SET v=NULL WHERE rowid=9")
+    c.commit()
+    rows = c.vector_full_scan("t", "v", data[8].tobytes(), 2)
+    assert 9 not in [r[0] for r in rows]
+    assert calls == [] and ctx.dataset is ds_before
+
+    # DELETE of the NULL-vector row (never loaded): conservative full reload
+    c.execute("DELETE FROM t WHERE rowid=9")
+    c.commit()
+    c.vector_full_scan("t", "v", data[0].tobytes(), 1)
+    assert calls == [None]
+
+    # DELETE + INSERT in one batch: ambiguous -> full reload
+    calls.clear()
+    ds_now = ctx.dataset
+    extra = np.arange(DIM, dtype=np.float32) + 99
+    c.execute("DELETE FROM t WHERE rowid=3")
+    c.execute("INSERT INTO t(v) VALUES (?)", (extra.tobytes(),))
+    c.commit()
+    rows = c.vector_full_scan("t", "v", extra.tobytes(), 1)
+    assert rows[0][1] == 0.0
+    assert calls == [None]
     c.close()
 
 
