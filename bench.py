@@ -309,6 +309,42 @@ def bench_core(args):
         baseline="C reference quantized+preloaded 156.7 ms/q",
     )
 
+    # ---- mutation costs (zero-cost-update contract on device) -------------
+    # last within this config: mutates ds. The C reference pays one pager
+    # pass per scan and gets cheap DELETEs from SQLite; device-resident
+    # matrices earn the same contract via lazy tombstones + scatter updates.
+    ids = ds.ids
+    t0 = time.time()
+    ds.remove(ids[n // 2 : n // 2 + 128])
+    remove_s = time.time() - t0
+    q0 = queries[0]
+    ds.search(q0, k)  # first masked search: mask upload + kernel variant
+    masked_s = median_time(lambda: ds.search(q0, k), max(args.iters // 2, 3))
+    upd_rows = data[:64] + 0.5
+    ds.update(ids[:64], upd_rows)  # compile
+    t0 = time.time()
+    ds.update(ids[64:128], upd_rows)
+    update_s = time.time() - t0
+    t0 = time.time()
+    ds.quantize()  # compacts tombstones device-side, rebuilds codes
+    requant_s = time.time() - t0
+    log(
+        f"mutations: remove(128/{n//1000}k) {remove_s*1e3:.1f} ms, "
+        f"masked search {masked_s*1e3:.1f} ms, update(64) {update_s*1e3:.1f} ms, "
+        f"quantize-after-remove {requant_s:.2f} s"
+    )
+    emit(
+        f"mutation_costs_{n//1000}kx{dim}",
+        remove_s * 1e3,
+        "ms_remove_128",
+        ingest_s / max(remove_s, 1e-9),  # speedup vs a full re-upload
+        masked_search_ms=round(masked_s * 1e3, 2),
+        update64_ms=round(update_s * 1e3, 2),
+        quantize_after_remove_s=round(requant_s, 2),
+        baseline="pre-tombstone implementation paid a full matrix re-upload "
+        "per remove/update (~the ingest time; vs_baseline = that speedup)",
+    )
+
     return exact_qps, dev_s
 
 
