@@ -26,6 +26,7 @@ from typing import Any
 import numpy as np
 
 from sqlite_vector_tpu.dataset import Dataset
+from sqlite_vector_tpu.errors import VectorStateError
 
 # batch-size buckets: every dispatch pads to one of these, bounding the
 # number of distinct compiled shapes
@@ -52,10 +53,18 @@ class BatchingSearcher:
         *,
         max_batch: int = 64,
         max_wait_ms: float = 2.0,
+        fallback_exact: bool = False,
     ):
+        """fallback_exact: when a quantized/rerank group fails because
+        quantization is momentarily absent (a drop_quantization+quantize
+        rebuild window — the reference errors identically while the shadow
+        table is missing), transparently re-run that group as an exact scan
+        instead of surfacing VectorStateError to every waiter. Off by
+        default (error parity)."""
         self.dataset = dataset
         self.max_batch = min(max_batch, _BUCKETS[-1])
         self.max_wait_s = max_wait_ms / 1000.0
+        self.fallback_exact = fallback_exact
         self._queue: queue.Queue = queue.Queue()
         self._closed = False
         self._thread = threading.Thread(target=self._run, daemon=True)
@@ -137,7 +146,15 @@ class BatchingSearcher:
                     qs = np.concatenate(
                         [qs, np.zeros((bsize - len(items),) + qs.shape[1:], qs.dtype)]
                     )
-                ids, dist = self.dataset.search(qs, k, mode=mode)
+                try:
+                    ids, dist = self.dataset.search(qs, k, mode=mode)
+                except VectorStateError:
+                    if not (
+                        self.fallback_exact and mode in ("quantized", "rerank")
+                    ):
+                        raise
+                    # requantization window: serve exact results instead
+                    ids, dist = self.dataset.search(qs, k, mode="exact")
                 for i, (_, fut) in enumerate(items):
                     keep = ids[i] >= 0
                     fut.set_result((ids[i][keep], dist[i][keep]))

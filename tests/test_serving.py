@@ -95,6 +95,28 @@ def test_http_server(ds):
         server.shutdown()
 
 
+def test_fallback_exact_during_requant_window(ds, rng):
+    """fallback_exact=True serves exact results while quantization is
+    absent instead of erroring (a requantization window)."""
+    from sqlite_vector_tpu.errors import VectorStateError
+
+    base = ds._host_vectors[: len(ds)]
+    strict = BatchingSearcher(ds, max_wait_ms=1)
+    try:
+        with pytest.raises(VectorStateError):
+            strict.search(base[0], 3, mode="quantized")
+    finally:
+        strict.close()
+    lenient = BatchingSearcher(ds, max_wait_ms=1, fallback_exact=True)
+    try:
+        ids, dist = lenient.search(base[0], 3, mode="quantized")
+        assert ids[0] == ds.ids[0] and dist[0] == 0.0  # exact-scan result
+        ids, dist = lenient.search(base[1], 3, mode="rerank")
+        assert ids[0] == ds.ids[1]
+    finally:
+        lenient.close()
+
+
 def test_http_server_multi_dataset(rng):
     """serve(VectorStore) routes by dataset name — the per-connection
     multi-(table,column) registry, served."""
