@@ -167,16 +167,9 @@ def _cmd_ds_info(args) -> int:
 
     # host+mmap: inspect the manifest without touching the device
     ds = svt.Dataset.load(args.dir, storage="host", mmap=True)
-    info = {
-        "name": ds.name,
-        "count": len(ds),
-        "dimension": ds.dimension,
-        "dtype": ds.dtype.value,
-        "metric": ds.metric.value,
-        "quantized": ds.is_quantized,
-        "memory_bytes": ds.memory_bytes(),
-        "backend": svt.backend(),
-    }
+    from sqlite_vector_tpu.serving import _dataset_stats
+
+    info = {"name": ds.name, **_dataset_stats(ds), "backend": svt.backend()}
     print(json.dumps(info, indent=2))
     return 0
 

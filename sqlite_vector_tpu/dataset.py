@@ -258,7 +258,11 @@ class Dataset:
         self._dead = np.zeros((0,), dtype=bool)
         self._n_dead = 0
         self._live_np: np.ndarray | None = None  # cached ~dead[:count]
-        self._live_dev: tuple | None = None  # (cap, device mask) cache
+        self._live_dev: tuple | None = None  # (mask, cap, device mask) cache
+        # bumped (under the lock) by every row mutation; quantize() snapshots
+        # it so a mutation landing during the lock-free code build marks the
+        # fresh codes stale (see quantize)
+        self._mutation_gen = 0
         # sticky flag: any ingested row contained NaN/Inf. Searches on
         # lane-skip dtypes (f16; bf16 L2) route through the exact non-finite
         # policy kernels only when this (or the query) is set, so the clean
@@ -305,9 +309,13 @@ class Dataset:
 
     @property
     def ids(self) -> np.ndarray:
-        if self._n_dead:
-            return self._ids[: self._count][~self._dead[: self._count]]
-        return self._ids[: self._count]
+        # under the lock: mid-compaction, _ids and _dead are swapped one
+        # after the other and a lock-free boolean index could see mismatched
+        # lengths (IndexError for a concurrent reader)
+        with self._mutate_lock:
+            if self._n_dead:
+                return self._ids[: self._count][~self._dead[: self._count]]
+            return self._ids[: self._count]
 
     def memory_bytes(self) -> int:
         """HBM bytes held by the exact-scan matrix (padded capacity)."""
@@ -362,6 +370,7 @@ class Dataset:
         # see a count covering rows the device matrix doesn't have yet
         self._sync_device(start, count=self._count + n_new)
         self._count += n_new
+        self._mutation_gen += 1
         if self._quant is not None:
             self._quant.stale = True
         return new_ids
@@ -566,6 +575,7 @@ class Dataset:
         self._id_pos_cache = None
         self._live_np = None
         self._live_dev = None
+        self._mutation_gen += 1
         if self._quant is not None:
             self._quant.stale = True
         # compact (one full re-upload) only when tombstones hog capacity
@@ -595,6 +605,7 @@ class Dataset:
         self._live_np = None
         self._live_dev = None
         self._count = len(kept)
+        self._mutation_gen += 1
         if (
             self._storage == "hbm"
             and self._mesh is None
@@ -654,6 +665,14 @@ class Dataset:
             # O(changed) device scatter instead of a full re-upload. Pad the
             # batch to a power of two (idempotent duplicate of the last row)
             # so XLA compiles a bounded set of scatter shapes.
+            if len(np.unique(pos)) != len(pos):
+                # duplicate ids in one batch: numpy host assignment is
+                # last-wins but XLA scatter order with repeated indices is
+                # implementation-defined — dedupe keeping the LAST occurrence
+                # so host and device agree
+                last = {int(p): i for i, p in enumerate(pos)}
+                sel = np.fromiter(last.values(), np.int64)
+                pos, arr = pos[sel], arr[sel]
             npos = len(pos)
             padn = 1 << (npos - 1).bit_length()
             pos_p = np.concatenate(
@@ -674,6 +693,7 @@ class Dataset:
         else:
             # mesh-sharded / host-storage matrices take the uniform path
             self._sync_device(full=True)
+        self._mutation_gen += 1
         if self._quant is not None:
             self._quant.stale = True
         return int(ids.size)
@@ -899,7 +919,14 @@ class Dataset:
             # stage 2 drops them via the live id remap.
             live = self._live_row_mask()
             if live is not None:
-                mask = live if mask is None else (mask & live)
+                if mask is None:
+                    mask = live
+                else:
+                    # a concurrent add() may have grown one of the two since
+                    # it was computed; combine over the common prefix (rows
+                    # past it are fresh appends — live and unfiltered)
+                    m = min(len(mask), len(live))
+                    mask = mask[:m] & live[:m]
 
         policy = self._nonfinite_policy(q) if mode in ("exact", "approx") else None
 
@@ -970,10 +997,13 @@ class Dataset:
             return None
         if mask is self._live_np:
             cached = self._live_dev
-            if cached is not None and cached[0] == cap:
-                return cached[1]
+            # keyed by the np mask OBJECT, not just cap: a racing searcher
+            # must never re-install a pre-invalidation device copy (rows
+            # removed later would silently resurface from the stale cache)
+            if cached is not None and cached[0] is mask and cached[1] == cap:
+                return cached[2]
             dm = self._pad_mask(mask, cap, count)
-            self._live_dev = (cap, dm)
+            self._live_dev = (mask, cap, dm)
             return dm
         return self._pad_mask(mask, cap, count)
 
@@ -989,7 +1019,11 @@ class Dataset:
         if mask is None:
             return None
         out = np.zeros((cap,), bool)
-        out[:count] = mask[:count]
+        # the mask may be shorter than count when an add() landed between
+        # the mask build and the count snapshot — rows past the mask stay
+        # excluded for this query (transient skew, never a crash)
+        m = min(len(mask), count, cap)
+        out[:m] = mask[:m]
         # masks are 1-D over rows: on a 2-D mesh they shard over the rows
         # axis only (self._put would try to block-shard / dim-pad them)
         if self._mask_sharding is not None:
@@ -1270,29 +1304,33 @@ class Dataset:
         ke = max(k * expand, k)
         _, idx = self._search_quantized(q, ke, mask, quant=quant)
         idx = np.asarray(idx)
-        # stage-1 positions index the quantize-time snapshot; map them to
-        # CURRENT row positions via ids (rows may have moved/been removed)
-        qids = self._quant_id_map(quant)
-        live = self._id_to_pos()
         b = q.shape[0]
         out_vals = np.full((b, k), np.inf, np.float32)
         out_idx = np.full((b, k), -1, np.int32)
         qf = q.astype(np.float32)
-        for bi in range(b):
-            qpos = idx[bi][idx[bi] >= 0]
-            cand_pos = np.asarray(
-                [live[int(qids[p])] for p in qpos if int(qids[p]) in live],
-                np.int64,
-            )
-            if cand_pos.size == 0:
-                continue
-            cand = self._host_vectors[cand_pos].astype(np.float32)
-            d = oracle.snap_zero(
-                oracle.distance(qf[bi], cand, self.metric, VectorType.F32)
-            )
-            order = np.argsort(d, kind="stable")[:k]
-            out_vals[bi, : len(order)] = d[order]
-            out_idx[bi, : len(order)] = cand_pos[order]
+        # stage-1 positions index the quantize-time snapshot; map them to
+        # CURRENT row positions via ids (rows may have moved/been removed).
+        # The id->position map and the host matrix it indexes must come from
+        # the same generation — a concurrent compaction swaps both — so the
+        # (cheap, O(k*expand)-row) host rescore runs under the mutation lock.
+        with self._mutate_lock:
+            qids = self._quant_id_map(quant)
+            live = self._id_to_pos()
+            for bi in range(b):
+                qpos = idx[bi][idx[bi] >= 0]
+                cand_pos = np.asarray(
+                    [live[int(qids[p])] for p in qpos if int(qids[p]) in live],
+                    np.int64,
+                )
+                if cand_pos.size == 0:
+                    continue
+                cand = self._host_vectors[cand_pos].astype(np.float32)
+                d = oracle.snap_zero(
+                    oracle.distance(qf[bi], cand, self.metric, VectorType.F32)
+                )
+                order = np.argsort(d, kind="stable")[:k]
+                out_vals[bi, : len(order)] = d[order]
+                out_idx[bi, : len(order)] = cand_pos[order]
         return out_vals, out_idx
 
     def distances(self, queries: Any, *, exact: bool = True) -> np.ndarray:
@@ -1447,11 +1485,22 @@ class Dataset:
         with self._mutate_lock:
             if self._n_dead:
                 self._compact_locked()
-            return self._quantize_under_lock(
-                options, qtype=qtype, checkpoint=checkpoint
-            )
+            gen0 = self._mutation_gen
+        # the build itself runs OUTSIDE the lock (it can take seconds on
+        # >RAM host builds / cold compiles; searches and short mutations
+        # must not queue behind it) — it reads one snapshot of the row
+        # state and installs the new _QuantState with one reference swap
+        result = self._quantize_build(options, qtype=qtype, checkpoint=checkpoint)
+        with self._mutate_lock:
+            quant = self._quant
+            if quant is not None and self._mutation_gen != gen0:
+                # a mutation landed during the build: same staleness contract
+                # as mutating after quantize (mutators flip this themselves
+                # for any quant installed before they ran)
+                quant.stale = True
+        return result
 
-    def _quantize_under_lock(
+    def _quantize_build(
         self,
         options: str | None = None,
         *,
@@ -1475,27 +1524,30 @@ class Dataset:
             return 0
         if self._storage == "host":
             return self._quantize_host(opts, checkpoint)
+        # ONE row-state snapshot for the whole build (runs outside the lock;
+        # a concurrent mutation is detected by the caller's generation check
+        # and marks the installed codes stale)
+        vecs = self._vectors
+        count = self._count
+        ids = self._ids
+        count = min(count, len(ids))  # torn snapshot mid-swap: clamp (stale)
         # on a 2-D mesh the device matrix carries zero dim-padding that
         # would poison the global min/max: reduce over the unpadded column
         # slice (still on device), and re-zero the padded code columns after
         # quantizing (a quantized 0 is a nonzero code)
-        mat = (
-            self._vectors[:, : self.dimension]
-            if self._mesh_2d
-            else self._vectors
-        )
-        mn, mx, neg = minmax_and_negative(mat, self._count, valid_is_full=False)
+        mat = vecs[:, : self.dimension] if self._mesh_2d else vecs
+        mn, mx, neg = minmax_and_negative(mat, count, valid_is_full=False)
         rqtype, scale, offset = resolve_quant_params(
             float(mn), float(mx), bool(neg), opts.qtype
         )
-        codes = quantize_device(self._vectors, scale, offset, rqtype)
+        codes = quantize_device(vecs, scale, offset, rqtype)
         if self._mesh_2d:
             codes = _zero_pad_columns(codes, self.dimension)
         self._quant = _QuantState(
-            rqtype, scale, offset, codes, self._count,
-            ids=self._ids[: self._count].copy(),
+            rqtype, scale, offset, codes, count,
+            ids=ids[:count].copy(),
         )
-        return self._count
+        return count
 
     @staticmethod
     def _require_no_policy_2d(policy) -> None:

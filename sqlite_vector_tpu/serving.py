@@ -285,18 +285,20 @@ def serve(
 
     server = ThreadingHTTPServer((host, port), Handler)
 
-    def _close():
+    def _close_searchers():
         with searchers_lock:
             for s in searchers.values():
                 s.close()
+
+    def _close():
+        _close_searchers()
         server.shutdown()
+        server.server_close()  # release the listening socket fd
 
     class _SearcherHandle:
         # back-compat: server.searcher.close() closes every coalescer
         def close(self_inner):
-            with searchers_lock:
-                for s in searchers.values():
-                    s.close()
+            _close_searchers()
 
     server.close = _close
     server.searcher = _SearcherHandle()

@@ -90,6 +90,9 @@ def main() -> None:
             t = time.perf_counter()
             try:
                 ids, dist = searcher.search(q, args.k, mode=mode)
+                # inside the try: a correctness violation must be COUNTED,
+                # not silently kill this client thread
+                assert np.all(np.diff(dist) >= 0), "unsorted distances"
             except VectorStateError:
                 with lat_lock:
                     counters["state_err"] += 1
@@ -101,7 +104,6 @@ def main() -> None:
                     stop.set()
                 continue
             dt = time.perf_counter() - t
-            assert np.all(np.diff(dist) >= 0)
             with lat_lock:
                 lat[mode].append(dt)
                 counters["ok"] += 1
