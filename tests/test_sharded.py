@@ -351,6 +351,38 @@ def test_dataset_on_2d_mesh_end_to_end(mesh2d, rng):
     assert g2[0] == new_ids[0] and d2[0] == 0.0
 
 
+def test_dataset_2d_mesh_tombstone_remove(mesh2d, rng):
+    """Lazy remove on a 2-D (rows x dim) mesh: the tombstone mask shards
+    over the rows axis (mask_sharding) and the device matrix is untouched
+    below the compaction threshold."""
+    from sqlite_vector_tpu.types import VectorOptions
+
+    d = 33
+    ds = svt.Dataset(
+        "d2rm", VectorOptions(dimension=d, distance=DistanceMetric.L2),
+        mesh=mesh2d,
+    )
+    base = rng.standard_normal((200, d)).astype(np.float32)
+    ids = ds.add(base)
+    dev_before = ds._vectors
+    assert ds.remove(ids[10:20]) == 10
+    assert ds._vectors is dev_before and len(ds) == 190
+    got, dist = ds.search(base[15], 1)
+    assert got[0] != ids[15]
+    got, dist = ds.search(base[30], 1)
+    assert got[0] == ids[30] and dist[0] == 0.0
+    # oracle value-check of the masked scan
+    keep = np.ones(200, bool)
+    keep[10:20] = False
+    ref = oracle.distance(
+        base[40][None], base[keep], DistanceMetric.L2, VectorType.F32
+    )[0]
+    got, dist = ds.search(base[40], 5)
+    np.testing.assert_allclose(
+        dist, oracle.snap_zero(np.sort(ref)[:5]), rtol=1e-4, atol=1e-6
+    )
+
+
 def test_dataset_2d_mesh_rejects_host_storage(mesh2d):
     from sqlite_vector_tpu.errors import VectorConfigError
     from sqlite_vector_tpu.types import VectorOptions
