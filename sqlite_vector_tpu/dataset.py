@@ -472,12 +472,17 @@ class Dataset:
         """Fetch stored vectors by row id (the `SELECT col FROM tbl WHERE
         rowid IN (...)` analogue). Unknown ids raise."""
         ids = np.atleast_1d(np.asarray(ids, np.int64))
-        id_to_pos = self._id_to_pos()
-        try:
-            pos = np.asarray([id_to_pos[int(i)] for i in ids], np.int64)
-        except KeyError as e:
-            raise VectorStateError(f"get: unknown row id {e.args[0]}") from None
-        return np.array(self._host_vectors[pos])
+        # under the lock: the id->position map and the host matrix must be
+        # the same generation (a concurrent compaction swaps both)
+        with self._mutate_lock:
+            id_to_pos = self._id_to_pos()
+            try:
+                pos = np.asarray([id_to_pos[int(i)] for i in ids], np.int64)
+            except KeyError as e:
+                raise VectorStateError(
+                    f"get: unknown row id {e.args[0]}"
+                ) from None
+            return np.array(self._host_vectors[pos])
 
     def to_sqlite(
         self, database: str, table: str, column: str = "vector"
@@ -1569,6 +1574,10 @@ class Dataset:
         from sqlite_vector_tpu import oracle
 
         count = self._count
+        # one array-reference snapshot for the whole (long, lock-free)
+        # build: a concurrent compaction swaps self._host_vectors and a
+        # re-read mid-build would mix generations / short-read a chunk
+        host = self._host_vectors
         dim = self.dimension
         chunk_rows = max(1, HOST_CHUNK_ELEMS // max(dim, 1))
         starts = range(0, count, chunk_rows)
@@ -1586,7 +1595,7 @@ class Dataset:
         if meta is None:
             # pass 1: global min/max over all chunks (one streaming pass)
             rqtype, scale, offset = oracle.compute_quant_params_chunked(
-                (self._host_vectors[s : min(s + chunk_rows, count)] for s in starts),
+                (host[s : min(s + chunk_rows, count)] for s in starts),
                 opts.qtype,
             )
             done = 0
@@ -1620,7 +1629,7 @@ class Dataset:
             if ci < done:
                 continue
             e = min(s + chunk_rows, count)
-            chunk = np.asarray(self._host_vectors[s:e], np.float32)
+            chunk = np.asarray(host[s:e], np.float32)
             if self._has_nonfinite:
                 codes[s:e] = oracle.quantize(chunk, scale, offset, rqtype)
             else:
