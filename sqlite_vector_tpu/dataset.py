@@ -497,8 +497,9 @@ class Dataset:
         import sqlite_vector_tpu.sqlite as svs
 
         with self._mutate_lock:
-            if self._n_dead:
+            if self._n_dead and self._can_compact():
                 self._compact_locked()  # never export tombstoned rows
+        live = self._live_row_mask()  # non-writable hosts: filter instead
         conn = svs.connect(database)
         try:
             q = svs._quote(table)
@@ -509,7 +510,10 @@ class Dataset:
                 f"INSERT INTO {q} (rowid, {svs._quote(column)}) VALUES (?, ?)",
                 (
                     (int(rid), np.ascontiguousarray(row).tobytes())
-                    for rid, row in zip(self._ids[: self._count], rows)
+                    for i, (rid, row) in enumerate(
+                        zip(self._ids[: self._count], rows)
+                    )
+                    if live is None or live[i]
                 ),
             )
             conn.commit()
@@ -583,10 +587,19 @@ class Dataset:
         self._mutation_gen += 1
         if self._quant is not None:
             self._quant.stale = True
-        # compact (one full re-upload) only when tombstones hog capacity
-        if self._n_dead >= max(1024, cnt // 4) or self._n_dead == cnt:
+        # compact (one full re-upload) only when tombstones hog capacity.
+        # Non-writable host mirrors (>RAM mmap / ShardedRows views) are
+        # never compacted — that would materialize the whole matrix in RAM;
+        # their tombstones are durable and quantize/save/export filter them
+        # chunk-wise instead.
+        if self._can_compact() and (
+            self._n_dead >= max(1024, cnt // 4) or self._n_dead == cnt
+        ):
             self._compact_locked()
         return removed
+
+    def _can_compact(self) -> bool:
+        return self._storage != "host" or self._host_writable()
 
     def _compact_locked(self) -> None:
         """Physically drop tombstoned rows: compact the host mirror and
@@ -1488,7 +1501,7 @@ class Dataset:
         options) discards the checkpoint and starts over.
         """
         with self._mutate_lock:
-            if self._n_dead:
+            if self._n_dead and self._can_compact():
                 self._compact_locked()
             gen0 = self._mutation_gen
         # the build itself runs OUTSIDE the lock (it can take seconds on
@@ -1582,6 +1595,35 @@ class Dataset:
         chunk_rows = max(1, HOST_CHUNK_ELEMS // max(dim, 1))
         starts = range(0, count, chunk_rows)
 
+        # non-writable mirrors (>RAM mmap views) keep their tombstones —
+        # compacting would materialize the matrix. Filter dead rows
+        # chunk-wise: codes come out compacted (offs = live prefix sums),
+        # at one-chunk peak RAM.
+        live = self._live_row_mask()
+        if live is not None:
+            live = live[:count]
+            offs = np.zeros(count + 1, np.int64)
+            np.cumsum(live, out=offs[1:])
+            out_count = int(offs[-1])
+            ids_out = self._ids[:count][live].copy()
+        else:
+            out_count = count
+            ids_out = self._ids[:count].copy()
+        if out_count == 0:
+            resolved = (
+                QuantType.U8 if opts.qtype is QuantType.AUTO else opts.qtype
+            )
+            self._quant = _QuantState(
+                resolved, np.float32(1.0), np.float32(0.0), None, 0,
+                ids=np.zeros((0,), np.int64),
+            )
+            return 0
+
+        def _chunk(s: int) -> np.ndarray:
+            e = min(s + chunk_rows, count)
+            c = np.asarray(host[s:e])
+            return c[live[s:e]] if live is not None else c
+
         meta = None
         meta_path = codes_path = None
         if checkpoint:
@@ -1589,26 +1631,27 @@ class Dataset:
             meta_path = os.path.join(checkpoint, "quant_checkpoint.json")
             codes_path = os.path.join(checkpoint, "qcodes.npy")
             meta = self._load_quant_checkpoint(
-                meta_path, codes_path, opts, count, chunk_rows
+                meta_path, codes_path, opts, count, chunk_rows, out_count
             )
 
         if meta is None:
             # pass 1: global min/max over all chunks (one streaming pass)
             rqtype, scale, offset = oracle.compute_quant_params_chunked(
-                (host[s : min(s + chunk_rows, count)] for s in starts),
+                (c for c in (_chunk(s) for s in starts) if len(c)),
                 opts.qtype,
             )
             done = 0
             if checkpoint:
                 codes = np.lib.format.open_memmap(
                     codes_path, mode="w+", dtype=rqtype.np_dtype,
-                    shape=(count, dim),
+                    shape=(out_count, dim),
                 )
                 meta = {
                     "qtype": rqtype.value,
                     "scale": float(scale),
                     "offset": float(offset),
                     "count": count,
+                    "live_count": out_count,
                     "dim": dim,
                     "chunk_rows": chunk_rows,
                     "requested_qtype": opts.qtype.value,
@@ -1616,7 +1659,7 @@ class Dataset:
                 }
                 self._write_quant_checkpoint(meta_path, meta)
             else:
-                codes = np.empty((count, dim), rqtype.np_dtype)
+                codes = np.empty((out_count, dim), rqtype.np_dtype)
         else:
             rqtype = QuantType.from_name(meta["qtype"])
             scale = np.float32(meta["scale"])
@@ -1629,22 +1672,28 @@ class Dataset:
             if ci < done:
                 continue
             e = min(s + chunk_rows, count)
-            chunk = np.asarray(host[s:e], np.float32)
-            if self._has_nonfinite:
-                codes[s:e] = oracle.quantize(chunk, scale, offset, rqtype)
-            else:
-                # finite fast path: bit-identical, half the memory passes
-                oracle.quantize_fast(chunk, scale, offset, rqtype, out=codes[s:e])
+            chunk = _chunk(s).astype(np.float32, copy=False)
+            ws, we = (
+                (int(offs[s]), int(offs[e])) if live is not None else (s, e)
+            )
+            if len(chunk):
+                if self._has_nonfinite:
+                    codes[ws:we] = oracle.quantize(chunk, scale, offset, rqtype)
+                else:
+                    # finite fast path: bit-identical, half the memory passes
+                    oracle.quantize_fast(
+                        chunk, scale, offset, rqtype, out=codes[ws:we]
+                    )
             if checkpoint:
                 codes.flush()
                 meta["done"] = ci + 1
                 self._write_quant_checkpoint(meta_path, meta)
 
         self._quant = _QuantState(
-            rqtype, scale, offset, codes, count,
-            ids=self._ids[:count].copy(),
+            rqtype, scale, offset, codes, out_count,
+            ids=ids_out,
         )
-        return count
+        return out_count
 
     @staticmethod
     def _write_quant_checkpoint(meta_path: str, meta: dict) -> None:
@@ -1660,6 +1709,7 @@ class Dataset:
         opts: VectorOptions,
         count: int,
         chunk_rows: int,
+        live_count: int,
     ) -> dict | None:
         """Return the checkpoint meta if it matches this build, else None
         (start over). A finished checkpoint (done == nchunks) is still
@@ -1670,13 +1720,16 @@ class Dataset:
                 meta = json.load(f)
             if (
                 meta["count"] == count
+                # removals between resume attempts change the live row set
+                # the stored code offsets were computed for
+                and meta.get("live_count", meta["count"]) == live_count
                 and meta["dim"] == self.dimension
                 and meta["chunk_rows"] == chunk_rows
                 and meta["requested_qtype"] == opts.qtype.value
                 and os.path.exists(codes_path)
             ):
                 probe = np.lib.format.open_memmap(codes_path, mode="r")
-                ok = probe.shape == (count, self.dimension)
+                ok = probe.shape == (live_count, self.dimension)
                 del probe
                 if ok:
                     return meta
@@ -1745,8 +1798,11 @@ class Dataset:
         via update()/remove() since the failed save would NOT be rewritten).
         """
         with self._mutate_lock:
-            if self._n_dead:
+            if self._n_dead and self._can_compact():
                 self._compact_locked()  # never persist tombstoned rows
+        # non-writable (>RAM mmap) mirrors keep tombstones; filter them
+        # shard-wise below instead of materializing a compacted copy
+        live = self._live_row_mask()
         os.makedirs(directory, exist_ok=True)
         manifest = {
             "name": self.name,
@@ -1756,13 +1812,19 @@ class Dataset:
             "distance": self.options.distance.value,
             "normalized": self.options.normalized,
             "max_memory": self.options.max_memory,
-            "count": self._count,
+            "count": self._count - self._n_dead,
             "next_rowid": self._next_rowid,
             "has_nonfinite": self._has_nonfinite,
             "quant": None,
         }
-        np.save(os.path.join(directory, "ids.npy"), self._ids[: self._count])
         count = self._count
+        if live is not None:
+            np.save(
+                os.path.join(directory, "ids.npy"),
+                self._ids[:count][live[:count]],
+            )
+        else:
+            np.save(os.path.join(directory, "ids.npy"), self._ids[:count])
         vecs = self._host_vectors
         # bfloat16 isn't a numpy-native dtype: store the raw uint16 bits
         if self.options.type is VectorType.BF16:
@@ -1773,7 +1835,10 @@ class Dataset:
             shards = []
             for i, start in enumerate(range(0, max(count, 1), shard_rows)):
                 name = f"vectors-{i:05d}.npy"
-                part = np.asarray(vecs[start : min(start + shard_rows, count)])
+                end = min(start + shard_rows, count)
+                part = np.asarray(vecs[start:end])
+                if live is not None:
+                    part = part[live[start:end]]
                 path = os.path.join(directory, name)
                 # resume mode: skip shards already on disk (append-only data)
                 if not (
@@ -1785,7 +1850,10 @@ class Dataset:
                 shards.append({"file": name, "rows": len(part)})
             manifest["vector_shards"] = shards
         else:
-            np.save(os.path.join(directory, "vectors.npy"), np.asarray(vecs[:count]))
+            full = np.asarray(vecs[:count])
+            if live is not None:
+                full = full[live[:count]]
+            np.save(os.path.join(directory, "vectors.npy"), full)
         if self._quant is not None:
             manifest["quant"] = {
                 "qtype": self._quant.qtype.value,

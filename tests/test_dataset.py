@@ -247,6 +247,43 @@ def test_quantize_and_save_compact_tombstones(rng, tmp_path):
     assert not np.isin(ids[20:25], back.ids).any()
 
 
+def test_mmap_host_dataset_remove_quantize_save(tmp_path, rng):
+    """>RAM-style datasets (read-only mmap shard views) never compact:
+    tombstones are durable, scans mask them, and quantize/save filter
+    chunk-/shard-wise without materializing the matrix."""
+    import numpy as np
+    import sqlite_vector_tpu as svt
+
+    base = rng.standard_normal((300, 16)).astype("float32")
+    src = svt.Dataset("src", svt.parse_options("dimension=16,type=FLOAT32"))
+    ids = src.add(base)
+    src.save(str(tmp_path / "d"), shard_rows=64)  # 5 shards
+
+    ds = svt.Dataset.load(str(tmp_path / "d"), storage="host", mmap=True)
+    assert not ds._host_writable()  # the view is read-only
+    assert ds.remove(ids[100:200]) == 100
+    assert ds._n_dead == 100 and len(ds) == 200  # durable tombstones
+    got, dist = ds.search(base[150], 1)
+    assert got[0] != ids[150]
+    got, dist = ds.search(base[50], 1)
+    assert got[0] == ids[50] and dist[0] == 0.0
+
+    # chunked host quantize filters the dead rows; codes cover live only
+    n = ds.quantize()
+    assert n == 200 and ds._quant.count == 200
+    assert not np.isin(ids[100:200], ds._quant.ids).any()
+    got, _ = ds.search(base[20], 3, mode="quantized")
+    assert got[0] == ids[20]
+
+    # shard-wise filtered save -> clean reload without the dead rows
+    ds.save(str(tmp_path / "d2"), shard_rows=64)
+    back = svt.Dataset.load(str(tmp_path / "d2"))
+    assert len(back) == 200
+    assert not np.isin(ids[100:200], back.ids).any()
+    g2, d2 = back.search(base[50], 1)
+    assert g2[0] == ids[50] and d2[0] == 0.0
+
+
 def test_rerank_after_remove_drops_dead_candidates(rng):
     """Rerank on a stale snapshot: stage-1 candidates that were removed
     after quantize() are dropped by the live-id remap (never returned)."""
