@@ -1241,19 +1241,21 @@ class Dataset:
     ):
         from sqlite_vector_tpu.ops.scan import approx_scan_topk
 
-        if self._storage == "host" or self._mesh is not None or mask is not None:
+        if self._storage == "host" or self._mesh is not None:
             # approx selection is a single-chip HBM fast path; other layouts
             # fall back to the exact scan (still correct, recall = 1)
             return self._search_exact(q, k, mask)
         vecs = self._vectors  # one snapshot (see _search_exact)
+        count = self._count
         return approx_scan_topk(
             self._put_query(q),
             vecs,
             self.metric,
             k,
-            valid_count=self._count,
+            valid_count=count,
             base_sq_norms=self._exact_sq_norms(vecs),
             recall_target=recall_target,
+            row_mask=self._mask_to_device(mask, vecs.shape[0], count),
         )
 
     def _search_rerank(

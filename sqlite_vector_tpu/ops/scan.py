@@ -232,12 +232,14 @@ def approx_scan_topk(
     valid_count: jnp.ndarray | int | None = None,
     base_sq_norms: jnp.ndarray | None = None,
     recall_target: float = 0.95,
+    row_mask: jnp.ndarray | None = None,
 ) -> tuple[jnp.ndarray, jnp.ndarray]:
     """Approximate top-k via the TPU PartialReduce op (lax.approx_min_k).
 
     Beyond the reference: tunable per-query recall at maximum selection
     throughput — the hardware-accelerated selection from
-    https://arxiv.org/abs/2206.14286. Same output contract as scan_topk.
+    https://arxiv.org/abs/2206.14286. Same output contract as scan_topk;
+    row_mask ([N] bool) excludes rows (filtered search / tombstones).
     """
     n = base.shape[0]
     valid = jnp.asarray(n if valid_count is None else valid_count, jnp.int32)
@@ -245,6 +247,8 @@ def approx_scan_topk(
     dist = _sanitize_nan(dist)
     row_idx = jnp.arange(n, dtype=jnp.int32)
     dist = jnp.where(row_idx[None, :] < valid, dist, jnp.inf)
+    if row_mask is not None:
+        dist = jnp.where(row_mask[None, :], dist, jnp.inf)
     kk = min(k, n)
     vals, idx = jax.lax.approx_min_k(dist, kk, recall_target=recall_target)
     if kk < k:

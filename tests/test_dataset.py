@@ -247,6 +247,23 @@ def test_quantize_and_save_compact_tombstones(rng, tmp_path):
     assert not np.isin(ids[20:25], back.ids).any()
 
 
+def test_approx_mode_with_mask(rng):
+    """approx mode keeps its hardware-selection fast path under tombstones
+    and ids_filter (masked rows excluded, never returned)."""
+    import numpy as np
+    import sqlite_vector_tpu as svt
+
+    ds = svt.Dataset("ax", svt.parse_options("dimension=16,type=FLOAT32"))
+    base = rng.standard_normal((4000, 16)).astype("float32")
+    ids = ds.add(base)
+    ds.remove(ids[100:200])
+    got, dist = ds.search(base[150], 5, mode="approx")
+    assert ids[150] not in got
+    got, dist = ds.search(base[50], 5, mode="approx", ids_filter=ids[:60])
+    assert got[0] == ids[50] and dist[0] == 0.0
+    assert np.isin(got, ids[:60]).all()
+
+
 def test_mmap_host_dataset_remove_quantize_save(tmp_path, rng):
     """>RAM-style datasets (read-only mmap shard views) never compact:
     tombstones are durable, scans mask them, and quantize/save filter
