@@ -182,6 +182,7 @@ def serve(
     *,
     max_batch: int = 64,
     max_wait_ms: float = 2.0,
+    fallback_exact: bool = False,
 ):
     """Serve a Dataset — or a whole VectorStore — over JSON/HTTP.
 
@@ -225,7 +226,8 @@ def serve(
             s = searchers.get(id(ds))
             if s is None:
                 s = BatchingSearcher(
-                    ds, max_batch=max_batch, max_wait_ms=max_wait_ms
+                    ds, max_batch=max_batch, max_wait_ms=max_wait_ms,
+                    fallback_exact=fallback_exact,
                 )
                 searchers[id(ds)] = s
             return s
