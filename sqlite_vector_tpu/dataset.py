@@ -1982,10 +1982,16 @@ class VectorStore:
     Lookups are case-insensitive (vector_context_lookup :1051)."""
 
     def __init__(self, *, device: Any = None, sharding: Any = None, mesh: Any = None):
+        import threading
+
         self._datasets: dict[str, Dataset] = {}
         self._device = device
         self._sharding = sharding
         self._mesh = mesh
+        # registry mutations are serialized: create()/drop() may be called
+        # from serving threads (the reference's per-connection registry is
+        # single-threaded by SQLite's connection model)
+        self._lock = threading.Lock()
 
     def create(
         self,
@@ -2019,30 +2025,31 @@ class VectorStore:
             opts.qtype = QuantType.from_name(qt) if isinstance(qt, str) else qt
 
         key = name.lower()
-        existing = self._datasets.get(key)
-        if existing is not None:
-            # consistency checks on re-init (reference :2521-2536)
-            if existing.options.dimension != opts.dimension:
-                raise VectorConfigError(
-                    "A vector dimension mismatch was detected: dataset was "
-                    f"initialized with dimension {existing.options.dimension}."
-                )
-            if existing.options.type is not opts.type:
-                raise VectorConfigError(
-                    "A vector type mismatch was detected: dataset was "
-                    f"initialized with type {existing.options.type.value}."
-                )
-            existing.options.distance = opts.distance
-            return existing
-        ds = Dataset(
-            name,
-            opts,
-            device=self._device,
-            sharding=self._sharding,
-            mesh=self._mesh,
-        )
-        self._datasets[key] = ds
-        return ds
+        with self._lock:
+            existing = self._datasets.get(key)
+            if existing is not None:
+                # consistency checks on re-init (reference :2521-2536)
+                if existing.options.dimension != opts.dimension:
+                    raise VectorConfigError(
+                        "A vector dimension mismatch was detected: dataset was "
+                        f"initialized with dimension {existing.options.dimension}."
+                    )
+                if existing.options.type is not opts.type:
+                    raise VectorConfigError(
+                        "A vector type mismatch was detected: dataset was "
+                        f"initialized with type {existing.options.type.value}."
+                    )
+                existing.options.distance = opts.distance
+                return existing
+            ds = Dataset(
+                name,
+                opts,
+                device=self._device,
+                sharding=self._sharding,
+                mesh=self._mesh,
+            )
+            self._datasets[key] = ds
+            return ds
 
     def get(self, name: str) -> Dataset:
         ds = self._datasets.get(name.lower())
@@ -2057,7 +2064,8 @@ class VectorStore:
         return name.lower() in self._datasets
 
     def drop(self, name: str) -> None:
-        self._datasets.pop(name.lower(), None)
+        with self._lock:
+            self._datasets.pop(name.lower(), None)
 
     def names(self) -> list[str]:
         return [ds.name for ds in self._datasets.values()]
