@@ -601,6 +601,33 @@ class Dataset:
     def _can_compact(self) -> bool:
         return self._storage != "host" or self._host_writable()
 
+    @property
+    def tombstones(self) -> int:
+        """Rows removed but not yet physically compacted (still occupying
+        matrix capacity, masked out of every scan)."""
+        return self._n_dead
+
+    def compact(self) -> int:
+        """Physically drop tombstoned rows now (e.g. in a maintenance
+        window, instead of waiting for the 25% threshold). Returns the
+        number of rows dropped; no-op without tombstones.
+
+        Raises on non-writable >RAM host mirrors (mmap/shard views), whose
+        tombstones are filtered at quantize/save/export time instead."""
+        with self._mutate_lock:
+            dropped = self._n_dead
+            if dropped == 0:
+                return 0
+            if not self._can_compact():
+                raise VectorStateError(
+                    "compact: this dataset's host mirror is a read-only "
+                    "mmap/shard view — compaction would materialize the "
+                    "matrix. save() to a new directory instead (it filters "
+                    "tombstones shard-wise)."
+                )
+            self._compact_locked()
+            return dropped
+
     def _compact_locked(self) -> None:
         """Physically drop tombstoned rows: compact the host mirror and
         re-upload the device matrix (one atomic swap). Runs from remove()

@@ -213,6 +213,31 @@ def test_remove_is_lazy_no_device_reupload(rng):
     assert len(got) == 2 and set(got) == set(sids[3:])
 
 
+def test_explicit_compact(rng, tmp_path):
+    import pytest
+    import sqlite_vector_tpu as svt
+    from sqlite_vector_tpu.errors import VectorStateError
+
+    ds = svt.Dataset("ec", svt.parse_options("dimension=8,type=FLOAT32"))
+    base = rng.standard_normal((50, 8)).astype("float32")
+    ids = ds.add(base)
+    assert ds.compact() == 0  # no-op
+    ds.remove(ids[:10])
+    assert ds.tombstones == 10
+    dev_before = ds._vectors
+    assert ds.compact() == 10
+    assert ds.tombstones == 0 and len(ds) == 40
+    assert ds._vectors is not dev_before
+    got, dist = ds.search(base[20], 1)
+    assert got[0] == ids[20] and dist[0] == 0.0
+    # read-only mmap view: compact() refuses (save() filters instead)
+    ds.save(str(tmp_path / "m"), shard_rows=16)
+    mm = svt.Dataset.load(str(tmp_path / "m"), storage="host", mmap=True)
+    mm.remove(ids[20:25])
+    with pytest.raises(VectorStateError, match="read-only"):
+        mm.compact()
+
+
 def test_remove_compacts_at_threshold(rng):
     """Removing every row (or past the capacity threshold) triggers physical
     compaction: a fresh device matrix and zero tombstones."""
