@@ -207,6 +207,42 @@ def _cmd_serve(args) -> int:
     return 0
 
 
+def _cmd_warm(args) -> int:
+    """Pre-compile the serving executables for a deployment shape.
+
+    XLA executables are specialized on (padded capacity, dim, dtype, metric,
+    batch bucket, k, mode); the persistent compile cache
+    (~/.cache/sqlite_vector_tpu/xla) makes every LATER process start hot,
+    but something must pay the first compile. Run this once per deployment
+    shape — e.g. in the container build or a pre-warm init job — so the
+    serving process never compiles on the query path."""
+    import numpy as np
+
+    import sqlite_vector_tpu as svt
+
+    ds = svt.VectorStore().create(
+        "warm",
+        f"dimension={args.dim},type={args.dtype},distance={args.metric}",
+    )
+    rng = np.random.default_rng(0)
+    # rows land at the same pow2-padded capacity as the production N
+    ds.add(rng.standard_normal((args.n, args.dim)).astype(np.float32))
+    ds.quantize()
+    modes = args.modes.split(",")
+    buckets = [b for b in (1, 2, 4, 8, 16, 32, 64, 128, 256) if b <= args.max_batch]
+    q = rng.standard_normal((max(buckets), args.dim)).astype(np.float32)
+    import time
+
+    for mode in modes:
+        for b in buckets:
+            t0 = time.perf_counter()
+            ds.search(q[:b], args.k, mode=mode)
+            print(f"warm {mode:10s} B={b:<4d} {time.perf_counter()-t0:6.2f}s")
+    print(f"compiled {len(modes) * len(buckets)} executables "
+          f"(capacity bucket of n={args.n}, dim={args.dim}, k={args.k})")
+    return 0
+
+
 def _cmd_recall(args) -> int:
     from sqlite_vector_tpu.tools import recall as rtool
 
@@ -283,6 +319,15 @@ def main(argv: list[str] | None = None) -> int:
     p.add_argument("--max-batch", type=int, default=64)
     p.add_argument("--max-wait-ms", type=float, default=2.0)
 
+    p = sub.add_parser("warm", help="pre-compile serving executables for a deployment shape")
+    p.add_argument("--n", type=int, default=1_000_000, help="production row count (capacity bucket)")
+    p.add_argument("--dim", type=int, default=384)
+    p.add_argument("-k", type=int, default=20)
+    p.add_argument("--dtype", default="FLOAT32")
+    p.add_argument("--metric", default="L2")
+    p.add_argument("--modes", default="exact,quantized,rerank")
+    p.add_argument("--max-batch", type=int, default=64)
+
     p = sub.add_parser("recall", help="recall measurement (QUANTIZATION.md workflow)")
     p.add_argument("rest", nargs=argparse.REMAINDER)
 
@@ -302,6 +347,7 @@ def main(argv: list[str] | None = None) -> int:
         "ds-search": _cmd_ds_search,
         "ds-info": _cmd_ds_info,
         "serve": _cmd_serve,
+        "warm": _cmd_warm,
         "recall": _cmd_recall,
     }
     from sqlite_vector_tpu.errors import VectorError

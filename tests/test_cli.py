@@ -80,6 +80,13 @@ def test_dataset_dir_workflow(tmp_path, vecs_npy, capsys):
     assert out2["ids"] == out["ids"]
 
 
+def test_warm(capsys):
+    assert main(["warm", "--n", "500", "--dim", "16", "-k", "3",
+                 "--max-batch", "4", "--modes", "exact,rerank"]) == 0
+    out = capsys.readouterr().out
+    assert "compiled 6 executables" in out  # 2 modes x buckets {1,2,4}
+
+
 def test_search_error_path(tmp_path, capsys):
     db = str(tmp_path / "e.db")
     # search without vector_init -> clean error, exit 1
