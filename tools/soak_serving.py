@@ -39,6 +39,9 @@ def main() -> None:
                     help="seconds between mutation cycles (0 disables)")
     ap.add_argument("--max-batch", type=int, default=64)
     ap.add_argument("--max-wait-ms", type=float, default=3.0)
+    ap.add_argument("--fallback", action="store_true",
+                    help="BatchingSearcher(fallback_exact=True): serve exact "
+                    "results during requantization windows instead of erroring")
     ap.add_argument("--cpu", action="store_true")
     args = ap.parse_args()
 
@@ -73,7 +76,8 @@ def main() -> None:
     print("# warmup done", flush=True)
 
     searcher = BatchingSearcher(
-        ds, max_batch=args.max_batch, max_wait_ms=args.max_wait_ms
+        ds, max_batch=args.max_batch, max_wait_ms=args.max_wait_ms,
+        fallback_exact=args.fallback,
     )
     stop = threading.Event()
     lat: dict[str, list] = {m: [] for m in modes}
