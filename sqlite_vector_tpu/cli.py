@@ -216,9 +216,12 @@ def _cmd_warm(args) -> int:
     but something must pay the first compile. Run this once per deployment
     shape — e.g. in the container build or a pre-warm init job — so the
     serving process never compiles on the query path."""
+    import time
+
     import numpy as np
 
     import sqlite_vector_tpu as svt
+    from sqlite_vector_tpu.serving import _BUCKETS  # the coalescer's ladder
 
     ds = svt.VectorStore().create(
         "warm",
@@ -226,19 +229,29 @@ def _cmd_warm(args) -> int:
     )
     rng = np.random.default_rng(0)
     # rows land at the same pow2-padded capacity as the production N
-    ds.add(rng.standard_normal((args.n, args.dim)).astype(np.float32))
-    ds.quantize()
+    ids = ds.add(rng.standard_normal((args.n, args.dim)).astype(np.float32))
     modes = args.modes.split(",")
-    buckets = [b for b in (1, 2, 4, 8, 16, 32, 64, 128, 256) if b <= args.max_batch]
+    if any(m in ("quantized", "rerank") for m in modes):
+        ds.quantize()
+    buckets = [b for b in _BUCKETS if b <= args.max_batch]
     q = rng.standard_normal((max(buckets), args.dim)).astype(np.float32)
-    import time
 
-    for mode in modes:
-        for b in buckets:
-            t0 = time.perf_counter()
-            ds.search(q[:b], args.k, mode=mode)
-            print(f"warm {mode:10s} B={b:<4d} {time.perf_counter()-t0:6.2f}s")
-    print(f"compiled {len(modes) * len(buckets)} executables "
+    compiled = 0
+    for masked in (False, True):
+        if masked:
+            # a live mutator makes every search carry the tombstone mask —
+            # a different traced signature; warm those variants too so the
+            # first production remove() doesn't trigger query-path compiles
+            ds.remove(ids[:1])
+        for mode in modes:
+            for b in buckets:
+                t0 = time.perf_counter()
+                ds.search(q[:b], args.k, mode=mode)
+                compiled += 1
+                tag = "masked " if masked else ""
+                print(f"warm {tag}{mode:10s} B={b:<4d} "
+                      f"{time.perf_counter()-t0:6.2f}s")
+    print(f"compiled {compiled} executables "
           f"(capacity bucket of n={args.n}, dim={args.dim}, k={args.k})")
     return 0
 

@@ -499,22 +499,38 @@ class Dataset:
         with self._mutate_lock:
             if self._n_dead and self._can_compact():
                 self._compact_locked()  # never export tombstoned rows
-        live = self._live_row_mask()  # non-writable hosts: filter instead
+            # one same-generation snapshot (a concurrent mutation must not
+            # mix mask/ids/count generations); live stays for non-writable
+            # >RAM mirrors, filtered during the chunked stream below
+            count = self._count
+            ids_arr = self._ids
+            live = self._live_row_mask()
+            host = self._host_vectors
+        dim = self.dimension
+        chunk_rows = max(1, HOST_CHUNK_ELEMS // max(dim, 1))
+
+        def row_stream():
+            # chunk-wise: a ShardedRows >RAM view materializes one chunk at
+            # a time, never the whole matrix
+            for s in range(0, count, chunk_rows):
+                e = min(s + chunk_rows, count)
+                block = np.asarray(host[s:e])
+                for j in range(e - s):
+                    i = s + j
+                    if live is None or (i < len(live) and live[i]):
+                        yield (
+                            int(ids_arr[i]),
+                            np.ascontiguousarray(block[j]).tobytes(),
+                        )
+
         conn = svs.connect(database)
         try:
             q = svs._quote(table)
             conn.execute(f"CREATE TABLE IF NOT EXISTS {q} ({svs._quote(column)} BLOB)")
             conn.execute(f"DELETE FROM {q}")
-            rows = self._host_vectors[: self._count]
             conn.executemany(
                 f"INSERT INTO {q} (rowid, {svs._quote(column)}) VALUES (?, ?)",
-                (
-                    (int(rid), np.ascontiguousarray(row).tobytes())
-                    for i, (rid, row) in enumerate(
-                        zip(self._ids[: self._count], rows)
-                    )
-                    if live is None or live[i]
-                ),
+                row_stream(),
             )
             conn.commit()
             opts = (
@@ -1829,9 +1845,15 @@ class Dataset:
         with self._mutate_lock:
             if self._n_dead and self._can_compact():
                 self._compact_locked()  # never persist tombstoned rows
-        # non-writable (>RAM mmap) mirrors keep tombstones; filter them
-        # shard-wise below instead of materializing a compacted copy
-        live = self._live_row_mask()
+            # one same-generation snapshot of the row state: a concurrent
+            # mutation must not mix mask/ids/count generations mid-save.
+            # Non-writable (>RAM mmap) mirrors keep tombstones; the shard
+            # loop filters them instead of materializing a compacted copy
+            count = self._count
+            n_dead = self._n_dead
+            ids_arr = self._ids
+            live = self._live_row_mask()
+            vecs = self._host_vectors
         os.makedirs(directory, exist_ok=True)
         manifest = {
             "name": self.name,
@@ -1841,20 +1863,18 @@ class Dataset:
             "distance": self.options.distance.value,
             "normalized": self.options.normalized,
             "max_memory": self.options.max_memory,
-            "count": self._count - self._n_dead,
+            "count": count - n_dead,
             "next_rowid": self._next_rowid,
             "has_nonfinite": self._has_nonfinite,
             "quant": None,
         }
-        count = self._count
         if live is not None:
             np.save(
                 os.path.join(directory, "ids.npy"),
-                self._ids[:count][live[:count]],
+                ids_arr[:count][live[:count]],
             )
         else:
-            np.save(os.path.join(directory, "ids.npy"), self._ids[:count])
-        vecs = self._host_vectors
+            np.save(os.path.join(directory, "ids.npy"), ids_arr[:count])
         # bfloat16 isn't a numpy-native dtype: store the raw uint16 bits
         if self.options.type is VectorType.BF16:
             vecs = vecs.view(np.uint16)
@@ -2095,4 +2115,5 @@ class VectorStore:
             self._datasets.pop(name.lower(), None)
 
     def names(self) -> list[str]:
-        return [ds.name for ds in self._datasets.values()]
+        with self._lock:  # create()/drop() may run from serving threads
+            return [ds.name for ds in self._datasets.values()]

@@ -225,6 +225,18 @@ def serve(
         with searchers_lock:
             s = searchers.get(id(ds))
             if s is None:
+                if store is not None:
+                    # evict coalescers for datasets dropped from the store —
+                    # each holds a dispatcher thread and a strong Dataset
+                    # reference (pinning its device matrix) forever otherwise
+                    active = set()
+                    for n in store.names():
+                        try:
+                            active.add(id(store.get(n)))
+                        except Exception:
+                            pass
+                    for key in [k for k in searchers if k not in active]:
+                        searchers.pop(key).close()
                 s = BatchingSearcher(
                     ds, max_batch=max_batch, max_wait_ms=max_wait_ms,
                     fallback_exact=fallback_exact,
@@ -304,5 +316,6 @@ def serve(
 
     server.close = _close
     server.searcher = _SearcherHandle()
+    server._searchers = searchers  # introspection (tests / ops)
     threading.Thread(target=server.serve_forever, daemon=True).start()
     return server

@@ -84,7 +84,9 @@ def test_warm(capsys):
     assert main(["warm", "--n", "500", "--dim", "16", "-k", "3",
                  "--max-batch", "4", "--modes", "exact,rerank"]) == 0
     out = capsys.readouterr().out
-    assert "compiled 6 executables" in out  # 2 modes x buckets {1,2,4}
+    # 2 modes x buckets {1,2,4} x {unmasked, masked}
+    assert "compiled 12 executables" in out
+    assert "warm masked exact" in out
 
 
 def test_search_error_path(tmp_path, capsys):

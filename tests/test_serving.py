@@ -95,6 +95,38 @@ def test_http_server(ds):
         server.shutdown()
 
 
+def test_store_serving_evicts_dropped_datasets(rng):
+    """Cycling create -> search -> drop must not accumulate coalescer
+    threads / pinned Dataset references for dropped datasets."""
+    store = svt.VectorStore()
+    server = serve(store, port=0, max_wait_ms=1)
+    try:
+        port = server.server_address[1]
+
+        def post(payload):
+            req = urllib.request.Request(
+                f"http://127.0.0.1:{port}/search",
+                data=json.dumps(payload).encode(),
+                headers={"Content-Type": "application/json"},
+            )
+            with urllib.request.urlopen(req, timeout=30) as r:
+                return json.loads(r.read())
+
+        base = rng.standard_normal((20, 8)).astype(np.float32)
+        for cycle in range(4):
+            name = f"c{cycle}"
+            ds = store.create(name, "dimension=8,type=FLOAT32,distance=L2")
+            ds.add(base)
+            out = post({"dataset": name, "vector": base[0].tolist(), "k": 1})
+            assert out["distances"][0] == 0.0
+            store.drop(name)
+        # dropped datasets' coalescers were evicted as new ones were made;
+        # only the latest remains
+        assert len(server._searchers) == 1
+    finally:
+        server.close()
+
+
 def test_fallback_exact_during_requant_window(ds, rng):
     """fallback_exact=True serves exact results while quantization is
     absent instead of erroring (a requantization window)."""

@@ -67,12 +67,13 @@ def main() -> None:
     print(f"# quantize: {time.perf_counter() - t0:.2f}s", flush=True)
 
     # warm every (mode, bucket) executable the soak will hit
+    from sqlite_vector_tpu.serving import _BUCKETS
+
     modes = ("exact", "quantized", "rerank")
     warm = rng.standard_normal((args.max_batch, args.dim)).astype(np.float32)
     for m in modes:
-        for b in (1, 2, 4, 8, 16, 32, 64):
-            if b <= args.max_batch:
-                ds.search(warm[:b], args.k, mode=m)
+        for b in (bb for bb in _BUCKETS if bb <= args.max_batch):
+            ds.search(warm[:b], args.k, mode=m)
     print("# warmup done", flush=True)
 
     searcher = BatchingSearcher(
