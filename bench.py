@@ -325,6 +325,8 @@ def bench_core(args):
     t0 = time.time()
     ds.update(ids[64:128], upd_rows)
     update_s = time.time() - t0
+    ds.quantize()  # warm the gather-compaction + rebuild executables
+    ds.remove(ids[n // 2 + 128 : n // 2 + 256])
     t0 = time.time()
     ds.quantize()  # compacts tombstones device-side, rebuilds codes
     requant_s = time.time() - t0
