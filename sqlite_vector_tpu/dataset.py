@@ -263,6 +263,10 @@ class Dataset:
         # it so a mutation landing during the lock-free code build marks the
         # fresh codes stale (see quantize)
         self._mutation_gen = 0
+        # bumped only when row POSITIONS move (compaction): search() re-runs
+        # if it raced one, so scan positions never map through a different
+        # layout's id array (see search)
+        self._layout_gen = 0
         # sticky flag: any ingested row contained NaN/Inf. Searches on
         # lane-skip dtypes (f16; bf16 L2) route through the exact non-finite
         # policy kernels only when this (or the query) is set, so the clean
@@ -320,10 +324,12 @@ class Dataset:
     def memory_bytes(self) -> int:
         """HBM bytes held by the exact-scan matrix (padded capacity)."""
         total = 0
-        if self._vectors is not None:
-            total += self._vectors.size * self._vectors.dtype.itemsize
-        if self._quant is not None and self._quant.codes is not None:
-            total += self._quant.codes.size
+        vecs = self._vectors  # snapshots: may be swapped/dropped concurrently
+        quant = self._quant
+        if vecs is not None:
+            total += vecs.size * vecs.dtype.itemsize
+        if quant is not None and quant.codes is not None:
+            total += quant.codes.size
         return total
 
     # -- ingestion -----------------------------------------------------------
@@ -356,6 +362,19 @@ class Dataset:
             new_ids = np.asarray(ids, dtype=np.int64)
             if new_ids.shape != (n_new,):
                 raise VectorConfigError("ids must have one entry per vector")
+            # uniqueness: the reference's rowid model guarantees it; two
+            # live rows sharing an id would corrupt get/update/remove and
+            # break the SQLite export (duplicate rowid INSERT)
+            if len(np.unique(new_ids)) != n_new:
+                raise VectorConfigError("add: duplicate ids within the batch")
+            cnt = self._count
+            live_ids = self._ids[:cnt]
+            if self._n_dead:
+                live_ids = live_ids[~self._dead[:cnt]]
+            if len(live_ids) and np.isin(new_ids, live_ids).any():
+                raise VectorConfigError(
+                    "add: id(s) already exist — use update() to replace rows"
+                )
         self._next_rowid = max(self._next_rowid, int(new_ids.max()) + 1)
 
         start = self._count
@@ -446,6 +465,8 @@ class Dataset:
         cheap host pass over just the new data; integer dtypes skip it)."""
         if self._has_nonfinite or arr.size == 0:
             return
+        if getattr(self, "_trust_nonfinite_flag", False):
+            return  # load(): the manifest already answered for these rows
         self._has_nonfinite = _scan_nonfinite(arr, self.dtype, arr.shape[0])
 
     def _host_writable(self) -> bool:
@@ -458,8 +479,10 @@ class Dataset:
         need = self._count + arr.shape[0]
         cap = self._host_vectors.shape[0]
         if not self._host_writable():
-            # read-only mmap / lazy shard view: materialize a writable copy
-            # (appends to a >RAM mmap dataset are unsupported by design)
+            # read-only mmap / lazy shard view: copy-on-write — materialize
+            # a writable copy (tested contract; the copy is O(matrix), so
+            # for a truly >RAM dataset prefer rebuilding from source over
+            # mutating the mmap view)
             cap = -1
         if need > cap:
             new_cap = max(_next_capacity(need), cap * 2)
@@ -538,9 +561,10 @@ class Dataset:
                 f"distance={self.options.distance.value}"
             )
             conn.vector_init(table, column, opts)
-            if self._quant is not None and self._quant.count:
+            quant = self._quant  # snapshot vs concurrent drop_quantization
+            if quant is not None and quant.count:
                 conn.vector_quantize(
-                    table, column, f"qtype={self._quant.qtype.value}"
+                    table, column, f"qtype={quant.qtype.value}"
                 )
         finally:
             conn.close()
@@ -667,6 +691,7 @@ class Dataset:
         self._live_dev = None
         self._count = len(kept)
         self._mutation_gen += 1
+        self._layout_gen += 1  # positions moved
         if (
             self._storage == "hbm"
             and self._mesh is None
@@ -953,75 +978,102 @@ class Dataset:
                 np.full((q.shape[0], k), -1, np.int64),
                 np.full((q.shape[0], k), np.inf, np.float32),
             )
-        # ONE quant snapshot for the whole query: the filter-mask space, the
-        # scanned codes, and the final id map must all agree even if a
-        # concurrent quantize()/drop_quantization() swaps self._quant mid-query
-        quant = self._quant
-        mask = None
-        if ids_filter is not None:
-            flt = np.asarray(ids_filter, np.int64)
-            if mode in ("exact", "approx"):
-                # exact scans (and approx, which may fall back to exact)
-                # index LIVE rows
-                mask = np.isin(self._ids[: self._count], flt)
-            else:
-                # quantized scans and rerank stage 1 index the codes AT
-                # QUANTIZE TIME (the reference's shadow table keeps its own
-                # rowids for the same reason)
-                qids = self._quant_id_map(quant)
-                qcount = quant.count if quant else 0
-                mask = np.isin(qids[:qcount], flt)
-
-        if mode in ("exact", "approx"):
-            # exact scans index live rows: tombstoned rows are masked out.
-            # Quantized scans serve the quantize-time snapshot unfiltered —
-            # the reference's staleness contract (removed rows linger in the
-            # shadow table until vector_quantize re-runs, API.md:242); rerank
-            # stage 2 drops them via the live id remap.
-            live = self._live_row_mask()
-            if live is not None:
-                if mask is None:
-                    mask = live
+        def attempt():
+            # ONE quant snapshot for the whole query: the filter-mask space,
+            # the scanned codes, and the final id map must all agree even if
+            # a concurrent quantize()/drop_quantization() swaps self._quant
+            # mid-query
+            quant = self._quant
+            mask = None
+            if ids_filter is not None:
+                flt = np.asarray(ids_filter, np.int64)
+                if mode in ("exact", "approx"):
+                    # exact scans (and approx, which may fall back to exact)
+                    # index LIVE rows
+                    mask = np.isin(self._ids[: self._count], flt)
                 else:
-                    # a concurrent add() may have grown one of the two since
-                    # it was computed; combine over the common prefix (rows
-                    # past it are fresh appends — live and unfiltered)
-                    m = min(len(mask), len(live))
-                    mask = mask[:m] & live[:m]
+                    # quantized scans and rerank stage 1 index the codes AT
+                    # QUANTIZE TIME (the reference's shadow table keeps its
+                    # own rowids for the same reason)
+                    qids = self._quant_id_map(quant)
+                    qcount = quant.count if quant else 0
+                    mask = np.isin(qids[:qcount], flt)
 
-        policy = self._nonfinite_policy(q) if mode in ("exact", "approx") else None
+            if mode in ("exact", "approx"):
+                # exact scans index live rows: tombstoned rows are masked
+                # out. Quantized scans serve the quantize-time snapshot
+                # unfiltered — the reference's staleness contract (removed
+                # rows linger in the shadow table until vector_quantize
+                # re-runs, API.md:242); rerank stage 2 drops them via the
+                # live id remap.
+                live = self._live_row_mask()
+                if live is not None:
+                    if mask is None:
+                        mask = live
+                    else:
+                        # a concurrent add() may have grown one of the two
+                        # since it was computed; combine over the common
+                        # prefix (rows past it are fresh appends — live and
+                        # unfiltered)
+                        m = min(len(mask), len(live))
+                        mask = mask[:m] & live[:m]
 
-        if mode == "exact":
-            vals, idx = self._search_exact(q, k, mask, policy=policy)
-        elif mode == "quantized":
-            vals, idx = self._search_quantized(q, k, mask, quant=quant)
-        elif mode == "approx":
-            if policy is not None:
-                # lane-skip semantics need the exact policy kernels
+            policy = (
+                self._nonfinite_policy(q)
+                if mode in ("exact", "approx")
+                else None
+            )
+
+            if mode == "exact":
                 vals, idx = self._search_exact(q, k, mask, policy=policy)
+            elif mode == "quantized":
+                vals, idx = self._search_quantized(q, k, mask, quant=quant)
+            elif mode == "approx":
+                if policy is not None:
+                    # lane-skip semantics need the exact policy kernels
+                    vals, idx = self._search_exact(q, k, mask, policy=policy)
+                else:
+                    vals, idx = self._search_approx(q, k, mask, recall_target)
             else:
-                vals, idx = self._search_approx(q, k, mask, recall_target)
-        else:
-            vals, idx = self._search_rerank(q, k, mask, expand, quant=quant)
+                vals, idx = self._search_rerank(q, k, mask, expand, quant=quant)
 
-        # single device->host fetch for both outputs (one round trip);
-        # device_get returns numpy arrays directly
-        vals, idx = jax.device_get((vals, idx))
-        if mode == "quantized":
-            # quantized positions index the codes AT QUANTIZE TIME — map
-            # through the snapshot ids, not the (possibly compacted) live ids
-            id_map = self._quant_id_map(quant)
-        else:  # exact and rerank positions index the live rows
-            id_map = self._ids
-        # bounds-guarded mapping: under concurrent mutation the scanned
-        # matrix may be an older/larger generation than id_map — such slots
-        # surface as -1 (trimmed) rather than an IndexError
-        n_map = len(id_map)
-        valid = (idx >= 0) & (idx < n_map)
-        if n_map == 0:
-            out_ids = np.full(idx.shape, -1, np.int64)
-        else:
-            out_ids = np.where(valid, id_map[np.clip(idx, 0, n_map - 1)], -1)
+            # single device->host fetch for both outputs (one round trip);
+            # device_get returns numpy arrays directly
+            vals, idx = jax.device_get((vals, idx))
+            if mode == "quantized":
+                # quantized positions index the codes AT QUANTIZE TIME — map
+                # through the snapshot ids, not the (possibly compacted)
+                # live ids
+                id_map = self._quant_id_map(quant)
+            else:  # exact and rerank positions index the live rows
+                id_map = self._ids
+            # bounds-guarded mapping: under concurrent mutation the scanned
+            # matrix may be an older/larger generation than id_map — such
+            # slots surface as -1 (trimmed) rather than an IndexError
+            n_map = len(id_map)
+            valid = (idx >= 0) & (idx < n_map)
+            if n_map == 0:
+                out_ids = np.full(idx.shape, -1, np.int64)
+            else:
+                out_ids = np.where(
+                    valid, id_map[np.clip(idx, 0, n_map - 1)], -1
+                )
+            return out_ids, vals, valid
+
+        # positions are only meaningful against the row LAYOUT they were
+        # scanned in. Compaction is the one mutation that moves positions;
+        # if one lands mid-query the id mapping above could silently pair a
+        # distance with the wrong id. Detect via the layout generation and
+        # re-run — rare (threshold compactions), so the fast path stays
+        # lock-free; the last resort runs under the mutation lock.
+        layout0 = self._layout_gen
+        out_ids, vals, valid = attempt()
+        if self._layout_gen != layout0:
+            layout0 = self._layout_gen
+            out_ids, vals, valid = attempt()
+            if self._layout_gen != layout0:
+                with self._mutate_lock:
+                    out_ids, vals, valid = attempt()
         if single:
             keep = valid[0]
             return out_ids[0][keep], vals[0][keep]
@@ -1424,6 +1476,18 @@ class Dataset:
                 )
             else:
                 quant = self._require_quant("vector_quantize_scan_stream")
+                if isinstance(quant.codes, jnp.ndarray):
+                    # preload() pinned the codes in HBM: scan them on device
+                    # instead of streaming them back through host RAM per
+                    # query (the preloaded-vs-disk split, QUANTIZATION.md:15)
+                    qq_dev = quantize_device(
+                        self._put_query(q.astype(np.float32)),
+                        quant.scale, quant.offset, quant.qtype,
+                    )
+                    d = np.asarray(
+                        scan_distances(qq_dev, quant.codes, self.metric)
+                    )[:, : quant.count]
+                    return d[0] if single else d
                 qq = oracle_quantize(
                     q.astype(np.float32), quant.scale, quant.offset, quant.qtype
                 )
@@ -1903,21 +1967,26 @@ class Dataset:
             if live is not None:
                 full = full[live[:count]]
             np.save(os.path.join(directory, "vectors.npy"), full)
-        if self._quant is not None:
+        quant = self._quant  # one snapshot vs a concurrent drop_quantization
+        if quant is not None:
             manifest["quant"] = {
-                "qtype": self._quant.qtype.value,
-                "scale": float(self._quant.scale),
-                "offset": float(self._quant.offset),
-                "count": self._quant.count,
-                "stale": self._quant.stale,
+                "qtype": quant.qtype.value,
+                "scale": float(quant.scale),
+                "offset": float(quant.offset),
+                "count": quant.count,
+                "stale": quant.stale,
             }
-            if self._quant.codes is not None:
+            if quant.codes is not None:
+                # slice off 2-D-mesh dim padding: load() rebuilds its own
+                # padded layout from the true dimension
                 np.save(
                     os.path.join(directory, "qcodes.npy"),
-                    np.asarray(self._quant.codes)[: self._quant.count],
+                    np.asarray(quant.codes)[
+                        : quant.count, : self.options.dimension
+                    ],
                 )
-            if self._quant.ids is not None:
-                np.save(os.path.join(directory, "qids.npy"), self._quant.ids)
+            if quant.ids is not None:
+                np.save(os.path.join(directory, "qids.npy"), quant.ids)
         with open(os.path.join(directory, "manifest.json"), "w") as f:
             json.dump(manifest, f, indent=2)
 
@@ -1989,7 +2058,13 @@ class Dataset:
             if options.type is VectorType.BF16 and vecs is not None:
                 vecs = vecs.view(options.type.np_dtype)
             if len(ids):
-                ds.add(vecs, ids)
+                # the manifest's has_nonfinite flag (restored below) already
+                # answers for these rows — skip add()'s O(N) re-scan
+                ds._trust_nonfinite_flag = True
+                try:
+                    ds.add(vecs, ids)
+                finally:
+                    ds._trust_nonfinite_flag = False
         ds._next_rowid = manifest.get("next_rowid", ds._next_rowid)
         # mmap/attach loads skip the per-add scan; restore the saved flag
         # (sticky, so OR with anything the add() path already detected)
@@ -2054,7 +2129,9 @@ class VectorStore:
         kwargs: dimension=, type=, distance=, ... override the options string.
         """
         if isinstance(options, VectorOptions):
-            opts = options
+            # never mutate (or share) the caller's object — the kwargs
+            # overrides below and Dataset itself would otherwise alias it
+            opts = dataclasses.replace(options)
         else:
             opts = parse_options(options)
         if "dimension" in kwargs:
@@ -2086,7 +2163,9 @@ class VectorStore:
                         "A vector type mismatch was detected: dataset was "
                         f"initialized with type {existing.options.type.value}."
                     )
-                existing.options.distance = opts.distance
+                # reference parity: re-init keeps the existing context
+                # untouched — a different/defaulted distance is discarded
+                # (src/sqlite-vector.c:2539-2541)
                 return existing
             ds = Dataset(
                 name,

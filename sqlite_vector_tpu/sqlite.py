@@ -296,7 +296,10 @@ class VectorConnection:
                     "A vector type mismatch was detected: column was "
                     f"initialized with type {existing.options.type.value}."
                 )
-            existing.options.distance = opts.distance
+            # reference: after the consistency checks, re-init keeps the
+            # EXISTING context untouched — a different/defaulted distance in
+            # the new option string is discarded (:2539-2541 "no need to
+            # add a new entry")
             return None
         ctx = _TableContext(
             table=table, column=column, pk=self._resolve_pk(table), options=opts

@@ -272,6 +272,43 @@ def test_quantize_and_save_compact_tombstones(rng, tmp_path):
     assert not np.isin(ids[20:25], back.ids).any()
 
 
+def test_add_rejects_duplicate_ids(rng):
+    import pytest
+    import sqlite_vector_tpu as svt
+    from sqlite_vector_tpu.errors import VectorConfigError
+
+    ds = svt.Dataset("dup", svt.parse_options("dimension=8,type=FLOAT32"))
+    base = rng.standard_normal((5, 8)).astype("float32")
+    ds.add(base, ids=[10, 11, 12, 13, 14])
+    with pytest.raises(VectorConfigError, match="already exist"):
+        ds.add(base[:1], ids=[12])
+    with pytest.raises(VectorConfigError, match="duplicate ids"):
+        ds.add(base[:2], ids=[20, 20])
+    # a removed (tombstoned) id is re-usable — the row is gone
+    ds.remove([12])
+    ds.add(base[:1], ids=[12])
+    got, dist = ds.search(base[0], 1)
+    assert dist[0] == 0.0
+
+
+def test_create_does_not_mutate_caller_options_or_reset_metric(rng):
+    """Reference parity: re-init keeps the existing context untouched
+    (src/sqlite-vector.c:2539-2541); and create() never aliases the
+    caller's VectorOptions object."""
+    import sqlite_vector_tpu as svt
+    from sqlite_vector_tpu.types import DistanceMetric, VectorOptions
+
+    store = svt.VectorStore()
+    opts = VectorOptions(dimension=8, distance=DistanceMetric.COSINE)
+    a = store.create("a", opts)
+    b = store.create("b", opts, dimension=16)
+    assert opts.dimension == 8  # caller's object untouched
+    assert a.dimension == 8 and b.dimension == 16
+    # idempotent re-open WITHOUT distance: metric must stay cosine
+    again = store.create("a", "dimension=8,type=FLOAT32")
+    assert again is a and a.metric is DistanceMetric.COSINE
+
+
 def test_approx_mode_with_mask(rng):
     """approx mode keeps its hardware-selection fast path under tombstones
     and ids_filter (masked rows excluded, never returned)."""

@@ -383,6 +383,31 @@ def test_dataset_2d_mesh_tombstone_remove(mesh2d, rng):
     )
 
 
+def test_dataset_2d_mesh_quantized_save_load_roundtrip(mesh2d, rng, tmp_path):
+    """Quantized saves from a 2-D mesh must slice off the dim padding —
+    otherwise qcodes.npy has the padded width and load() cannot broadcast
+    it back (regression)."""
+    from sqlite_vector_tpu.types import VectorOptions
+
+    d = 33  # pads to 34 on the 2-wide dim axis
+    ds = svt.Dataset(
+        "d2q", VectorOptions(dimension=d, distance=DistanceMetric.L2),
+        mesh=mesh2d,
+    )
+    base = rng.standard_normal((100, d)).astype(np.float32)
+    ids = ds.add(base)
+    ds.quantize()
+    ds.save(str(tmp_path / "q2d"))
+    back = svt.Dataset.load(str(tmp_path / "q2d"))  # single-chip reload
+    assert back.is_quantized and len(back) == 100
+    got, _ = back.search(base[7], 3, mode="quantized")
+    assert got[0] == ids[7]
+    # and reload back onto the 2-D mesh
+    back2d = svt.Dataset.load(str(tmp_path / "q2d"), mesh=mesh2d)
+    got, _ = back2d.search(base[7], 3, mode="quantized")
+    assert got[0] == ids[7]
+
+
 def test_dataset_2d_mesh_rejects_host_storage(mesh2d):
     from sqlite_vector_tpu.errors import VectorConfigError
     from sqlite_vector_tpu.types import VectorOptions
