@@ -105,6 +105,10 @@ class _TableContext:
     # largest pk loaded so far — the append fast path loads only pk > max_pk
     max_pk: int | None = None
     quant: _QuantCache | None = None
+    # quant was built inside a caller's open transaction: before serving it
+    # outside one, verify the shadow table survived (a ROLLBACK is invisible
+    # to the change stamp)
+    quant_provisional: bool = False
     # quant params restored from _sqliteai_vector (sqlite_unserialize parity)
     stored_qtype: QuantType | None = None
     stored_scale: float | None = None
@@ -191,7 +195,10 @@ class VectorConnection:
         try:
             self._conn.enable_load_extension(True)
             try:
-                self._conn.load_extension(path[: -len(".so")])
+                # full path, suffix included: stripping '.so' makes SQLite
+                # re-append the PLATFORM suffix ('.dylib' on macOS), which
+                # never matches the built artifact
+                self._conn.load_extension(path)
                 self.vtab_loaded = True
             finally:
                 self._conn.enable_load_extension(False)
@@ -324,8 +331,12 @@ class VectorConnection:
     # -- data refresh -------------------------------------------------------------
 
     def _change_stamp(self) -> tuple:
+        # schema_version catches DDL (DROP/CREATE/ALTER), which bumps
+        # NEITHER data_version (own connection) nor total_changes — without
+        # it a cached dataset would keep serving a dropped table's vectors
         dv = self._conn.execute("PRAGMA data_version").fetchone()[0]
-        return (dv, self._conn.total_changes)
+        sv = self._conn.execute("PRAGMA schema_version").fetchone()[0]
+        return (dv, self._conn.total_changes, sv)
 
     def _refresh(self, ctx: _TableContext) -> Dataset:
         """(Re)load the table's vectors into the TPU dataset if the database
@@ -333,7 +344,13 @@ class VectorConnection:
         (src/sqlite-vector.c:2071-2117); we reload only on change — and when
         the change is provably append-only (this connection inserted rows
         with pk above everything loaded, and nothing else), we load ONLY the
-        new rows (O(new) instead of a full O(N) re-ingest per mutation)."""
+        new rows (O(new) instead of a full O(N) re-ingest per mutation).
+
+        Inside an open transaction the loaded state is NOT cached (stamp
+        None): sqlite3_total_changes does not decrement on ROLLBACK, so a
+        cached stamp would keep serving rows from a rolled-back transaction.
+        Per-scan reload inside transactions matches the reference's
+        per-scan B-tree walk."""
         stamp = self._change_stamp()
         if ctx.dataset is not None and ctx.stamp == stamp:
             return ctx.dataset
@@ -352,7 +369,9 @@ class VectorConnection:
             ds.add(arr, id_arr)
         ctx.dataset = ds
         ctx.max_pk = self._table_max_pk(ctx)
-        ctx.stamp = stamp
+        # never cache state loaded inside an open transaction — a ROLLBACK
+        # is invisible to the stamp (total_changes doesn't decrement)
+        ctx.stamp = None if self._conn.in_transaction else stamp
         return ds
 
     def _table_max_pk(self, ctx: _TableContext) -> int | None:
@@ -379,8 +398,10 @@ class VectorConnection:
         count below. Any mismatch falls back to a full reload."""
         if ctx.dataset is None or ctx.stamp is None or ctx.max_pk is None:
             return False
-        old_dv, old_tc = ctx.stamp
-        new_dv, new_tc = stamp
+        old_dv, old_tc, old_sv = ctx.stamp
+        new_dv, new_tc, new_sv = stamp
+        if new_sv != old_sv:
+            return False  # DDL happened — full reload re-validates schema
         if new_dv != old_dv:
             return False  # another connection wrote — can't attribute changes
         delta = new_tc - old_tc
@@ -403,7 +424,7 @@ class VectorConnection:
             # vector sits above every loaded pk and must not be
             # double-counted by the next append-only proof
             ctx.max_pk = self._table_max_pk(ctx)
-            ctx.stamp = stamp
+            ctx.stamp = None if self._conn.in_transaction else stamp
             return True
         if n_above == 0 and n_old == len(ctx.dataset) - delta and delta > 0:
             # delete-only: nothing appeared above max_pk and EXACTLY delta
@@ -428,7 +449,8 @@ class VectorConnection:
             gone = np.setdiff1d(ctx.dataset.ids, live)
             if len(gone) == delta:
                 ctx.dataset.remove(gone)
-                ctx.stamp = stamp  # max_pk unchanged: nothing above it
+                # max_pk unchanged: nothing above it
+                ctx.stamp = None if self._conn.in_transaction else stamp
                 return True
             return False
         return False
@@ -523,7 +545,11 @@ class VectorConnection:
                         .view(np.uint8)
                         .reshape(-1, 8)
                     )
-                    recs[:, 8:] = codes[start:end].view(np.uint8)
+                    # slice off any 2-D-mesh dim padding: shadow records are
+                    # sized to the TRUE dimension (reference stride 8+dim)
+                    recs[:, 8:] = codes[
+                        start:end, : ctx.options.dimension
+                    ].view(np.uint8)
                     cur.execute(
                         f"INSERT INTO {_quote(shadow)} "
                         "(rowid1, rowid2, counter, data) VALUES (?, ?, ?, ?)",
@@ -579,8 +605,14 @@ class VectorConnection:
             )
         else:
             ctx.quant = _QuantCache(qtype, float(scale), float(offset), None, None, 0)
+        # inside a caller's open transaction the cache is provisional: a
+        # later ROLLBACK drops the shadow table invisibly to the stamp
+        ctx.quant_provisional = self._conn.in_transaction
         # refresh the stamp: the shadow-table writes changed the database
-        ctx.stamp = self._change_stamp()
+        # (never cache a stamp taken inside an open transaction)
+        ctx.stamp = (
+            None if self._conn.in_transaction else self._change_stamp()
+        )
         return count
 
     def _shadow_exists(self, ctx: _TableContext) -> bool:
@@ -602,7 +634,7 @@ class VectorConnection:
         if ctx.stored_qtype is None or ctx.stored_scale is None:
             # re-read: another connection may have quantized since init
             self._unserialize_quant_params(ctx)
-        if ctx.stored_qtype is None:
+        if ctx.stored_qtype is None or ctx.stored_scale is None:
             raise VectorStateError(
                 "vector_quantize_scan: quantization parameters not found in "
                 "_sqliteai_vector — run vector_quantize first."
@@ -641,6 +673,18 @@ class VectorConnection:
         )
 
     def _require_quant(self, ctx: _TableContext) -> _QuantCache:
+        if (
+            ctx.quant is not None
+            and ctx.quant_provisional
+            and not self._conn.in_transaction
+        ):
+            # the transaction that built this quant has ended: committed
+            # (shadow table exists — promote) or rolled back (drop the cache
+            # so the scan errors exactly like the reference, :1780-1787)
+            if self._shadow_exists(ctx):
+                ctx.quant_provisional = False
+            else:
+                ctx.quant = None
         if ctx.quant is not None and (
             ctx.quant.codes is not None or ctx.quant.count == 0
         ):
@@ -674,6 +718,10 @@ class VectorConnection:
         ctx = self._contexts.get(key)
         if ctx is not None:
             ctx.quant = None
+            # use the INIT casing for the shadow name — vector_quantize
+            # created it from ctx.table/ctx.column, so a different-cased
+            # cleanup call must still hit the same table
+            table, column = ctx.table, ctx.column
         was_in_txn = self._conn.in_transaction
         self._conn.execute(
             f"DROP TABLE IF EXISTS {_quote(_shadow_name(table, column))}"
@@ -725,6 +773,19 @@ class VectorConnection:
         if quant.count == 0:
             return []
         q = self._coerce_query(ctx, query)
+        ds = ctx.dataset
+        if (
+            ds is not None
+            and ds._quant is not None
+            and quant.codes is ds._quant.codes
+        ):
+            # own-connection quantize: delegate to the Dataset path, which
+            # carries the mesh handling (2-D dim padding, sharded placement,
+            # ICI merge) this bespoke single-device path lacks
+            ids_arr, vals_arr = ds.search(q, k, mode="quantized")
+            return [
+                (int(i), float(v)) for i, v in zip(ids_arr, vals_arr)
+            ]
         qq = quantize_device(
             jnp.asarray(q[None, :].astype(np.float32)),
             quant.scale,
@@ -774,6 +835,18 @@ class VectorConnection:
         if quant.count == 0:
             return
         q = self._coerce_query(ctx, query)
+        ds = ctx.dataset
+        if (
+            ds is not None
+            and ds._quant is not None
+            and quant.codes is ds._quant.codes
+        ):
+            # own-connection quantize: the Dataset path carries the mesh
+            # handling (see vector_quantize_scan)
+            dist = np.asarray(ds.distances(q, exact=False))
+            for rid, d in zip(quant.ids, dist):
+                yield (int(rid), float(d))
+            return
         qq = quantize_device(
             jnp.asarray(q[None, :].astype(np.float32)),
             quant.scale,

@@ -1115,3 +1115,124 @@ def test_tvf_duplicate_constraint_on_hidden_column(tmp_path, data):
     ).fetchall()
     assert rows[0][0] == 3 and len(rows) == 5
     c.close()
+
+
+def test_rollback_invalidates_cached_rows(tmp_path, data):
+    """A scan inside a transaction must not poison the cache: after
+    ROLLBACK the rolled-back rows must disappear (sqlite3_total_changes
+    does not decrement on rollback, so the stamp alone can't tell)."""
+    c = svs.connect(str(tmp_path / "rb.db"))
+    c.execute("CREATE TABLE t (v BLOB)")
+    c.executemany("INSERT INTO t(v) VALUES (?)", ((r.tobytes(),) for r in data))
+    c.commit()
+    c.vector_init("t", "v", f"type=FLOAT32,dimension={DIM}")
+    probe = np.full(DIM, 7.25, np.float32)
+    c.execute("INSERT INTO t(v) VALUES (?)", (probe.tobytes(),))  # txn open
+    rows = c.vector_full_scan("t", "v", probe.tobytes(), 1)
+    assert rows[0][0] == N + 1 and rows[0][1] == 0.0  # visible inside txn
+    c.rollback()
+    rows = c.vector_full_scan("t", "v", probe.tobytes(), 1)
+    assert rows[0][0] != N + 1  # the phantom row is gone
+    c.close()
+
+
+def test_rollback_invalidates_quantize(tmp_path, data):
+    """vector_quantize inside a caller's transaction that ROLLS BACK:
+    the quantized scan must error (the shadow table is gone), exactly as
+    the reference does when the shadow table is missing (:1780-1787)."""
+    from sqlite_vector_tpu.errors import VectorStateError
+
+    c = svs.connect(str(tmp_path / "rbq.db"))
+    c.execute("CREATE TABLE t (v BLOB)")
+    c.executemany("INSERT INTO t(v) VALUES (?)", ((r.tobytes(),) for r in data))
+    c.commit()
+    c.vector_init("t", "v", f"type=FLOAT32,dimension={DIM}")
+    c.execute("INSERT INTO t(v) VALUES (?)", (data[0].tobytes(),))  # open txn
+    assert c.in_transaction
+    c.vector_quantize("t", "v")
+    rows = c.vector_quantize_scan("t", "v", data[1].tobytes(), 3)
+    assert rows[0][0] == 2  # works inside the txn
+    c.rollback()
+    with pytest.raises(VectorStateError, match="vector_quantize"):
+        c.vector_quantize_scan("t", "v", data[1].tobytes(), 3)
+    # re-quantize outside a txn works again
+    c.vector_quantize("t", "v")
+    rows = c.vector_quantize_scan("t", "v", data[1].tobytes(), 3)
+    assert rows[0][0] == 2
+    c.close()
+
+
+def test_drop_table_detected(tmp_path, data):
+    """DDL bumps neither data_version nor total_changes; schema_version in
+    the stamp catches it — a dropped table must not keep serving vectors."""
+    c = svs.connect(str(tmp_path / "dd.db"))
+    c.execute("CREATE TABLE t (v BLOB)")
+    c.executemany("INSERT INTO t(v) VALUES (?)", ((r.tobytes(),) for r in data))
+    c.commit()
+    c.vector_init("t", "v", f"type=FLOAT32,dimension={DIM}")
+    rows = c.vector_full_scan("t", "v", data[0].tobytes(), 1)
+    assert rows[0][0] == 1
+    c.execute("DROP TABLE t")
+    c.commit()
+    from sqlite_vector_tpu.errors import VectorError
+
+    # schema change forces the reload, which errors on the missing table
+    # (native loader -> VectorCodecError; Python loader -> OperationalError)
+    with pytest.raises((sqlite3.OperationalError, VectorError)):
+        c.vector_full_scan("t", "v", data[0].tobytes(), 1)
+    c.close()
+
+
+def test_quantize_cleanup_case_insensitive(tmp_path, data):
+    """cleanup with different casing must drop the same shadow table the
+    (init-cased) quantize created."""
+    c = svs.connect(str(tmp_path / "cc.db"))
+    c.execute("CREATE TABLE Docs (V BLOB)")
+    c.executemany("INSERT INTO Docs(V) VALUES (?)", ((r.tobytes(),) for r in data))
+    c.commit()
+    c.vector_init("Docs", "V", f"type=FLOAT32,dimension={DIM}")
+    c.vector_quantize("Docs", "V")
+    assert c.execute(
+        "SELECT COUNT(*) FROM sqlite_master WHERE name LIKE 'vector0_%'"
+    ).fetchone()[0] == 1
+    c.vector_quantize_cleanup("docs", "v")  # different casing
+    assert c.execute(
+        "SELECT COUNT(*) FROM sqlite_master WHERE name LIKE 'vector0_%'"
+    ).fetchone()[0] == 0
+    c.close()
+
+
+def test_sql_surface_on_2d_mesh(tmp_path, rng):
+    """The full SQL surface over a 2-D (rows x dim) mesh with a dim that
+    needs padding: quantize writes true-width shadow records and the
+    quantized scans delegate to the mesh-aware Dataset paths."""
+    from sqlite_vector_tpu.parallel import make_mesh_2d
+
+    mesh = make_mesh_2d(4, 2)
+    d = 33  # pads to 34 on the 2-wide dim axis
+    mdata = rng.standard_normal((60, d)).astype(np.float32)
+    c = svs.connect(str(tmp_path / "m2.db"), mesh=mesh)
+    c.execute("CREATE TABLE t (v BLOB)")
+    c.executemany("INSERT INTO t(v) VALUES (?)", ((r.tobytes(),) for r in mdata))
+    c.commit()
+    c.vector_init("t", "v", f"type=FLOAT32,dimension={d}")
+    rows = c.vector_full_scan("t", "v", mdata[4].tobytes(), 3)
+    assert rows[0][0] == 5 and rows[0][1] == 0.0
+    n = c.vector_quantize("t", "v")
+    assert n == 60
+    # shadow records are true-width (8 + 33 per row)
+    counter, blob = c.execute(
+        "SELECT counter, data FROM \"vector0_t_v\" LIMIT 1"
+    ).fetchone()
+    assert len(blob) == counter * (8 + d)
+    rows = c.vector_quantize_scan("t", "v", mdata[4].tobytes(), 3)
+    assert rows[0][0] == 5
+    stream = list(c.vector_quantize_scan_stream("t", "v", mdata[4].tobytes()))
+    assert len(stream) == 60 and min(stream, key=lambda t: t[1])[0] == 5
+    # cross-connection: a FRESH single-device connection reads the shadow
+    c2 = svs.connect(str(tmp_path / "m2.db"))
+    c2.vector_init("t", "v", f"type=FLOAT32,dimension={d}")
+    rows2 = c2.vector_quantize_scan("t", "v", mdata[4].tobytes(), 3)
+    assert rows2[0][0] == 5
+    c2.close()
+    c.close()
