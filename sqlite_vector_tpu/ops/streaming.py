@@ -33,8 +33,45 @@ from sqlite_vector_tpu.types import DistanceMetric
 # small enough that two tiles + results fit easily in HBM headroom.
 DEFAULT_STREAM_ROWS = 262144
 
+# Streamed global positions are int32 (matching the scan kernels); fail fast
+# rather than overflowing mid-scan after hours of streaming.
+_MAX_STREAM_ROWS = 2**31 - 1
+
 
 _merge = jax.jit(merge_topk, static_argnames=("k",))
+
+
+def _placement(mesh, device):
+    """(n_dev, put, put_q) shared by both streaming entry points: with a
+    mesh, tiles row-shard and queries replicate; single-device otherwise."""
+    if mesh is not None:
+        from sqlite_vector_tpu.parallel import (
+            replicated_sharding,
+            row_sharding,
+        )
+
+        row_shard = row_sharding(mesh)
+        repl = replicated_sharding(mesh)
+        return (
+            mesh.size,
+            lambda a: jax.device_put(a, row_shard),
+            lambda a: jax.device_put(a, repl),
+        )
+    put = (
+        (lambda a: jax.device_put(a, device))
+        if device is not None
+        else jax.device_put
+    )
+    return 1, put, put
+
+
+def _check_stream_bounds(n: int) -> None:
+    if n > _MAX_STREAM_ROWS:
+        raise ValueError(
+            f"streaming scan: {n} rows exceeds the int32 position space "
+            f"({_MAX_STREAM_ROWS}); shard the dataset (multiple Datasets / "
+            "a mesh) instead"
+        )
 
 
 def streaming_scan_topk(
@@ -64,47 +101,32 @@ def streaming_scan_topk(
     tile_rows/n_devices rows per step."""
     n = host_vectors.shape[0] if valid_count is None else int(valid_count)
     b = queries.shape[0]
-    if mesh is not None:
-        from sqlite_vector_tpu.parallel import (
-            replicated_sharding,
-            row_sharding,
-            sharded_scan_topk,
+    if n == 0:
+        return (
+            jnp.full((b, k), jnp.inf, jnp.float32),
+            jnp.full((b, k), -1, jnp.int32),
         )
+    _check_stream_bounds(n)
+    n_dev, put, put_q = _placement(mesh, device)
+    if mesh is not None:
+        from sqlite_vector_tpu.parallel import sharded_scan_topk
 
-        n_dev = int(np.prod(list(mesh.shape.values())))
         tile_rows = -(-tile_rows // n_dev) * n_dev  # shardable tiles
-        row_shard = row_sharding(mesh)
-        put = lambda a: jax.device_put(a, row_shard)  # noqa: E731
-        put_q = lambda a: jax.device_put(a, replicated_sharding(mesh))  # noqa: E731
         scan = lambda qd, t, kk, rows, m: sharded_scan_topk(  # noqa: E731
             qd, t, metric, kk, mesh, valid_count=rows, row_mask=m,
             policy_vtype=policy_vtype,
         )
     else:
-        n_dev = 1
-        put = (
-            (lambda a: jax.device_put(a, device))
-            if device is not None
-            else jax.device_put
-        )
-        put_q = put
         scan = lambda qd, t, kk, rows, m: fused_scan_topk(  # noqa: E731
             qd, t, metric, kk, valid_count=rows, row_mask=m,
             policy_vtype=policy_vtype,
         )
     qd = put_q(np.ascontiguousarray(queries))
 
-    if n == 0:
-        return (
-            jnp.full((b, k), jnp.inf, jnp.float32),
-            jnp.full((b, k), -1, jnp.int32),
-        )
-
     ntiles = -(-n // tile_rows)
     if ntiles == 1:
         # single tile: shrink to the data (rounded to a shardable multiple)
-        mult = n_dev if mesh is not None else 1
-        tile_rows = -(-n // mult) * mult
+        tile_rows = -(-n // n_dev) * n_dev
 
     def tile(i: int):
         start = i * tile_rows
@@ -156,17 +178,16 @@ def streaming_scan_distances(
 
     n = host_vectors.shape[0] if valid_count is None else int(valid_count)
     b = queries.shape[0]
+    if n == 0:
+        return np.zeros((b, 0), np.float32)
+    _check_stream_bounds(n)
+    n_dev, put, put_q = _placement(mesh, device)
     if mesh is not None:
-        from sqlite_vector_tpu.parallel import (
-            replicated_sharding,
-            row_sharding,
-            sharded_scan_distances,
-        )
+        from sqlite_vector_tpu.parallel import sharded_scan_distances
 
-        n_dev = int(np.prod(list(mesh.shape.values())))
-        row_shard = row_sharding(mesh)
-        put = lambda a: jax.device_put(a, row_shard)  # noqa: E731
-        put_q = lambda a: jax.device_put(a, replicated_sharding(mesh))  # noqa: E731
+        # round tiles to a shardable multiple ONCE so only the short last
+        # tile pays the pad-copy (padding every tile doubled host traffic)
+        tile_rows = -(-tile_rows // n_dev) * n_dev
 
         def dists(qd, t):
             return sharded_scan_distances(
@@ -174,30 +195,25 @@ def streaming_scan_distances(
             )
 
     else:
-        n_dev = 1
-        put = (
-            (lambda a: jax.device_put(a, device))
-            if device is not None
-            else jax.device_put
-        )
-        put_q = put
 
         def dists(qd, t):
             return scan_distances(qd, t, metric, policy_vtype=policy_vtype)
 
     qd = put_q(np.ascontiguousarray(queries))
-    if n == 0:
-        return np.zeros((b, 0), np.float32)
+
+    ntiles = -(-n // tile_rows)
+    if ntiles == 1:
+        tile_rows = -(-n // n_dev) * n_dev
 
     def stage(start):
         rows = min(tile_rows, n - start)
         t = np.ascontiguousarray(host_vectors[start : start + rows])
-        if rows % n_dev:  # pad to a shardable multiple
-            pad = -(-rows // n_dev) * n_dev - rows
-            t = np.concatenate([t, np.zeros((pad, t.shape[1]), t.dtype)])
+        if rows < tile_rows:  # zero-pad: single compiled shape for all tiles
+            t = np.concatenate(
+                [t, np.zeros((tile_rows - rows, t.shape[1]), t.dtype)]
+            )
         return put(t), rows
 
-    ntiles = -(-n // tile_rows)
     out = np.empty((b, n), np.float32)
     next_dev = stage(0)
     for i in range(ntiles):

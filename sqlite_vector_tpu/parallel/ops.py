@@ -202,12 +202,35 @@ def sharded_scan_distances(
     each chip computes distances for its local rows; the result stays
     sharded (no gather) until the caller materializes it.
     """
-    body = functools.partial(
-        lambda q, b, s: scan_distances(
-            q, b, metric, base_sq_norms=s, policy_vtype=policy_vtype
-        ),
+    return _sharded_scan_distances_impl(
+        queries,
+        base,
+        base_sq_norms,
+        metric=metric,
+        mesh=mesh,
+        axis=axis,
+        has_sq=base_sq_norms is not None,
+        policy_vtype=policy_vtype,
     )
-    if base_sq_norms is not None:
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("metric", "mesh", "axis", "has_sq", "policy_vtype"),
+)
+def _sharded_scan_distances_impl(
+    queries, base, base_sq_norms, *, metric, mesh, axis, has_sq, policy_vtype
+):
+    # module-level jit (static mesh/metric): per-call shard_map/lambda
+    # construction re-traced on EVERY invocation — measured ~50x call
+    # overhead, and in the streaming tile loop the retrace serialized the
+    # host between tile dispatches, defeating the transfer/compute overlap
+    def body(q, b, s):
+        return scan_distances(
+            q, b, metric, base_sq_norms=s, policy_vtype=policy_vtype
+        )
+
+    if has_sq:
         fn = shard_map(
             body,
             mesh,
@@ -367,9 +390,20 @@ def sharded_scan_distances_2d(
             f"sharded_scan_distances_2d: base [{n}, {dim}] must divide "
             f"evenly by the mesh ({r} x {c}); pad before sharding"
         )
-    body = functools.partial(_compose_2d, metric=metric, dim_axis=dim_axis)
+    return _sharded_scan_distances_2d_impl(
+        queries, base, metric=metric, mesh=mesh,
+        rows_axis=rows_axis, dim_axis=dim_axis,
+    )
+
+
+@functools.partial(
+    jax.jit, static_argnames=("metric", "mesh", "rows_axis", "dim_axis")
+)
+def _sharded_scan_distances_2d_impl(
+    queries, base, *, metric, mesh, rows_axis, dim_axis
+):
     fn = shard_map(
-        lambda q, b: body(q, b),
+        lambda q, b: _compose_2d(q, b, metric, dim_axis),
         mesh,
         in_specs=(P(None, dim_axis), P(rows_axis, dim_axis)),
         out_specs=P(None, rows_axis),
