@@ -978,7 +978,16 @@ class Dataset:
                 np.full((q.shape[0], k), -1, np.int64),
                 np.full((q.shape[0], k), np.inf, np.float32),
             )
+
         def attempt():
+            # lane-skip dtypes (f16; bf16) with non-finite data: rerank's
+            # int8 prefilter + plain-math rescore cannot honor the policy
+            # kernels' semantics, so it would return a different neighbor
+            # set than exact/approx on the same data — route to exact, which
+            # is policy-true (the reference has no rerank mode to mirror)
+            mode_eff = mode
+            if mode == "rerank" and self._nonfinite_policy(q) is not None:
+                mode_eff = "exact"
             # ONE quant snapshot for the whole query: the filter-mask space,
             # the scanned codes, and the final id map must all agree even if
             # a concurrent quantize()/drop_quantization() swaps self._quant
@@ -987,7 +996,7 @@ class Dataset:
             mask = None
             if ids_filter is not None:
                 flt = np.asarray(ids_filter, np.int64)
-                if mode in ("exact", "approx"):
+                if mode_eff in ("exact", "approx"):
                     # exact scans (and approx, which may fall back to exact)
                     # index LIVE rows
                     mask = np.isin(self._ids[: self._count], flt)
@@ -999,7 +1008,7 @@ class Dataset:
                     qcount = quant.count if quant else 0
                     mask = np.isin(qids[:qcount], flt)
 
-            if mode in ("exact", "approx"):
+            if mode_eff in ("exact", "approx"):
                 # exact scans index live rows: tombstoned rows are masked
                 # out. Quantized scans serve the quantize-time snapshot
                 # unfiltered — the reference's staleness contract (removed
@@ -1020,15 +1029,15 @@ class Dataset:
 
             policy = (
                 self._nonfinite_policy(q)
-                if mode in ("exact", "approx")
+                if mode_eff in ("exact", "approx")
                 else None
             )
 
-            if mode == "exact":
+            if mode_eff == "exact":
                 vals, idx = self._search_exact(q, k, mask, policy=policy)
-            elif mode == "quantized":
+            elif mode_eff == "quantized":
                 vals, idx = self._search_quantized(q, k, mask, quant=quant)
-            elif mode == "approx":
+            elif mode_eff == "approx":
                 if policy is not None:
                     # lane-skip semantics need the exact policy kernels
                     vals, idx = self._search_exact(q, k, mask, policy=policy)
@@ -1040,7 +1049,7 @@ class Dataset:
             # single device->host fetch for both outputs (one round trip);
             # device_get returns numpy arrays directly
             vals, idx = jax.device_get((vals, idx))
-            if mode == "quantized":
+            if mode_eff == "quantized":
                 # quantized positions index the codes AT QUANTIZE TIME — map
                 # through the snapshot ids, not the (possibly compacted)
                 # live ids

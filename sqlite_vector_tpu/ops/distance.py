@@ -95,7 +95,9 @@ def _pairwise_float(
         qf = q.astype(acc)
         bf = b.astype(acc)
         # [B,1,d] - [1,N,d] -> reduce; XLA fuses this without materializing
-        # the cube for moderate tile sizes (callers chunk N).
+        # the cube (verified on v5e at the UN-tiled extreme: scan_distances
+        # over 1M x 384 at B=8 — a 12 GB cube if materialized — runs fine on
+        # a 16 GB chip). Scan callers still chunk N for the top-k pipeline.
         d = jnp.sum(jnp.abs(qf[:, None, :] - bf[None, :, :]), axis=-1)
         return _snap(d) if snap else d
 
@@ -154,10 +156,14 @@ def compose_float(
     denom = jnp.sqrt(q_sq)[:, None] * jnp.sqrt(b_sq)[None, :]
     cos = jnp.where(denom > 0.0, dot / jnp.where(denom > 0.0, denom, 1.0), 0.0)
     d = 1.0 - cos
-    d = jnp.where((q_sq[:, None] == 0.0) | (b_sq[None, :] == 0.0), 1.0, d)
     # NaN inputs (NaN norms/dot) must yield NaN like the plain C kernels,
     # not slip through the `denom > 0` comparison as cos=0 -> d=1
     d = jnp.where(jnp.isnan(dot) | jnp.isnan(denom), jnp.nan, d)
+    # zero-norm -> 1.0 is applied LAST, matching the reference/oracle
+    # precedence (oracle.py, src/distance-cpu.c:105-109): a zero-norm side
+    # beats a NaN on the other side (NaN norms fail the ==0 compare and
+    # keep the NaN from above)
+    d = jnp.where((q_sq[:, None] == 0.0) | (b_sq[None, :] == 0.0), 1.0, d)
     return _snap(d) if snap else d
 
 
@@ -249,9 +255,11 @@ def _pairwise_int(
     if metric is DistanceMetric.DOT:
         return (-dot).astype(jnp.float32)
 
-    if b_sq is None:
+    if b_sq is None or b_sq.dtype != jnp.int32:
+        # exact-integer contract: a float32 norm cache is already rounded
+        # above 2^24 (u8 norms exceed that near dim ~260) — recompute in
+        # int32 rather than silently casting a lossy value
         b_sq = jnp.sum(b.astype(jnp.int32) * b.astype(jnp.int32), axis=-1)
-    b_sq = b_sq.astype(jnp.int32)
     q_sq = jnp.sum(q.astype(jnp.int32) * q.astype(jnp.int32), axis=-1)
     return compose_int(metric, dot, q_sq, b_sq)
 

@@ -73,8 +73,9 @@ def candidate_distances(
     denom = jnp.sqrt(qsq) * jnp.sqrt(csq)
     safe = jnp.where(denom > 0.0, denom, 1.0)
     cos = jnp.where(denom > 0.0, dot / safe, 0.0)
-    d = jnp.where((qsq == 0.0) | (csq == 0.0), 1.0, 1.0 - cos)
-    return jnp.where(jnp.isnan(dot) | jnp.isnan(denom), jnp.nan, d)
+    d = jnp.where(jnp.isnan(dot) | jnp.isnan(denom), jnp.nan, 1.0 - cos)
+    # zero-norm -> 1.0 LAST (reference/oracle precedence; see distance.py)
+    return jnp.where((qsq == 0.0) | (csq == 0.0), 1.0, d)
 
 
 @functools.partial(jax.jit, static_argnames=("metric", "k", "expand"))
@@ -108,7 +109,7 @@ def rerank_topk(
     d = candidate_distances(queries_f, cand, metric)
     d = jnp.where(jnp.isnan(d), jnp.inf, d)  # NaN rows are never selected
     d = jnp.where(cand_idx >= 0, d, jnp.inf)
-    neg, pos = jax.lax.top_k(-d, min(k, ke))
+    neg, pos = jax.lax.top_k(-d, k)  # ke >= k by construction
     out_vals = -neg
     out_idx = jnp.take_along_axis(cand_idx, pos, axis=-1)
     if metric is DistanceMetric.L2:

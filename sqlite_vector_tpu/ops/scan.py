@@ -28,12 +28,11 @@ from sqlite_vector_tpu.ops.distance import pairwise_distance
 from sqlite_vector_tpu.ops.topk import merge_topk, topk_ascending
 from sqlite_vector_tpu.types import DistanceMetric, VectorType
 
-# Row-tile size for the chunked executor. Measured on v5e: the un-tiled
-# formulation (one matmul + hierarchical top-k over the full [B, N] block) is
-# ~2.2x faster than a lax.scan over row tiles, so the tile is sized to put
-# the whole scan in ONE tile whenever the [B, N] f32 intermediate fits the
-# budget; tiling only kicks in to bound that intermediate for large B*N.
-DEFAULT_ROW_TILE = 131072
+# NOTE on tiling (measured on v5e): the un-tiled formulation (one matmul +
+# hierarchical top-k over the full [B, N] block) is ~2.2x faster than a
+# lax.scan over row tiles, so _auto_row_tile sizes the tile to put the whole
+# scan in ONE tile whenever the [B, N] f32 intermediate fits the budget;
+# tiling only kicks in to bound that intermediate for large B*N.
 # L1 (and the non-finite policy path) evaluate an element-wise [B, tile, d]
 # cube that XLA fuses into the reduction — it is never materialized, so the
 # tile can be much larger than a materialized-intermediate budget would

@@ -80,7 +80,12 @@ def topk_ascending(
         neg_vals, idx = jax.lax.top_k(-distances, kk)
         vals = -neg_vals
     if ids is not None:
-        out_ids = ids[idx]
+        # hierarchical positions can land in the +inf pad region (>= n) when
+        # fewer than k rows are selectable; those slots must be -1 per the
+        # contract, not a clamp-gathered real id
+        out_ids = jnp.where(
+            (idx >= 0) & (idx < n), ids[jnp.clip(idx, 0, n - 1)], -1
+        )
     else:
         out_ids = idx
     if kk < k:

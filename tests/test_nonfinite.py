@@ -246,3 +246,56 @@ def test_f32_stream_raw_values_match_reference_semantics(metric, rng):
     ds2.add(base)
     got2 = ds2.distances(q)
     assert np.isposinf(got2[8]) and np.isnan(got2[3])
+
+
+def test_cosine_zero_norm_beats_nan(rng):
+    """Precedence pin (reference/oracle: zero-norm -> 1.0 is applied LAST,
+    src/distance-cpu.c:105-109): a zero-norm side yields 1.0 even when the
+    OTHER side contains NaN; NaN vs nonzero-norm stays NaN (row excluded)."""
+    import jax.numpy as jnp
+
+    from sqlite_vector_tpu.ops.distance import pairwise_distance
+    from sqlite_vector_tpu.ops.rerank import candidate_distances
+
+    zq = np.zeros((1, 4), np.float32)
+    nanrow = np.array([[1.0, np.nan, 2.0, 3.0]], np.float32)
+    for fn, args in (
+        (pairwise_distance, (jnp.asarray(zq), jnp.asarray(nanrow))),
+        (pairwise_distance, (jnp.asarray(nanrow), jnp.asarray(zq))),
+        (candidate_distances, (jnp.asarray(zq), jnp.asarray(nanrow[None]))),
+    ):
+        got = np.asarray(fn(*args, DistanceMetric.COSINE))
+        assert got.ravel()[0] == 1.0, (fn.__name__, got)
+    got = np.asarray(
+        pairwise_distance(
+            jnp.asarray(nanrow), jnp.asarray(nanrow + 1), DistanceMetric.COSINE
+        )
+    )
+    assert np.isnan(got[0, 0])
+    # end-to-end: a zero-norm row ranks at 1.0 for a NaN-bearing query
+    ds = svt.Dataset(
+        "zn", svt.parse_options("dimension=4,type=FLOAT32,distance=COSINE")
+    )
+    ids = ds.add(np.concatenate([np.zeros((1, 4), np.float32),
+                                 rng.standard_normal((20, 4)).astype(np.float32)]))
+    d = ds.distances(nanrow[0])
+    assert d[0] == 1.0 and np.isnan(d[1:]).all()
+
+
+def test_rerank_policy_dtype_falls_back_to_exact(rng):
+    """f16 lane-skip data: rerank must return the policy-true neighbor set
+    (it routes to exact), not a plain-math set that drops NaN-lane rows."""
+    ds = svt.Dataset(
+        "rrp", svt.parse_options("dimension=8,type=FLOAT16,distance=L2")
+    )
+    base = rng.standard_normal((64, 8)).astype(np.float16)
+    base[5, 3] = np.nan  # lane-skipped row, still rankable
+    ids = ds.add(base)
+    ds.quantize()
+    q = base[5].copy()
+    q[3] = 1.0
+    e_ids, e_vals = ds.search(q, 5)
+    r_ids, r_vals = ds.search(q, 5, mode="rerank")
+    assert r_ids.tolist() == e_ids.tolist()
+    np.testing.assert_allclose(r_vals, e_vals, rtol=1e-3)
+    assert ids[5] in r_ids  # the NaN-lane row is served, not dropped
