@@ -4,8 +4,10 @@ The analogue of the reference's chunked `vector0_*` blobs staying on disk
 until a scan touches them (src/sqlite-vector.c:1967-1997): a sharded,
 memory-mapped dataset must be scannable WITHOUT materializing the full
 matrix in RAM. `ShardedRows` presents a read-only `[N, dim]` array-like
-whose row slices copy only the touched rows — `ops.streaming` iterates it
-tile by tile, so peak RAM is one tile regardless of dataset size.
+whose row slices copy only the touched rows — `ops.streaming` walks it with
+plain row slices (`v[start:stop]`, one tile at a time), so peak RAM is one
+tile regardless of dataset size; `iter_tiles` offers the same walk as a
+generator for external consumers.
 """
 
 from __future__ import annotations
@@ -25,6 +27,8 @@ class ShardedRows:
     def __init__(self, parts: list[np.ndarray]):
         if not parts:
             raise ValueError("ShardedRows needs at least one shard")
+        if parts[0].ndim != 2:
+            raise ValueError("shards must be 2-D [rows, dim] arrays")
         dim = parts[0].shape[1]
         dtype = parts[0].dtype
         for p in parts:
@@ -74,6 +78,12 @@ class ShardedRows:
         idx = np.asarray(key)
         if idx.ndim != 1:
             raise IndexError("ShardedRows supports 1-D fancy indexing only")
+        # normalize negatives like np.ndarray (the substitute contract)
+        idx = np.where(idx < 0, idx + self.shape[0], idx).astype(np.int64)
+        if len(idx) and (idx.min() < 0 or idx.max() >= self.shape[0]):
+            raise IndexError(
+                f"index out of bounds for ShardedRows of {self.shape[0]} rows"
+            )
         part_of = np.searchsorted(self._starts, idx, side="right") - 1
         out = np.empty((len(idx), self.shape[1]), self.dtype)
         for pi in np.unique(part_of):

@@ -75,16 +75,34 @@ def enabled() -> bool:
     return jax.default_backend() == "tpu"
 
 
-def _row_tile(d_pad: int, itemsize: int) -> int:
+def _tile_rows(d_pad: int, itemsize: int, nbuf: int) -> int:
+    """ONE tile-sizing rule for every kernel path (grid nbuf=2, manual
+    nbuf=env): env override (validated to a multiple of BLOCK in
+    [256, 8192] — raw values crashed the in-kernel reshape) or the
+    VMEM-budget-derived pow2."""
     import os
 
     override = os.environ.get("SVT_PALLAS_TILE_ROWS")
     if override:
-        return int(override)
+        t = int(override)
+        return max(256, min(8192, (t // BLOCK) * BLOCK))
     budget = int(os.environ.get("SVT_PALLAS_VMEM_BUDGET", _TILE_VMEM_BUDGET))
-    tile = budget // (2 * d_pad * itemsize)
+    tile = budget // (nbuf * d_pad * itemsize)
     tile = 1 << int(np.log2(max(tile, 256)))
     return int(min(tile, 8192))
+
+
+def _row_tile(d_pad: int, itemsize: int) -> int:
+    return _tile_rows(d_pad, itemsize, 2)
+
+
+# Bound on the manual kernel's un-blocked minima output resident in VMEM
+# ([ntiles, b_pad, g_tile] f32 = b_pad * ceil(n/BLOCK) * 4 bytes; v5e VMEM
+# is ~128 MB shared with nbuf staged tiles + the query block).
+_MINIMA_VMEM_BOUND = 64 * 1024 * 1024
+# Bound on the finish step's candidate gather ([b, kg*BLOCK, d_pad] f32 in
+# HBM) — without it, allowed (b, k, d) combinations materialize tens of GB.
+_FINISH_HBM_BOUND = 2 * 1024 * 1024 * 1024
 
 
 def supports(
@@ -93,8 +111,11 @@ def supports(
     dim: int,
     k: int,
     batch: int,
+    n: int | None = None,
 ) -> bool:
-    """Static predicate: can the Pallas kernel run this configuration?"""
+    """Static predicate: can the Pallas kernel run this configuration?
+    Pass `n` (database rows) to also apply the N-dependent memory bounds;
+    a False here routes to the XLA scan, which tiles instead."""
     import os
 
     if k <= 0 or k > MAX_K:
@@ -105,7 +126,7 @@ def supports(
         return False
     d_pad = _round_up(dim, 128)
     itemsize = max(jnp.dtype(dtype).itemsize, 1)
-    # UNCLAMPED tile budget (the _row_tile helpers clamp to >=256, which
+    # UNCLAMPED tile budget (the _tile_rows helper clamps to >=256, which
     # would make this check vacuous): dims so large that a 256-row tile
     # overflows the VMEM budget fall back to the XLA scan
     budget = int(os.environ.get("SVT_PALLAS_VMEM_BUDGET", _TILE_VMEM_BUDGET))
@@ -114,7 +135,17 @@ def supports(
         if os.environ.get("SVT_PALLAS_MANUAL", "1") == "1"
         else 2
     )
-    return budget // (nbuf * d_pad * itemsize) >= 256
+    if budget // (nbuf * d_pad * itemsize) < 256:
+        return False
+    if n is not None:
+        b_pad = _round_up(max(batch, 8), 8)
+        groups = -(-n // BLOCK)
+        if b_pad * groups * 4 > _MINIMA_VMEM_BOUND:
+            return False
+        kg = min(k, groups)
+        if batch * kg * BLOCK * d_pad * 4 > _FINISH_HBM_BOUND:
+            return False
+    return True
 
 
 def _distance_block(q, tile, bsq, metric: DistanceMetric, is_int: bool):
@@ -190,8 +221,9 @@ def _distance_block(q, tile, bsq, metric: DistanceMetric, is_int: bool):
     denom = jnp.sqrt(qsq) * jnp.sqrt(bsqf)
     safe = jnp.where(denom > 0.0, denom, 1.0)
     cos = jnp.where(denom > 0.0, dot / safe, 0.0)
-    d = jnp.where((qsq == 0.0) | (bsqf == 0.0), 1.0, 1.0 - cos)
-    return jnp.where(jnp.isnan(dot) | jnp.isnan(denom), jnp.nan, d)
+    d = jnp.where(jnp.isnan(dot) | jnp.isnan(denom), jnp.nan, 1.0 - cos)
+    # zero-norm -> 1.0 LAST (reference/oracle precedence; see distance.py)
+    return jnp.where((qsq == 0.0) | (bsqf == 0.0), 1.0, d)
 
 
 def _make_kernel(metric: DistanceMetric, tile_n: int, is_int: bool):
@@ -202,6 +234,12 @@ def _make_kernel(metric: DistanceMetric, tile_n: int, is_int: bool):
         bsq = bsq_ref[:]  # [1, TILE_N]
         b_pad = q.shape[0]
         dist = _distance_block(q, tile, bsq, metric, is_int)
+        # near-zero snap BEFORE ranking, exactly like the XLA path
+        # (pairwise_distance snap=True): otherwise a raw 4e-7 outranks a
+        # true 0.0 and backend routing silently changes the neighbor set
+        from sqlite_vector_tpu.ops.distance import NEARLY_ZERO
+
+        dist = jnp.where(jnp.abs(dist) <= NEARLY_ZERO, 0.0, dist)
         # NaN -> +inf: rows with NaN distances are never selected, like the
         # reference's strict `<` slot replacement (src/sqlite-vector.c:2102)
         dist = jnp.where(jnp.isnan(dist), jnp.inf, dist)
@@ -267,6 +305,11 @@ def _make_manual_kernel(
                     tf = tile.astype(jnp.float32)
                     bsq = jnp.sum(tf * tf, axis=-1)[None, :]
                 dist = _distance_block(q, tile, bsq, metric, is_int)
+                # near-zero snap before ranking (match the XLA path; see
+                # _make_kernel)
+                from sqlite_vector_tpu.ops.distance import NEARLY_ZERO
+
+                dist = jnp.where(jnp.abs(dist) <= NEARLY_ZERO, 0.0, dist)
                 dist = jnp.where(jnp.isnan(dist), jnp.inf, dist)
                 start = i * tile_n
                 iota_n = jax.lax.broadcasted_iota(
@@ -311,9 +354,7 @@ def _pallas_block_minima_manual(
     b_pad = _round_up(max(b, 8), 8)
     nbuf = int(os.environ.get("SVT_PALLAS_NBUF", "4"))
     # manual buffering holds nbuf tiles: shrink the per-tile budget share
-    budget = int(os.environ.get("SVT_PALLAS_VMEM_BUDGET", _TILE_VMEM_BUDGET))
-    tile = budget // (nbuf * d_pad * base.dtype.itemsize)
-    tile_n = int(min(1 << int(np.log2(max(tile, 256))), 8192))
+    tile_n = _tile_rows(d_pad, base.dtype.itemsize, nbuf)
     n_pad = _round_up(max(n, tile_n), tile_n)
     ntiles = n_pad // tile_n
     g_tile = tile_n // BLOCK
@@ -432,6 +473,9 @@ def _finish_from_minima(
     from sqlite_vector_tpu.ops.rerank import candidate_distances
 
     d = candidate_distances(queries, cand, metric)
+    # near-zero snap BEFORE ranking (the XLA path snaps pre-top-k): raw
+    # 4e-7 vs true 0.0 must tie, with the earliest row winning
+    d = jnp.where(jnp.abs(d) <= NEARLY_ZERO, 0.0, d)
     d = jnp.where(jnp.isnan(d), jnp.inf, d)  # NaN rows are never selected
 
     # padding rows / out-of-range positions -> +inf

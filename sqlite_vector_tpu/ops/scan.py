@@ -197,7 +197,7 @@ def fused_scan_topk(
         and policy_vtype is None
         and (force or not intermediate_ok)
         and pallas_scan.enabled()
-        and pallas_scan.supports(metric, base.dtype, base.shape[1], k, b)
+        and pallas_scan.supports(metric, base.dtype, base.shape[1], k, b, n)
     ):
         return pallas_scan.pallas_scan_topk(
             queries,

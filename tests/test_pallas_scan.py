@@ -128,3 +128,50 @@ def test_supports_rejects_vmem_overflow_dims():
     assert not pallas_scan.supports(
         DistanceMetric.L2, jnp.float32, 65536, 20, 1
     )
+
+
+def test_cosine_zero_norm_beats_nan_in_kernel(rng):
+    """Precedence pin (matches distance.py / the oracle): a whole group of
+    NaN rows must not hide a zero-norm query's 1.0 against them; and the
+    zero-norm ROW scores 1.0 against a NaN-free query regardless of which
+    block it lives in."""
+    n, dim = 700, 64
+    base = rng.standard_normal((n, dim)).astype(np.float32)
+    base[:128] = np.nan  # first group entirely NaN
+    q = np.zeros((1, dim), np.float32)  # zero-norm query
+    vals, idx = pallas_scan_topk(
+        q, base, DistanceMetric.COSINE, 3, valid_count=n
+    )
+    ovals = oracle.distance(q, base, DistanceMetric.COSINE, VectorType.F32)
+    assert ovals[0, 0] == 1.0  # the oracle ranks NaN-row 0 at 1.0
+    assert np.asarray(idx)[0, 0] == 0 and np.asarray(vals)[0, 0] == 1.0
+
+
+def test_near_zero_snap_before_ranking(rng):
+    """The XLA path snaps distances within 8*FLT_EPSILON to 0 BEFORE top-k;
+    the kernel must match, or routing silently changes the neighbor among
+    snap-tied rows (earliest row wins)."""
+    n, dim = 600, 32
+    base = np.zeros((n, dim), np.float32)
+    base[2, 0] = 1e-7  # raw DOT distance -1e-7*q0... craft with DOT:
+    q = np.zeros((1, dim), np.float32)
+    q[0, 0] = 4.0
+    # rows: row 2 has dot 4e-7 -> d=-4e-7 (within snap); row 200 exactly 0
+    base[200, :] = 0.0
+    vals, idx = pallas_scan_topk(q, base, DistanceMetric.DOT, 1, valid_count=n)
+    # all rows snap to 0; the earliest row (0) wins the tie, same as XLA
+    from sqlite_vector_tpu.ops.scan import scan_topk
+
+    xvals, xidx = scan_topk(q, base, DistanceMetric.DOT, 1, valid_count=n)
+    assert np.asarray(idx)[0, 0] == np.asarray(xidx)[0, 0]
+    assert np.asarray(vals)[0, 0] == np.asarray(xvals)[0, 0] == 0.0
+
+
+def test_supports_memory_bounds():
+    """N-dependent gates: huge minima footprints and candidate gathers
+    route to the XLA scan instead of overflowing VMEM/HBM."""
+    # B=1024, n=4M: manual minima output alone is 128 MB of VMEM
+    assert not supports(DistanceMetric.L2, np.float32, 384, 20, 1024, 4_000_000)
+    assert supports(DistanceMetric.L2, np.float32, 384, 20, 64, 1_000_000)
+    # b * k*128 * d_pad * 4 = 26 GB candidate gather
+    assert not supports(DistanceMetric.L2, np.float32, 768, 256, 256, 4_000_000)
