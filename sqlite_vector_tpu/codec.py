@@ -30,6 +30,15 @@ except Exception:  # pragma: no cover
     _native_parse = None
 
 
+# ASCII character classes — the C reference's isdigit/isspace operate on
+# ASCII; Python's str.isdigit()/isspace() accept Unicode digits (e.g. '²',
+# '٣') and NBSP, which must NOT parse (they either crash float() or
+# silently diverge from the native strtod path)
+_DIGITS = frozenset("0123456789")
+_HEXDIGITS = frozenset("0123456789abcdefABCDEF")
+_SPACE = frozenset(" \t\n\r\v\f")
+
+
 def _parse_number(s: str, p: int) -> tuple[float, int]:
     """strtod-equivalent: parse the longest valid number starting at s[p].
 
@@ -39,14 +48,44 @@ def _parse_number(s: str, p: int) -> tuple[float, int]:
     i = p
     if i < n and s[i] in "+-":
         i += 1
+    # hex floats: strtod (and therefore the native path + the C reference)
+    # accepts 0x1A / -0x1.8p3 — the fallback must parse identically
+    if i + 1 < n and s[i] == "0" and s[i + 1] in "xX":
+        j = i + 2
+        hd = 0
+        while j < n and s[j] in _HEXDIGITS:
+            j += 1
+            hd += 1
+        fd = 0
+        if j < n and s[j] == ".":
+            j += 1
+            while j < n and s[j] in _HEXDIGITS:
+                j += 1
+                fd += 1
+        if hd + fd == 0:
+            # '0x' with no hex digits: strtod consumes just the '0'
+            return 0.0, i + 1
+        end = j
+        if j < n and s[j] in "pP":
+            m = j + 1
+            if m < n and s[m] in "+-":
+                m += 1
+            if m < n and s[m] in _DIGITS:
+                while m < n and s[m] in _DIGITS:
+                    m += 1
+                end = m
+        try:
+            return float.fromhex(s[p:end]), end
+        except ValueError:
+            return 0.0, p
     int_digits = 0
-    while i < n and s[i].isdigit():
+    while i < n and s[i] in _DIGITS:
         i += 1
         int_digits += 1
     frac_digits = 0
     if i < n and s[i] == ".":
         i += 1
-        while i < n and s[i].isdigit():
+        while i < n and s[i] in _DIGITS:
             i += 1
             frac_digits += 1
     if int_digits == 0 and frac_digits == 0:
@@ -66,11 +105,14 @@ def _parse_number(s: str, p: int) -> tuple[float, int]:
         j = i + 1
         if j < n and s[j] in "+-":
             j += 1
-        if j < n and s[j].isdigit():
-            while j < n and s[j].isdigit():
+        if j < n and s[j] in _DIGITS:
+            while j < n and s[j] in _DIGITS:
                 j += 1
             end = j
-    return float(s[p:end]), end
+    try:
+        return float(s[p:end]), end
+    except ValueError:  # defensive: surface as a parse failure, not a crash
+        return 0.0, p
 
 
 def vector_from_json(
@@ -95,7 +137,7 @@ def _parse_python(
     s = json_text
     n = len(s)
     p = 0
-    while p < n and s[p].isspace():
+    while p < n and s[p] in _SPACE:
         p += 1
     if p >= n or s[p] != "[":
         raise VectorCodecError(
@@ -111,7 +153,7 @@ def _parse_python(
     # the expected-a-number branch. Mirror each state exactly.
     values: list[float] = []
     while p < n:
-        while p < n and s[p].isspace():
+        while p < n and s[p] in _SPACE:
             p += 1
         if p < n and s[p] == "]":
             break
@@ -127,11 +169,11 @@ def _parse_python(
             raise VectorCodecError("Value out of range for int8_t.")
         values.append(value)
         p = end
-        while p < n and s[p].isspace():
+        while p < n and s[p] in _SPACE:
             p += 1
         if p < n and s[p] == ",":
             p += 1
-            while p < n and s[p].isspace():
+            while p < n and s[p] in _SPACE:
                 p += 1
             if p < n and s[p] == "]":
                 break  # trailing comma tolerated (:1627-1635)
@@ -185,11 +227,21 @@ def vector_as_blob(
     if isinstance(value, str):
         return array_to_blob(vector_from_json(value, vtype, dimension))
     if isinstance(value, np.ndarray):
-        arr = np.asarray(value)
+        arr = np.atleast_1d(np.asarray(value))
         if dimension > 0 and arr.shape[-1] != dimension:
             raise VectorCodecError(
                 f"Invalid JSON vector dimension: expected {dimension} but found {arr.shape[-1]}."
             )
+        # same range contract as the TEXT path (:1601-1615): astype would
+        # silently wrap out-of-range values into the on-disk format
+        if vtype is VectorType.U8 and arr.size and (
+            arr.min() < 0 or arr.max() > 255
+        ):
+            raise VectorCodecError("Value out of range for uint8_t.")
+        if vtype is VectorType.I8 and arr.size and (
+            arr.min() < -128 or arr.max() > 127
+        ):
+            raise VectorCodecError("Value out of range for int8_t.")
         return array_to_blob(arr.astype(vtype.np_dtype))
     raise VectorCodecError(
         "Unsupported input type: only BLOB and TEXT values are accepted "

@@ -77,15 +77,23 @@ class RandomProjectionEmbedder:
     def __init__(self, dim: int = DIM, seed: int = 99):
         self.dim = dim
         self._seed = seed
+        self._cache: dict[str, np.ndarray] = {}  # per-word direction
+
+    def _word_vector(self, word: str) -> np.ndarray:
+        v = self._cache.get(word)
+        if v is None:
+            h = hashlib.blake2b(word.encode(), digest_size=8).digest()
+            rng = np.random.default_rng(int.from_bytes(h, "little") ^ self._seed)
+            v = rng.standard_normal(self.dim).astype(np.float32)
+            self._cache[word] = v
+        return v
 
     def encode(self, texts: Sequence[str]) -> np.ndarray:
         out = np.zeros((len(texts), self.dim), np.float32)
         for i, text in enumerate(texts):
             acc = np.zeros(self.dim, np.float32)
             for word in text.lower().split():
-                h = hashlib.blake2b(word.encode(), digest_size=8).digest()
-                rng = np.random.default_rng(int.from_bytes(h, "little") ^ self._seed)
-                acc += rng.standard_normal(self.dim).astype(np.float32)
+                acc += self._word_vector(word)  # cached: repeats are free
             norm = float(np.linalg.norm(acc))
             out[i] = acc / (norm or 1.0)
         return out
@@ -102,12 +110,25 @@ class SentenceTransformerEmbedder:
 
         # local weights only — never hit the network (air-gap friendly);
         # raises immediately when the model isn't cached, letting
-        # get_embedder() fall back to the offline embedder
-        os.environ.setdefault("HF_HUB_OFFLINE", "1")
-        os.environ.setdefault("TRANSFORMERS_OFFLINE", "1")
-        from sentence_transformers import SentenceTransformer
+        # get_embedder() fall back to the offline embedder. The env override
+        # is scoped to construction: mutating it process-wide would break a
+        # user's own later huggingface downloads after our fallback.
+        saved = {
+            k: os.environ.get(k)
+            for k in ("HF_HUB_OFFLINE", "TRANSFORMERS_OFFLINE")
+        }
+        os.environ["HF_HUB_OFFLINE"] = "1"
+        os.environ["TRANSFORMERS_OFFLINE"] = "1"
+        try:
+            from sentence_transformers import SentenceTransformer
 
-        self.model = SentenceTransformer("all-MiniLM-L6-v2")
+            self.model = SentenceTransformer("all-MiniLM-L6-v2")
+        finally:
+            for k, v in saved.items():
+                if v is None:
+                    os.environ.pop(k, None)
+                else:
+                    os.environ[k] = v
 
     def encode(self, texts: Sequence[str]) -> np.ndarray:
         return np.asarray(self.model.encode(list(texts)), np.float32)

@@ -109,6 +109,18 @@ class BatchingSearcher:
         self._closed = True
         self._queue.put(None)
         self._thread.join(timeout=5)
+        # a submit() racing close() can land behind the sentinel; fail its
+        # future instead of leaving the caller blocked on result() forever
+        while True:
+            try:
+                item = self._queue.get_nowait()
+            except queue.Empty:
+                break
+            if item is None:
+                continue
+            fut = item[-1]
+            if not fut.done():
+                fut.set_exception(RuntimeError("BatchingSearcher is closed"))
 
     # -- dispatcher -----------------------------------------------------------
 
@@ -157,7 +169,8 @@ class BatchingSearcher:
                     ids, dist = self.dataset.search(qs, k, mode="exact")
                 for i, (_, fut) in enumerate(items):
                     keep = ids[i] >= 0
-                    fut.set_result((ids[i][keep], dist[i][keep]))
+                    if not fut.done():  # a cancelled future must not poison
+                        fut.set_result((ids[i][keep], dist[i][keep]))
             except Exception as e:  # propagate to every waiter
                 for _, fut in items:
                     if not fut.done():
@@ -257,19 +270,22 @@ def serve(
             self.wfile.write(body)
 
         def do_GET(self):
-            if self.path == "/stats":
-                if store is not None:
-                    self._reply(
-                        200,
-                        {"datasets": {
-                            n: _dataset_stats(store.get(n))
-                            for n in store.names()
-                        }},
-                    )
+            try:
+                if self.path == "/stats":
+                    if store is not None:
+                        stats = {}
+                        for n in store.names():
+                            try:
+                                stats[n] = _dataset_stats(store.get(n))
+                            except Exception:
+                                continue  # dropped between names() and get()
+                        self._reply(200, {"datasets": stats})
+                    else:
+                        self._reply(200, _dataset_stats(single))
                 else:
-                    self._reply(200, _dataset_stats(single))
-            else:
-                self._reply(404, {"error": "unknown path"})
+                    self._reply(404, {"error": "unknown path"})
+            except Exception as e:  # JSON error like every POST path
+                self._reply(400, {"error": f"{type(e).__name__}: {e}"})
 
         def do_POST(self):
             try:

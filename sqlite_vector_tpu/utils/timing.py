@@ -43,4 +43,4 @@ def format_bytes(n: int) -> str:
         if abs(n) < 1024 or unit == "TB":
             return f"{n:.1f}{unit}" if unit != "B" else f"{n}B"
         n /= 1024
-    return f"{n}TB"
+    raise AssertionError("unreachable")  # the TB case returns in the loop

@@ -156,3 +156,28 @@ def test_json_unterminated_python_fallback_matches_native():
             _parse_python(s, VectorType.F32)
         with pytest.raises(VectorCodecError):
             vector_from_json(s, VectorType.F32)
+
+
+def test_ascii_character_classes_and_hex_floats():
+    """The pure-Python fallback must match strtod (the native path / the C
+    reference): ASCII-only digits/whitespace, hex float literals accepted."""
+    import numpy as np
+    import pytest
+
+    from sqlite_vector_tpu.codec import _parse_python, vector_as_blob
+    from sqlite_vector_tpu.errors import VectorCodecError
+    from sqlite_vector_tpu.types import VectorType
+
+    for bad in ("[²]", "[٣]", "[1\xa02]"):  # unicode digit / NBSP
+        with pytest.raises(VectorCodecError):
+            _parse_python(bad, VectorType.F32)
+    assert _parse_python("[0x10]", VectorType.F32).tolist() == [16.0]
+    assert _parse_python("[-0x1.8p3]", VectorType.F32).tolist() == [-12.0]
+    assert _parse_python("[0x10, 2]", VectorType.F32).tolist() == [16.0, 2.0]
+    # ndarray inputs share the TEXT path's range contract
+    with pytest.raises(VectorCodecError, match="uint8_t"):
+        vector_as_blob(np.array([300.0]), VectorType.U8)
+    with pytest.raises(VectorCodecError, match="int8_t"):
+        vector_as_blob(np.array([-200]), VectorType.I8)
+    with pytest.raises(VectorCodecError):
+        vector_as_blob(np.array(3.0), VectorType.F32, 4)  # 0-d
