@@ -58,10 +58,6 @@ def snap_zero(d: np.ndarray) -> np.ndarray:
 # ---------------------------------------------------------------------------
 
 
-def _is_bf16(a: np.ndarray) -> bool:
-    return a.dtype.name == "bfloat16"
-
-
 def distance(
     a: np.ndarray, b: np.ndarray, metric: DistanceMetric, vtype: VectorType
 ) -> np.ndarray:
@@ -248,16 +244,19 @@ def compute_quant_params(
       s8: scale = 127/max(|min|,|max|), offset = 0
     """
     v = np.asarray(values).astype(np.float32)
-    finite = v[np.isfinite(v)] if v.size else v
-    if finite.size == 0:
-        # reference (no rows): qtype resolves, scale=1, offset=0 (:1173-1178)
+    # The C scan (min=FLT_MAX / max=-FLT_MAX init, strict < / >,
+    # :1202-1252) skips NaN (compares false) but lets +-Inf propagate INTO
+    # max/min — while +Inf can never LOWER min below FLT_MAX. An all-+Inf
+    # column therefore yields min=FLT_MAX, max=+inf -> u8 scale 0, offset
+    # FLT_MAX, exactly like the C. Only empty / all-NaN inputs resolve to
+    # the documented no-rows params (:1173-1178).
+    vv = v[~np.isnan(v)] if v.size else v
+    if vv.size == 0:
         resolved = QuantType.U8 if qtype is QuantType.AUTO else qtype
         return resolved, np.float32(1.0), np.float32(0.0)
-    # The C scan includes non-finite values in min/max comparisons; NaN
-    # compares false with everything so it is skipped, +-Inf propagates.
-    vv = v[~np.isnan(v)]
-    min_val = np.float32(vv.min()) if vv.size else np.float32(np.finfo(np.float32).max)
-    max_val = np.float32(vv.max()) if vv.size else np.float32(-np.finfo(np.float32).max)
+    flt_max = np.float32(np.finfo(np.float32).max)
+    min_val = np.float32(min(float(flt_max), float(vv.min())))
+    max_val = np.float32(max(float(-flt_max), float(vv.max())))
     contains_negative = bool(np.any(vv < 0))
     if qtype is QuantType.AUTO:
         qtype = QuantType.I8 if contains_negative else QuantType.U8
@@ -278,7 +277,6 @@ def compute_quant_params_chunked(
     """compute_quant_params over an iterable of row chunks — identical
     results without materializing the full matrix (the streaming pass-1 of
     src/sqlite-vector.c:1210-1255 for >RAM host datasets)."""
-    n_finite = 0
     n_notnan = 0
     min_val = np.float32(np.finfo(np.float32).max)
     max_val = np.float32(-np.finfo(np.float32).max)
@@ -288,18 +286,15 @@ def compute_quant_params_chunked(
         if v.size == 0:
             continue
         vv = v[~np.isnan(v)]
-        n_finite += int(np.count_nonzero(np.isfinite(v)))
         n_notnan += vv.size
         if vv.size:
             min_val = np.float32(min(float(min_val), float(vv.min())))
             max_val = np.float32(max(float(max_val), float(vv.max())))
             contains_negative = contains_negative or bool(np.any(vv < 0))
-    if n_finite == 0:
+    if n_notnan == 0:
+        # empty / all-NaN: the no-rows params (see compute_quant_params)
         resolved = QuantType.U8 if qtype is QuantType.AUTO else qtype
         return resolved, np.float32(1.0), np.float32(0.0)
-    if n_notnan == 0:
-        min_val = np.float32(np.finfo(np.float32).max)
-        max_val = np.float32(-np.finfo(np.float32).max)
     if qtype is QuantType.AUTO:
         qtype = QuantType.I8 if contains_negative else QuantType.U8
     abs_max = np.float32(max(abs(float(min_val)), abs(float(max_val))))
@@ -372,13 +367,19 @@ def topk_reference(
     trimmed. Returns (indices, distances) sorted ascending.
     """
     d = np.asarray(distances, dtype=np.float64)
+    if d.ndim != 1:
+        # trimming makes rows ragged; batched callers loop per row
+        raise ValueError("topk_reference takes a 1-D distance vector")
+    # NaN never beats the INFINITY slot init (strict <), so NaN rows are
+    # never admitted — fold them into the +inf trim below
+    d = np.where(np.isnan(d), np.inf, d)
     n = d.shape[-1]
     kk = min(k, n)
     # stable argsort == scan-order tie-break
     order = np.argsort(d, axis=-1, kind="stable")[..., :kk]
     vals = np.take_along_axis(d, order, axis=-1)
-    # trim +inf slots (rows whose distance never beat the INFINITY init)
+    # trim +inf slots (rows whose distance never beat the INFINITY init);
+    # -inf (DOT) is a legitimately filled slot
     keep = ~np.isinf(vals) | (vals < 0)
-    if vals.ndim == 1:
-        order, vals = order[keep], vals[keep]
+    order, vals = order[keep], vals[keep]
     return order, vals.astype(np.float32)

@@ -60,10 +60,19 @@ def make_mesh(
     devices: Sequence[Any] | None = None,
     axis_name: str = ROWS_AXIS,
 ) -> Mesh:
-    """Build a 1-D device mesh over `devices` (default: all local devices)."""
+    """Build a 1-D device mesh over `devices` (default: all local devices).
+
+    `n_devices` (when `devices` is not given) must not exceed the available
+    device count — silently truncating would hand back a smaller mesh than
+    the caller sized their sharding for."""
     if devices is None:
         devices = jax.devices()
         if n_devices is not None:
+            if n_devices > len(devices):
+                raise ValueError(
+                    f"make_mesh: requested {n_devices} devices but only "
+                    f"{len(devices)} are available"
+                )
             devices = devices[:n_devices]
     devices = list(devices)
     if not devices:

@@ -18,6 +18,7 @@ from __future__ import annotations
 import dataclasses
 import enum
 import math
+import re
 
 import numpy as np
 
@@ -239,29 +240,44 @@ def parse_options(
     return opts
 
 
+_STRTOL0 = re.compile(
+    r"^[ \t\n\r\v\f]*([+-]?)(?:(0[xX][0-9a-fA-F]+)|(0[0-7]*)|([1-9][0-9]*))"
+)
+
+
+def _strtol0(s: str) -> int:
+    """C strtol(s, NULL, 0): longest valid prefix, auto base (0x hex, leading
+    0 octal), 0 on no parse — the reference parses dimension/normalized with
+    exactly this (src/sqlite-vector.c:958, :965)."""
+    m = _STRTOL0.match(s)
+    if not m:
+        return 0
+    sign = -1 if m.group(1) == "-" else 1
+    if m.group(2):
+        return sign * int(m.group(2), 16)
+    if m.group(3) is not None:
+        g = m.group(3)
+        return sign * (int(g, 8) if len(g) > 1 else 0)
+    return sign * int(m.group(4))
+
+
 def _apply_option(opts: VectorOptions, key: str, value: str) -> None:
     if not key or not value:
-        # reference returns false (abort) on empty key/value; we mirror with an
-        # error only for empty value after a '=' — empty keys are skipped above.
+        # reference aborts the whole option string on an empty key OR value
+        # (parse_keyvalue_string returns false); mirror with an error
         raise VectorConfigError("Malformed option: empty key or value.")
     k = key.lower()
     if k == "type":
         opts.type = VectorType.from_name(value)
     elif k == "dimension":
-        try:
-            dim = int(value, 0)
-        except ValueError:
-            dim = 0
+        dim = _strtol0(value)
         if dim <= 0:
             raise VectorConfigError(
                 f"Invalid vector dimension: expected a positive integer, got '{value}'."
             )
         opts.dimension = dim
     elif k == "normalized":
-        try:
-            opts.normalized = int(value, 0) != 0
-        except ValueError:
-            opts.normalized = False
+        opts.normalized = _strtol0(value) != 0
     elif k == "max_memory":
         mm = human_to_number(value)
         if mm > 0:  # 0 = parse failure -> keep the default (reference :916)
@@ -271,8 +287,12 @@ def _apply_option(opts: VectorOptions, key: str, value: str) -> None:
     elif k in ("qscale", "qoffset"):
         # accepted-but-unused here for parity: the reference parses these
         # keys only when restoring from _sqliteai_vector (sqlite.py handles
-        # that restoration path directly)
-        float(value)
+        # that restoration path directly). strtod never fails, so neither
+        # may we (a garbage value parses as 0 and is discarded)
+        try:
+            float(value)
+        except ValueError:
+            pass
     elif k == "distance":
         opts.distance = DistanceMetric.from_name(value)
     # unknown keys are ignored (reference :991)

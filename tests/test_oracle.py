@@ -191,3 +191,31 @@ def test_topk_reference_trims_inf():
     d = np.float32([2.0, np.inf, 1.0])
     idx, vals = oracle.topk_reference(d, 5)
     np.testing.assert_array_equal(idx, [2, 0])
+
+
+def test_topk_reference_excludes_nan():
+    """NaN never beats the INFINITY slot init (strict <): NaN rows are
+    never admitted and never surface in trimmed output."""
+    idx, vals = oracle.topk_reference(np.float32([np.nan, 1.0, np.nan]), 3)
+    assert idx.tolist() == [1] and vals.tolist() == [1.0]
+    with np.testing.assert_raises(ValueError):
+        oracle.topk_reference(np.zeros((2, 3), np.float32), 2)
+
+
+def test_quant_params_all_inf_matches_c_scan():
+    """+Inf propagates into max but can never lower min below its FLT_MAX
+    init (the C pass-1's strict-< scan, src/sqlite-vector.c:1202-1252):
+    all-+Inf input yields scale 0 / offset FLT_MAX, not the no-rows
+    params."""
+    flt_max = np.float32(np.finfo(np.float32).max)
+    qt, scale, offset = oracle.compute_quant_params(
+        np.float32([np.inf, np.inf]), QuantType.AUTO
+    )
+    assert qt is QuantType.U8 and scale == 0.0 and offset == flt_max
+    qt2, scale2, offset2 = oracle.compute_quant_params_chunked(
+        [np.float32([np.inf]), np.float32([np.inf])], QuantType.AUTO
+    )
+    assert scale2 == 0.0 and offset2 == flt_max
+    # all-NaN / empty still resolve to the documented no-rows params
+    qt3, s3, o3 = oracle.compute_quant_params(np.float32([np.nan]), QuantType.AUTO)
+    assert (s3, o3) == (1.0, 0.0)

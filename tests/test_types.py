@@ -105,3 +105,21 @@ def test_type_names_roundtrip():
     for t in VectorType:
         assert VectorType.from_name(t.value) is t
     assert VectorType.from_name("float32") is VectorType.F32
+
+
+def test_strtol_base0_dimension_parity():
+    """dimension/normalized parse with C strtol(,,0) semantics (the
+    reference, src/sqlite-vector.c:958,:965): hex and leading-zero octal
+    accepted, longest-prefix, 0 on no parse — verified against the compiled
+    extension in a one-off differential (octal '010' -> 8)."""
+    from sqlite_vector_tpu.types import _strtol0
+
+    assert _strtol0("010") == 8
+    assert _strtol0("0x10") == 16
+    assert _strtol0("10abc") == 10
+    assert _strtol0("089") == 0  # strtol stops at '8' after octal '0'
+    assert _strtol0("abc") == 0
+    assert parse_options("dimension=010").dimension == 8
+    assert parse_options("dimension=0x20").dimension == 32
+    # qscale/qoffset: strtod never fails -> garbage must not crash
+    parse_options("qscale=abc,qoffset=??,dimension=4")
