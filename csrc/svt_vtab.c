@@ -51,7 +51,20 @@ struct svt_cursor {
   double *dist;
   sqlite3_int64 n;
   sqlite3_int64 pos;
+  /* copies of the filter arguments, exposed through xColumn for the hidden
+   * parameter columns — so a WHERE clause duplicating a TVF argument
+   * post-filters to true instead of comparing against NULL */
+  sqlite3_value *args[4];
 };
+
+static void svt_free_args(svt_cursor *c) {
+  for (int i = 0; i < 4; i++) {
+    if (c->args[i]) {
+      sqlite3_value_free(c->args[i]);
+      c->args[i] = NULL;
+    }
+  }
+}
 
 static int svt_set_error(sqlite3_vtab *vtab, const char *msg) {
   sqlite3_free(vtab->zErrMsg);
@@ -122,11 +135,13 @@ static int svt_best_index(sqlite3_vtab *tab, sqlite3_index_info *info) {
     present[c->iColumn] = 1;
     if (!c->usable) continue;
     /* a second EQ term on the same hidden column (e.g. a WHERE clause
-     * duplicating a TVF argument) would assign the same argvIndex twice —
-     * SQLite treats that as an xBestIndex malfunction — and binding either
-     * one silently drops the other; declare the plan infeasible instead
-     * (SQLite reports 'no query solution', a clear diagnostic) */
-    if (have[c->iColumn]) return SQLITE_CONSTRAINT;
+     * duplicating a TVF argument): bind only the FIRST (assigning the same
+     * argvIndex twice is an xBestIndex malfunction) and leave the duplicate
+     * unconsumed (omit=0) — xColumn exposes the bound argument value on the
+     * hidden columns, so SQLite evaluates the duplicate as an ordinary
+     * post-filter (true when the values match, like the reference) instead
+     * of the whole plan failing with 'no query solution' */
+    if (have[c->iColumn]) continue;
     info->aConstraintUsage[i].argvIndex = c->iColumn + 1;
     info->aConstraintUsage[i].omit = 1;
     have[c->iColumn] = 1;
@@ -152,6 +167,7 @@ static int svt_open(sqlite3_vtab *vtab, sqlite3_vtab_cursor **out) {
 
 static int svt_close(sqlite3_vtab_cursor *cur) {
   svt_cursor *c = (svt_cursor *)cur;
+  svt_free_args(c);
   sqlite3_free(c->ids);
   sqlite3_free(c->dist);
   sqlite3_free(c);
@@ -171,6 +187,7 @@ static int svt_filter(sqlite3_vtab_cursor *cur, int idx_num,
   sqlite3_free(c->dist);
   c->ids = NULL;
   c->dist = NULL;
+  svt_free_args(c);
 
   int nargs = v->is_stream ? 3 : 4;
   if (argc != nargs) {
@@ -202,6 +219,17 @@ static int svt_filter(sqlite3_vtab_cursor *cur, int idx_num,
                        "%s: argument %d has an invalid type.", v->fname,
                        i + 1);
       return svt_set_error(&v->base, buf);
+    }
+  }
+
+  /* keep the parameter values: xColumn returns them for the hidden columns
+   * (required for duplicate-EQ post-filters; also what generate_series-style
+   * TVFs do) */
+  for (int i = 0; i < argc && i < 4; i++) {
+    c->args[i] = sqlite3_value_dup(argv[i]);
+    if (!c->args[i]) {
+      svt_free_args(c);
+      return SQLITE_NOMEM;
     }
   }
 
@@ -277,7 +305,11 @@ static int svt_column(sqlite3_vtab_cursor *cur, sqlite3_context *ctx,
     sqlite3_result_int64(ctx, c->ids[c->pos]);
   } else if (col == COL_DISTANCE) {
     sqlite3_result_double(ctx, c->dist[c->pos]);
-  } /* hidden columns: NULL */
+  } else if (col >= COL_TBL && col <= COL_MEMIDX && c->args[col]) {
+    /* hidden parameter columns echo their filter arguments (so duplicate
+     * EQ terms post-filter to true); unfiltered/absent ones stay NULL */
+    sqlite3_result_value(ctx, c->args[col]);
+  }
   return SQLITE_OK;
 }
 

@@ -19,9 +19,10 @@ Public API (see also sqlite_vector_tpu.sqlite for the SQLite-compatible
 surface mirroring the reference's SQL functions).
 """
 
+# NOTE: the persistent XLA compile cache is enabled lazily at first engine
+# use (Dataset.__init__ -> utils.compile_cache.ensure_persistent_cache), not
+# at import — importing this package must not mutate process-wide JAX config.
 from sqlite_vector_tpu.utils.compile_cache import enable_persistent_cache
-
-enable_persistent_cache()
 
 from sqlite_vector_tpu.types import (
     VectorType,

@@ -196,6 +196,13 @@ class Dataset:
             raise VectorConfigError(
                 f"storage must be 'hbm' or 'host', got '{storage}'"
             )
+        # first engine use: turn on the persistent XLA compile cache (lazy —
+        # importing the package alone never touches process-wide JAX config)
+        from sqlite_vector_tpu.utils.compile_cache import (
+            ensure_persistent_cache,
+        )
+
+        ensure_persistent_cache()
         self.name = name
         self.options = options
         # 'hbm' pins the matrix on device (the reference's preloaded mode);

@@ -134,8 +134,15 @@ def streaming_scan_topk(
         t = np.ascontiguousarray(host_vectors[start : start + rows])
         m = None
         if row_mask is not None:
+            # Clamp to the mask actually captured: a concurrent add() can
+            # grow valid_count past len(row_mask) between the lock-free mask
+            # build and this scan (same transient skew Dataset._pad_mask
+            # absorbs). Rows past the captured mask stay excluded for this
+            # query instead of raising a broadcast error.
             m = np.zeros((tile_rows,), bool)
-            m[:rows] = row_mask[start : start + rows]
+            e = min(start + rows, len(row_mask))
+            if e > start:
+                m[: e - start] = row_mask[start:e]
         if rows < tile_rows:  # zero-pad: single compiled shape for all tiles
             t = np.concatenate(
                 [t, np.zeros((tile_rows - rows, t.shape[1]), t.dtype)]

@@ -67,6 +67,10 @@ class BatchingSearcher:
         self.fallback_exact = fallback_exact
         self._queue: queue.Queue = queue.Queue()
         self._closed = False
+        # serializes the _closed check-then-enqueue in submit() against
+        # close(): without it a racing submit could enqueue after close()'s
+        # drain and block that caller on Future.result() forever
+        self._lifecycle_lock = threading.Lock()
         self._thread = threading.Thread(target=self._run, daemon=True)
         self._thread.start()
 
@@ -83,15 +87,18 @@ class BatchingSearcher:
         mode overrides `exact` with the full Dataset.search mode set
         (exact | quantized | rerank | approx); queries coalesce only with
         same-(k, mode) peers since they share one device dispatch."""
-        if self._closed:
-            raise RuntimeError("BatchingSearcher is closed")
         if mode is None:
             mode = "exact" if exact else "quantized"
         q, _ = self.dataset._coerce_queries(query)
         if q.shape[0] != 1:
             raise ValueError("submit() takes a single query; use search_many")
         fut: Future = Future()
-        self._queue.put((q[0], k, mode, fut))
+        # the closed-check and the enqueue must be atomic vs close() —
+        # see _lifecycle_lock (the put is non-blocking: unbounded queue)
+        with self._lifecycle_lock:
+            if self._closed:
+                raise RuntimeError("BatchingSearcher is closed")
+            self._queue.put((q[0], k, mode, fut))
         return fut
 
     def search(
@@ -106,11 +113,13 @@ class BatchingSearcher:
         return self.submit(query, k, exact=exact, mode=mode).result()
 
     def close(self) -> None:
-        self._closed = True
-        self._queue.put(None)
+        with self._lifecycle_lock:
+            self._closed = True
+            self._queue.put(None)
         self._thread.join(timeout=5)
-        # a submit() racing close() can land behind the sentinel; fail its
-        # future instead of leaving the caller blocked on result() forever
+        # any submit() that won the race enqueued BEFORE the sentinel (the
+        # lock orders it before _closed was set); fail leftover futures
+        # instead of leaving callers blocked on result() forever
         while True:
             try:
                 item = self._queue.get_nowait()

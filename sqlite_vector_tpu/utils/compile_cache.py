@@ -7,13 +7,22 @@ function-pointer table at extension load). Our kernels are XLA-compiled per
 or quantize graph costs seconds (tens of seconds on a tunneled device, where
 compilation round-trips to the remote compiler). To give users the same
 instant-start experience, the package enables JAX's persistent compilation
-cache by default: compiled executables are serialized to disk keyed by HLO +
-compile options + compiler version, so every process after the first pays
-only a disk read.
+cache at FIRST ENGINE USE (Dataset construction) — not at import, so merely
+importing the package never changes process-wide JAX config.
 
-Controls (read once at import):
-  SVT_COMPILE_CACHE=<dir>   cache directory (default ~/.cache/sqlite_vector_tpu/xla)
+Controls (read at each call):
+  SVT_COMPILE_CACHE=<dir>   cache directory; explicit opt-in also lowers the
+                            min-compile-time/min-entry-size thresholds to 0
+                            so even sub-second compiles persist (what the
+                            test suite wants: reloading CPU executables cuts
+                            the suite ~4x)
   SVT_COMPILE_CACHE=0|off   disable entirely
+  (unset)                   default dir ~/.cache/sqlite_vector_tpu/xla, but
+                            JAX's own persistence thresholds are left at
+                            their defaults, so only substantial compiles are
+                            written — the directory stays bounded for
+                            applications that import this package alongside
+                            their own JAX code
 
 If the process already configured a cache (jax_compilation_cache_dir or the
 JAX_COMPILATION_CACHE_DIR env var), the package leaves it — and the user's
@@ -32,6 +41,23 @@ import os
 _DEFAULT_DIR = os.path.join(
     os.path.expanduser("~"), ".cache", "sqlite_vector_tpu", "xla"
 )
+
+_ensured = False
+
+
+def ensure_persistent_cache() -> str | None:
+    """Idempotent lazy enablement, called at first engine use
+    (Dataset.__init__). Returns the cache dir in use (or None)."""
+    global _ensured
+    if _ensured:
+        try:
+            import jax
+
+            return getattr(jax.config, "jax_compilation_cache_dir", None)
+        except Exception:
+            return None
+    _ensured = True
+    return enable_persistent_cache()
 
 
 def enable_persistent_cache() -> str | None:
@@ -65,10 +91,13 @@ def enable_persistent_cache() -> str | None:
                 _cc.reset_cache()
             except Exception:
                 pass
-        # Cache everything: the default 1s/small-entry thresholds skip the
-        # many sub-second CPU-backend compiles that dominate test startup.
-        jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.0)
-        jax.config.update("jax_persistent_cache_min_entry_size_bytes", 0)
+        if raw:
+            # Explicit opt-in: cache everything, including the many
+            # sub-second CPU-backend compiles (test-suite startup).
+            jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.0)
+            jax.config.update("jax_persistent_cache_min_entry_size_bytes", 0)
+        # default (no env var): keep JAX's own thresholds so the directory
+        # only accumulates substantial compiles
     except Exception:
         return None
     return cache_dir

@@ -16,6 +16,16 @@ import os
 # XLA logs a (benign, same-machine) machine-feature E-line per reloaded CPU
 # executable; pytest captures it, so it only appears in failing-test output.
 
+# Explicit SVT_COMPILE_CACHE opt-in lowers the persistence thresholds to 0
+# so the suite's many sub-second CPU compiles are reloaded across processes
+# (the default/implicit mode keeps JAX's own thresholds — see compile_cache).
+os.environ.setdefault(
+    "SVT_COMPILE_CACHE",
+    os.path.join(
+        os.path.expanduser("~"), ".cache", "sqlite_vector_tpu", "xla"
+    ),
+)
+
 flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in flags:
     os.environ["XLA_FLAGS"] = (

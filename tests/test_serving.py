@@ -51,6 +51,43 @@ def test_batching_searcher_concurrent(ds, rng):
         searcher.close()
 
 
+def test_submit_close_race_never_hangs(ds):
+    # submit() racing close(): either the future resolves/fails or submit
+    # raises — no caller may be left blocked on result() forever (round-2
+    # ADVICE: the closed-check + enqueue must be atomic vs close's drain).
+    base = ds._host_vectors[: len(ds)]
+    for _ in range(20):
+        searcher = BatchingSearcher(ds, max_wait_ms=0.5)
+        futures, raised = [], []
+        barrier = threading.Barrier(2)
+
+        def submitter():
+            barrier.wait()
+            for i in range(50):
+                try:
+                    futures.append(searcher.submit(base[i % 10], 2))
+                except RuntimeError:
+                    raised.append(i)
+                    break
+
+        t = threading.Thread(target=submitter)
+        t.start()
+        barrier.wait()
+        searcher.close()
+        t.join(timeout=10)
+        assert not t.is_alive()
+        for f in futures:
+            # every accepted future resolves (result or exception) promptly
+            try:
+                f.result(timeout=10)
+            except Exception:
+                pass
+            assert f.done()
+    # after close, submit always raises
+    with pytest.raises(RuntimeError, match="closed"):
+        searcher.submit(base[0], 2)
+
+
 def test_batching_searcher_mixed_k(ds):
     base = ds._host_vectors[: len(ds)]
     searcher = BatchingSearcher(ds, max_wait_ms=5)

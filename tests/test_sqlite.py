@@ -1093,21 +1093,54 @@ def test_tvf_cursor_refilter_in_nested_loop(tmp_path, data):
 
 @pytest.mark.skipif(not _vtab_available(), reason="vtab extension unavailable")
 def test_tvf_duplicate_constraint_on_hidden_column(tmp_path, data):
-    """A WHERE term duplicating a TVF argument's hidden column binds
-    contradictory values to one argv slot; the plan is declared infeasible
-    (clear 'no query solution') instead of SQLite's 'xBestIndex malfunction'
-    (which the C reference hits) or a silent mis-bind."""
+    """A WHERE term duplicating a TVF argument's hidden column: the first EQ
+    binds the argv slot, the duplicate is left unconsumed and evaluates as an
+    ordinary post-filter against the hidden column's echoed argument value —
+    a matching value keeps every row (like the reference, which binds one and
+    runs), a contradictory one filters to zero rows; neither fails the plan
+    (the C reference hits 'xBestIndex malfunction' here)."""
     c = svs.connect(str(tmp_path / "dup.db"))
     c.execute("CREATE TABLE t (v BLOB)")
     c.executemany("INSERT INTO t(v) VALUES (?)", ((r.tobytes(),) for r in data))
     c.commit()
     c.vector_init("t", "v", f"type=FLOAT32,dimension={DIM}")
-    with pytest.raises(sqlite3.OperationalError, match="no query solution"):
-        c.execute(
+    # duplicated table-name argument, identical value: one EQ binds the argv
+    # slot, the duplicate post-filters to true — full results
+    rows = c.execute(
+        "SELECT rowid, distance FROM vector_full_scan('t','v',?,5) "
+        "WHERE tbl = 't'",
+        (data[2].tobytes(),),
+    ).fetchall()
+    assert rows[0][0] == 3 and len(rows) == 5
+    # duplicate on the k slot (hidden column 'memidx' per the reference's
+    # positional naming quirk), identical value: still full results
+    rows = c.execute(
+        "SELECT rowid, distance FROM vector_full_scan('t','v',?,5) "
+        "WHERE memidx = 5",
+        (data[2].tobytes(),),
+    ).fetchall()
+    assert rows[0][0] == 3 and len(rows) == 5
+    # contradictory duplicate: whichever EQ binds, the other post-filters
+    # against the echoed argument and fails -> zero rows (never a plan error)
+    rows = c.execute(
+        "SELECT rowid, distance FROM vector_full_scan('t','v',?,5) "
+        "WHERE memidx = 6",
+        (data[2].tobytes(),),
+    ).fetchall()
+    assert rows == []
+    # a WHERE term putting the WRONG TYPE on an argument slot (hidden column
+    # 'k' is the vector slot): either the TVF argument binds (clean run,
+    # post-filter false -> zero rows) or the WHERE term binds (clear
+    # argument-type error) — never SQLite's 'xBestIndex malfunction'
+    try:
+        rows = c.execute(
             "SELECT rowid, distance FROM vector_full_scan('t','v',?,5) "
             "WHERE k = 5",
             (data[2].tobytes(),),
         ).fetchall()
+        assert rows == []
+    except sqlite3.OperationalError as e:
+        assert "invalid type" in str(e)
     # and the plain query still plans fine
     rows = c.execute(
         "SELECT rowid, distance FROM vector_full_scan('t','v',?,5)",

@@ -40,6 +40,26 @@ def test_streaming_k_exceeds_tile(rng):
     np.testing.assert_array_equal(np.asarray(idx)[0], oidx[0])
 
 
+def test_streaming_topk_mask_shorter_than_count(rng):
+    # Concurrent-add skew: the lock-free mask snapshot can be SHORTER than
+    # the valid_count read later (Dataset.search builds the mask, then the
+    # host-storage path re-reads self._count). Rows past the captured mask
+    # must be excluded for this query — not raise a broadcast ValueError
+    # (round-2 ADVICE finding).
+    n, dim, k = 1000, 16, 10
+    base = rng.standard_normal((n, dim)).astype(np.float32)
+    q = base[:1].copy()
+    stale = 700  # mask captured before 300 rows were appended
+    mask = np.ones((stale,), bool)
+    mask[0] = False  # also exclude the query row itself
+    vals, idx = streaming_scan_topk(
+        q, base, DistanceMetric.L2, k, valid_count=n, row_mask=mask,
+        tile_rows=256,
+    )
+    oidx, _ = _oracle_topk(base[1:stale], q, DistanceMetric.L2, k)
+    np.testing.assert_array_equal(np.asarray(idx)[0], oidx[0] + 1)
+
+
 def test_streaming_distances(rng):
     n, dim = 2500, 32
     base = rng.standard_normal((n, dim)).astype(np.float32)

@@ -58,6 +58,42 @@ def test_sqlite_wrap_existing_connection(tmp_path, rng):
     assert raw.execute("SELECT vector_version()").fetchone()[0]
 
 
+def test_import_does_not_enable_cache(tmp_path):
+    # Importing the package must not mutate process-wide JAX cache config
+    # (round-2 ADVICE: apps importing us had their own sub-second compiles
+    # persisted into an unbounded dir). First Dataset construction enables
+    # the cache lazily — and the implicit default keeps JAX's own
+    # persistence thresholds.
+    import os
+    import subprocess
+    import sys
+
+    code = (
+        "import jax\n"
+        "jax.config.update('jax_platforms', 'cpu')\n"
+        "import sqlite_vector_tpu as svt\n"
+        "assert not getattr(jax.config, 'jax_compilation_cache_dir', None), \\\n"
+        "    'import alone must not set the cache dir'\n"
+        "svt.VectorStore().create('t', 'dimension=4,type=FLOAT32')\n"
+        "assert jax.config.jax_compilation_cache_dir\n"
+        "assert jax.config.jax_persistent_cache_min_compile_time_secs > 0, \\\n"
+        "    'implicit default must keep JAX persistence thresholds'\n"
+    )
+    env = {
+        k: v
+        for k, v in os.environ.items()
+        if k not in ("SVT_COMPILE_CACHE", "JAX_COMPILATION_CACHE_DIR")
+    }
+    r = subprocess.run(
+        [sys.executable, "-c", code],
+        env=env,
+        capture_output=True,
+        text=True,
+        timeout=180,
+    )
+    assert r.returncode == 0, r.stderr
+
+
 def test_persistent_compile_cache_config(tmp_path, monkeypatch):
     # enable_persistent_cache respects the env override and returns the dir
     from sqlite_vector_tpu.utils.compile_cache import enable_persistent_cache
