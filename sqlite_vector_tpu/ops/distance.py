@@ -168,7 +168,11 @@ def compose_float(
 
 
 def partial_components(
-    q: jnp.ndarray, b: jnp.ndarray, metric: DistanceMetric
+    q: jnp.ndarray,
+    b: jnp.ndarray,
+    metric: DistanceMetric,
+    *,
+    with_b_sq: bool = True,
 ) -> tuple[jnp.ndarray, jnp.ndarray | None, jnp.ndarray | None]:
     """Per-feature-slice partial sums for the 2-D (rows x dim) mesh scan.
 
@@ -179,6 +183,10 @@ def partial_components(
       DOT:         main = partial dot                (no norms)
       L2/COSINE:   main = partial dot, plus partial squared norms
     Integer inputs produce exact int32 partials.
+
+    with_b_sq=False skips the base-norm pass (an O(N*d/c) HBM read) when
+    the caller holds a cached full-dim b_sq — the 2-D-mesh analogue of the
+    1-D path's _exact_sq_norms/quant.sq_norms caches.
     """
     if _is_int(q) or _is_int(b):
         if metric is DistanceMetric.L1:
@@ -198,7 +206,11 @@ def partial_components(
         if metric is DistanceMetric.DOT:
             return dot, None, None
         q_sq = jnp.sum(q.astype(jnp.int32) * q.astype(jnp.int32), axis=-1)
-        b_sq = jnp.sum(b.astype(jnp.int32) * b.astype(jnp.int32), axis=-1)
+        b_sq = (
+            jnp.sum(b.astype(jnp.int32) * b.astype(jnp.int32), axis=-1)
+            if with_b_sq
+            else None
+        )
         return dot, q_sq, b_sq
 
     acc = jnp.float32
@@ -218,8 +230,11 @@ def partial_components(
     if metric is DistanceMetric.DOT:
         return dot, None, None
     qf = q.astype(acc)
+    q_sq = jnp.sum(qf * qf, axis=-1)
+    if not with_b_sq:
+        return dot, q_sq, None
     bf = b.astype(acc)
-    return dot, jnp.sum(qf * qf, axis=-1), jnp.sum(bf * bf, axis=-1)
+    return dot, q_sq, jnp.sum(bf * bf, axis=-1)
 
 
 def _pairwise_int(

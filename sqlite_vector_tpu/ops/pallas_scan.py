@@ -54,6 +54,15 @@ _TILE_VMEM_BUDGET = 8 * 1024 * 1024
 
 # Caps before falling back to the XLA scan.
 MAX_B = 1024
+# Batched L1 stays on the XLA path BY MEASUREMENT (round 3, real v5e): a
+# feature-chunked vectorization ([B, TILE_N, C] broadcast accumulating into
+# a [B, TILE_N] running sum) spilled 372.64 MB of register-allocator slots
+# against the 128 MB VMEM (XLA:TPU "Ran out of memory in memory space vmem")
+# after a 19-minute Mosaic compile at B=16 — Mosaic keeps every chunk cube
+# live across the accumulation, where XLA's fusion emitter streams the same
+# cube through the reduction without materializing it. The per-query-row
+# unroll below is VMEM-safe but its code size is O(B); the cap keeps it in
+# the small-batch regime where it measured fastest.
 MAX_B_L1 = 32
 MAX_K = 1024
 
@@ -156,8 +165,11 @@ def _distance_block(q, tile, bsq, metric: DistanceMetric, is_int: bool):
         acc = jnp.int32 if is_int else jnp.float32
         qf = q.astype(acc)
         tf = tile.astype(acc)
+        # one [TILE_N, d] VPU pass per query row (static unroll, B capped by
+        # MAX_B_L1 — see the cap's comment for the measured reason a
+        # vectorized batched form cannot live in VMEM)
         rows = []
-        for i in range(b_pad):  # static unroll, B capped by MAX_B_L1
+        for i in range(b_pad):
             rows.append(
                 jnp.sum(jnp.abs(tf - qf[i][None, :]), axis=-1, dtype=acc)
             )

@@ -252,23 +252,40 @@ def _sharded_scan_distances_impl(
 # ---------------------------------------------------------------------------
 
 
-def _compose_2d(q, b, metric, dim_axis):
+def _compose_2d(q, b, metric, dim_axis, b_sq=None):
     """Distances on a (rows, dim) chip: partial components over the local
     feature slice, psum over `dim` (every metric is dim-separable; int32
-    partials stay exact), metric composition shared with the 1-chip path."""
-    main, q_sq, b_sq = partial_components(q, b, metric)
+    partials stay exact), metric composition shared with the 1-chip path.
+
+    `b_sq` (full-dim row sq-norms for the LOCAL row shard, replicated
+    across the dim groups) skips the per-scan base-norm pass — the cached
+    analogue of the 1-D path's base_sq_norms (an extra O(N*d/c) HBM read
+    per L2/COSINE scan otherwise)."""
+    main, q_sq, pb_sq = partial_components(
+        q, b, metric, with_b_sq=b_sq is None
+    )
     main = jax.lax.psum(main, dim_axis)
     if q_sq is not None:
         q_sq = jax.lax.psum(q_sq, dim_axis)
-        b_sq = jax.lax.psum(b_sq, dim_axis)
+        b_sq = jax.lax.psum(pb_sq, dim_axis) if b_sq is None else b_sq
     if metric is DistanceMetric.L1:
         if jnp.issubdtype(main.dtype, jnp.integer):
             return main.astype(jnp.float32)
         # same nearly-zero snap as every other float path
         return _snap(main)
     if jnp.issubdtype(main.dtype, jnp.integer):
+        # exact-integer contract (see ops.distance._pairwise_int): a float
+        # cache would already be rounded above 2^24 — require int32
+        if b_sq is not None and b_sq.dtype != jnp.int32:
+            b_sq = jnp.sum(
+                b.astype(jnp.int32) * b.astype(jnp.int32), axis=-1
+            )
+            b_sq = jax.lax.psum(b_sq, dim_axis)
         return compose_int(metric, main, q_sq, b_sq)
-    return compose_float(metric, main, q_sq, b_sq)
+    return compose_float(
+        metric, main, q_sq,
+        None if b_sq is None else b_sq.astype(jnp.float32),
+    )
 
 
 def _local_topk_merge_2d(
@@ -276,6 +293,7 @@ def _local_topk_merge_2d(
     b: jnp.ndarray,
     valid: jnp.ndarray,
     mask: jnp.ndarray | None = None,
+    b_sq: jnp.ndarray | None = None,
     *,
     metric: DistanceMetric,
     k: int,
@@ -287,7 +305,7 @@ def _local_topk_merge_2d(
     dim-separable), compose, local top-k, then the candidate merge over
     `rows`. The merge runs redundantly on every dim-group chip — it is
     O(B·k·R), negligible next to the scan."""
-    dist = _sanitize_nan(_compose_2d(q, b, metric, dim_axis))
+    dist = _sanitize_nan(_compose_2d(q, b, metric, dim_axis, b_sq))
     shard_rows = b.shape[0]
     start = (jax.lax.axis_index(rows_axis) * shard_rows).astype(jnp.int32)
     local_valid = jnp.clip(valid - start, 0, shard_rows)
@@ -307,11 +325,13 @@ def _local_topk_merge_2d(
 
 @functools.partial(
     jax.jit,
-    static_argnames=("metric", "k", "mesh", "rows_axis", "dim_axis", "has_mask"),
+    static_argnames=(
+        "metric", "k", "mesh", "rows_axis", "dim_axis", "has_mask", "has_sq"
+    ),
 )
 def _sharded_scan_topk_2d_impl(
-    queries, base, valid, row_mask, *,
-    metric, k, mesh, rows_axis, dim_axis, has_mask,
+    queries, base, valid, row_mask, base_sq_norms, *,
+    metric, k, mesh, rows_axis, dim_axis, has_mask, has_sq,
 ):
     body = functools.partial(
         _local_topk_merge_2d,
@@ -322,8 +342,20 @@ def _sharded_scan_topk_2d_impl(
     if has_mask:
         in_specs.append(P(rows_axis))
         args.append(row_mask)
+    if has_sq:
+        # full-dim norms: sharded over rows, replicated across dim groups
+        in_specs.append(P(rows_axis))
+        args.append(base_sq_norms)
+
+    def wrapper(q, b, v, *rest):
+        i = 0
+        m = rest[i] if has_mask else None
+        i += 1 if has_mask else 0
+        sq = rest[i] if has_sq else None
+        return body(q, b, v, m, sq)
+
     fn = shard_map(
-        body, mesh, in_specs=tuple(in_specs), out_specs=(P(), P())
+        wrapper, mesh, in_specs=tuple(in_specs), out_specs=(P(), P())
     )
     return fn(*args)
 
@@ -337,6 +369,7 @@ def sharded_scan_topk_2d(
     *,
     valid_count: jnp.ndarray | int | None = None,
     row_mask: jnp.ndarray | None = None,
+    base_sq_norms: jnp.ndarray | None = None,
     rows_axis: str = ROWS_AXIS,
     dim_axis: str = DIM_AXIS,
 ) -> tuple[jnp.ndarray, jnp.ndarray]:
@@ -351,6 +384,11 @@ def sharded_scan_topk_2d(
     supported on the dim-sharded path (route f16/bf16 non-finite datasets
     through the 1-D mesh).
 
+    base_sq_norms: optional FULL-dim row sq-norms ([Npad], sharded over
+    `rows_axis`, replicated across dim groups; int32 for integer codes) —
+    skips the per-scan base-norm pass for L2/COSINE, mirroring the 1-D
+    path's caches.
+
     Returns replicated (distances [B, k], global positions [B, k]).
     """
     n, dim = base.shape
@@ -363,10 +401,11 @@ def sharded_scan_topk_2d(
         )
     valid = jnp.asarray(n if valid_count is None else valid_count, jnp.int32)
     return _sharded_scan_topk_2d_impl(
-        queries, base, valid, row_mask,
+        queries, base, valid, row_mask, base_sq_norms,
         metric=metric, k=k, mesh=mesh,
         rows_axis=rows_axis, dim_axis=dim_axis,
         has_mask=row_mask is not None,
+        has_sq=base_sq_norms is not None,
     )
 
 
@@ -376,12 +415,14 @@ def sharded_scan_distances_2d(
     metric: DistanceMetric,
     mesh: Mesh,
     *,
+    base_sq_norms: jnp.ndarray | None = None,
     rows_axis: str = ROWS_AXIS,
     dim_axis: str = DIM_AXIS,
 ) -> jnp.ndarray:
     """Full [B, N] distance matrix on a (rows x dim) mesh: partial
     components psum'd over `dim`, result column-sharded over `rows`
-    (replicated across the dim groups). Streaming-vtab analogue."""
+    (replicated across the dim groups). Streaming-vtab analogue.
+    base_sq_norms as in sharded_scan_topk_2d."""
     n, dim = base.shape
     r = mesh.shape[rows_axis]
     c = mesh.shape[dim_axis]
@@ -391,17 +432,29 @@ def sharded_scan_distances_2d(
             f"evenly by the mesh ({r} x {c}); pad before sharding"
         )
     return _sharded_scan_distances_2d_impl(
-        queries, base, metric=metric, mesh=mesh,
+        queries, base, base_sq_norms, metric=metric, mesh=mesh,
         rows_axis=rows_axis, dim_axis=dim_axis,
+        has_sq=base_sq_norms is not None,
     )
 
 
 @functools.partial(
-    jax.jit, static_argnames=("metric", "mesh", "rows_axis", "dim_axis")
+    jax.jit,
+    static_argnames=("metric", "mesh", "rows_axis", "dim_axis", "has_sq"),
 )
 def _sharded_scan_distances_2d_impl(
-    queries, base, *, metric, mesh, rows_axis, dim_axis
+    queries, base, base_sq_norms, *, metric, mesh, rows_axis, dim_axis, has_sq
 ):
+    if has_sq:
+        fn = shard_map(
+            lambda q, b, sq: _compose_2d(q, b, metric, dim_axis, sq),
+            mesh,
+            in_specs=(
+                P(None, dim_axis), P(rows_axis, dim_axis), P(rows_axis)
+            ),
+            out_specs=P(None, rows_axis),
+        )
+        return fn(queries, base, base_sq_norms)
     fn = shard_map(
         lambda q, b: _compose_2d(q, b, metric, dim_axis),
         mesh,

@@ -205,6 +205,7 @@ def serve(
     max_batch: int = 64,
     max_wait_ms: float = 2.0,
     fallback_exact: bool = False,
+    max_request_bytes: int = 32 * 1024 * 1024,
 ):
     """Serve a Dataset — or a whole VectorStore — over JSON/HTTP.
 
@@ -213,6 +214,10 @@ def serve(
     registry, src/sqlite-vector.c:116-181); each dataset gets its own
     lazily-created BatchingSearcher. Returns the (started) HTTPServer; stop
     with server.close().
+
+    max_request_bytes bounds a single request body (default 32 MB — a few
+    thousand f64 JSON vectors); oversized requests get 413 without the body
+    being read into memory.
 
     POST /search   {"vector": [...], "k": 10, "exact": true,
                     "mode": "exact|quantized|rerank|approx" (optional),
@@ -299,6 +304,17 @@ def serve(
         def do_POST(self):
             try:
                 n = int(self.headers.get("Content-Length", 0))
+                if n > max_request_bytes:
+                    # refuse before reading the body into memory; close the
+                    # connection (the unread body would otherwise desync
+                    # keep-alive parsing)
+                    self.close_connection = True
+                    self._reply(
+                        413,
+                        {"error": f"request body {n} bytes exceeds the "
+                         f"{max_request_bytes}-byte limit"},
+                    )
+                    return
                 req = json.loads(self.rfile.read(n) or b"{}")
                 ds = resolve(req)
                 if self.path == "/search":

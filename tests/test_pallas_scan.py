@@ -113,7 +113,34 @@ def test_supports_predicate():
     assert supports(DistanceMetric.L2, np.float32, 384, 20, 8)
     assert supports(DistanceMetric.L2, np.float32, 384, 200, 8)  # k up to 1024
     assert not supports(DistanceMetric.L2, np.float32, 384, 2000, 8)  # k cap
-    assert not supports(DistanceMetric.L1, np.float32, 384, 20, 64)  # L1 batch cap
+    # batched L1 falls back to XLA BY MEASUREMENT (round 3): the vectorized
+    # kernel spilled 372 MB of VMEM registers on real hardware — see the
+    # MAX_B_L1 comment in pallas_scan.py
+    assert supports(DistanceMetric.L1, np.float32, 384, 20, 32)
+    assert not supports(DistanceMetric.L1, np.float32, 384, 20, 64)
+
+
+def test_l1_batched_unroll_matches_oracle(rng):
+    # exercises the multi-row unroll path (B within the MAX_B_L1 cap)
+    n, dim, b, k = 1500, 48, 16, 7
+    base = rng.standard_normal((n, dim)).astype(np.float32)
+    q = rng.standard_normal((b, dim)).astype(np.float32)
+    vals, idx = pallas_scan_topk(q, base, DistanceMetric.L1, k)
+    oidx, ovals = _oracle_topk(base, q, DistanceMetric.L1, VectorType.F32, k)
+    np.testing.assert_array_equal(np.asarray(idx), oidx)
+    np.testing.assert_allclose(np.asarray(vals), ovals, rtol=2e-4, atol=1e-3)
+
+
+def test_l1_batched_int_codes_exact(rng):
+    n, dim, b, k = 900, 32, 12, 5
+    codes = rng.integers(-128, 128, (n, dim)).astype(np.int8)
+    q = rng.integers(-128, 128, (b, dim)).astype(np.int8)
+    vals, idx = pallas_scan_topk(q, codes, DistanceMetric.L1, k)
+    ref = oracle.distance(q, codes, DistanceMetric.L1, VectorType.I8)
+    for bi in range(b):
+        order = np.argsort(ref[bi], kind="stable")[:k]
+        np.testing.assert_array_equal(np.asarray(idx)[bi], order)
+        np.testing.assert_array_equal(np.asarray(vals)[bi], ref[bi][order])
 
 
 def test_supports_rejects_vmem_overflow_dims():

@@ -119,3 +119,73 @@ def test_topk_ascending_large_n_matches_small_path(rng):
     np.testing.assert_array_equal(
         np.asarray(vals), np.take_along_axis(d, order, axis=-1)
     )
+
+
+def test_normalized_cosine_fast_path_matches_plain(rng):
+    """normalized=1 + COSINE scans as a pure dot (beyond-parity fast path;
+    the reference parses `normalized` and never uses it). On genuinely
+    unit-norm data the results must match the plain cosine path."""
+    import sqlite_vector_tpu as svt
+
+    data = rng.standard_normal((800, 32)).astype(np.float32)
+    data /= np.linalg.norm(data, axis=1, keepdims=True)
+    plain = svt.Dataset.from_arrays(
+        "p", data.copy(), options="dimension=32,type=FLOAT32,distance=COSINE"
+    )
+    fast = svt.Dataset.from_arrays(
+        "f", data.copy(),
+        options="dimension=32,type=FLOAT32,distance=COSINE,normalized=1",
+    )
+    for qi in (0, 5, 99):
+        q = data[qi]
+        ids_p, d_p = plain.search(q, 10)
+        ids_f, d_f = fast.search(q, 10)
+        assert set(ids_p.tolist()) == set(ids_f.tolist())
+        assert d_f[0] == 0.0  # self-distance snaps to exactly 0
+        np.testing.assert_allclose(d_f, d_p, rtol=1e-4, atol=1e-5)
+    # un-normalized query: the fast path normalizes it host-side, so the
+    # NEIGHBOR ORDER matches plain cosine (cosine is scale-invariant)
+    q = data[3] * 7.5
+    np.testing.assert_array_equal(
+        plain.search(q, 10)[0], fast.search(q, 10)[0]
+    )
+    # approx mode rides the same fast path
+    ids_a, d_a = fast.search(data[7], 5, mode="approx")
+    assert ids_a[0] == fast.ids[7] and d_a[0] == 0.0
+
+
+def test_normalized_cosine_zero_norm_rules(rng):
+    """Zero-norm queries and zero-norm base rows yield distance exactly 1.0
+    (the reference's zero-norm rule, src/distance-cpu.c:105-109), even on
+    the normalized fast path."""
+    import sqlite_vector_tpu as svt
+
+    data = rng.standard_normal((50, 8)).astype(np.float32)
+    data /= np.linalg.norm(data, axis=1, keepdims=True)
+    data[17] = 0.0  # a zero-norm base row (violates the user's assertion)
+    ds = svt.Dataset.from_arrays(
+        "z", data, options="dimension=8,type=FLOAT32,distance=COSINE,normalized=1"
+    )
+    # zero query: every distance is exactly 1.0
+    ids, dist = ds.search(np.zeros(8, np.float32), 50)
+    np.testing.assert_array_equal(dist, np.ones(50, np.float32))
+    # the zero base row scores exactly 1.0 for a normal query
+    ids, dist = ds.search(data[0], 50)
+    pos = list(ids).index(ds.ids[17])
+    assert dist[pos] == 1.0
+
+
+def test_normalized_flag_ignored_for_other_metrics(rng):
+    import sqlite_vector_tpu as svt
+
+    data = rng.standard_normal((100, 8)).astype(np.float32)
+    a = svt.Dataset.from_arrays(
+        "a", data.copy(), options="dimension=8,type=FLOAT32,distance=L2"
+    )
+    b = svt.Dataset.from_arrays(
+        "b", data.copy(),
+        options="dimension=8,type=FLOAT32,distance=L2,normalized=1",
+    )
+    q = data[42]
+    np.testing.assert_array_equal(a.search(q, 5)[0], b.search(q, 5)[0])
+    np.testing.assert_array_equal(a.search(q, 5)[1], b.search(q, 5)[1])

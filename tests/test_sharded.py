@@ -474,3 +474,79 @@ def test_sharded_2d_l1_snaps_nearly_zero(mesh2d, rng):
         sharded_scan_topk_2d(q, base, DistanceMetric.L1, 1, mesh2d)
     )
     assert idx[0][0] == 5 and vals[0][0] == 0.0
+
+
+@pytest.mark.parametrize("metric", METRICS)
+def test_sharded_2d_cached_norms_match_uncached(mesh2d, metric, rng):
+    """base_sq_norms on the 2-D path (rows-sharded, dim-replicated full-dim
+    norms) must give identical results to the per-scan norm computation —
+    float and int8 (round-2 VERDICT item 4)."""
+    from sqlite_vector_tpu.parallel import (
+        block_sharding_2d,
+        dim_sharding_2d,
+        sharded_scan_topk_2d,
+    )
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    n, d, b, k = 4 * 40, 64, 3, 9
+    rows_axis = mesh2d.axis_names[0]
+    rows_shard = NamedSharding(mesh2d, P(rows_axis))
+    for dtype in (np.float32, np.int8):
+        if dtype is np.float32:
+            base_h = rng.standard_normal((n, d)).astype(np.float32)
+            q_h = rng.standard_normal((b, d)).astype(np.float32)
+            sq_h = np.sum(
+                base_h.astype(np.float64) ** 2, axis=-1
+            ).astype(np.float32)
+            # match the device computation exactly (f32 accumulation)
+            sq_h = np.sum(base_h * base_h, axis=-1, dtype=np.float32)
+        else:
+            base_h = rng.integers(-128, 128, (n, d)).astype(np.int8)
+            q_h = rng.integers(-128, 128, (b, d)).astype(np.int8)
+            sq_h = np.sum(base_h.astype(np.int32) ** 2, axis=-1)
+        base = jax.device_put(base_h, block_sharding_2d(mesh2d))
+        q = jax.device_put(q_h, dim_sharding_2d(mesh2d))
+        sq = jax.device_put(sq_h, rows_shard)
+        v0, i0 = jax.device_get(sharded_scan_topk_2d(q, base, metric, k, mesh2d))
+        v1, i1 = jax.device_get(
+            sharded_scan_topk_2d(q, base, metric, k, mesh2d, base_sq_norms=sq)
+        )
+        np.testing.assert_array_equal(i0, i1)
+        if dtype is np.int8 or metric in (DistanceMetric.DOT, DistanceMetric.L1):
+            np.testing.assert_array_equal(v0, v1)  # exact paths stay exact
+        else:
+            np.testing.assert_allclose(v0, v1, rtol=2e-5, atol=1e-6)
+
+
+def test_dataset_2d_mesh_norm_cache_reuse(mesh2d, rng):
+    """Dataset on a 2-D mesh caches exact and quantized base norms across
+    queries (was: an extra O(N*d/c) HBM pass per L2/COSINE scan)."""
+    from sqlite_vector_tpu.types import VectorOptions
+
+    d = 32
+    ds = svt.Dataset(
+        "dnc",
+        VectorOptions(dimension=d, distance=DistanceMetric.COSINE),
+        mesh=mesh2d,
+    )
+    base = rng.standard_normal((400, d)).astype(np.float32)
+    ids = ds.add(base)
+    got1, _ = ds.search(base[7], 5)
+    assert ds._sq_norms is not None and ds._sq_norms[0] is ds._vectors
+    cached = ds._sq_norms[1]
+    got2, _ = ds.search(base[7], 5)
+    assert ds._sq_norms[1] is cached  # reused, not recomputed
+    assert got1[0] == ids[7] == got2[0]
+    # quantized path: codes norms cached once too
+    ds.quantize()
+    a1, _ = ds.search(base[7], 5, exact=False)
+    qsq = ds._quant.sq_norms
+    assert qsq is not None
+    a2, _ = ds.search(base[7], 5, exact=False)
+    assert ds._quant.sq_norms is qsq
+    assert a1[0] == ids[7] == a2[0]
+    # mutation invalidates the exact cache (new matrix object)
+    ds.add(rng.standard_normal((8, d)).astype(np.float32))
+    got3, _ = ds.search(base[7], 5)
+    assert got3[0] == ids[7]
+    assert ds._sq_norms[0] is ds._vectors

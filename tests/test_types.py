@@ -96,9 +96,12 @@ def test_max_memory_suffixes():
     assert opts.max_memory == 50 * 1024 * 1024
 
 
-def test_normalized_parsed_but_unused():
+def test_normalized_parsed():
+    # the reference parses `normalized` and never uses it
+    # (src/sqlite-vector.c:966); we parse it identically AND exploit it for
+    # the cosine pure-dot fast path (test_search.py::test_normalized_cosine*)
     opts = parse_options("normalized=1,dimension=4")
-    assert opts.normalized is True  # parsed; never used in computation
+    assert opts.normalized is True
 
 
 def test_type_names_roundtrip():
