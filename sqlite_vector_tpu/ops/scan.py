@@ -179,23 +179,30 @@ def fused_scan_topk(
     """Backend-dispatching top-k scan (the single code path replacing the
     reference's 25-kernel dispatch table, src/distance-cpu.c:756-792).
 
-    Routing, by measurement on v5e: the XLA formulation (one matmul +
-    hierarchical top-k) wins while its [B, N] f32 intermediate fits the
-    budget; beyond that the Pallas fused kernel takes over — it never
-    materializes the distance matrix, so its footprint is O(B·k) regardless
-    of N. Masked (filtered) searches use the XLA path."""
+    Routing, by measurement on v5e (round 3, tools/probe_bn.py): the XLA
+    formulation wins EVERYWHERE — un-tiled (one matmul + hierarchical
+    top-k) while its [B, N] f32 intermediate fits the budget, lax.scan row
+    tiles beyond it. The large-B*N regime the Pallas manual-DMA kernel was
+    reserved for (r2) was re-measured head-to-head: at B=64 x N=1M the two
+    are equal (62.9 vs 63.5 ms) with Pallas paying a 262 s Mosaic compile,
+    and at B>=256 (or B=64 x N=4M) the Pallas kernel FAILS to compile on
+    this toolchain (remote tpu_compile_helper 500, VMEM register spills) —
+    while the tiled XLA path is within noise of the un-tiled formulation
+    at those batch sizes (B=256 x N=1M: 71.6 vs 70.0 ms). The Pallas
+    kernel remains available behind SVT_FORCE_PALLAS=1 for future
+    hardware/toolchains where Mosaic DMA may win; re-probe with
+    tools/probe_bn.py + tools/probe_pallas_sweep.py before promoting it."""
     from sqlite_vector_tpu.ops import pallas_scan
 
     import os
 
     b = queries.shape[0]
     n = base.shape[0]
-    intermediate_ok = 4 * b * n <= INTERMEDIATE_BUDGET
     force = os.environ.get("SVT_FORCE_PALLAS") == "1"
     if (
-        row_mask is None
+        force
+        and row_mask is None
         and policy_vtype is None
-        and (force or not intermediate_ok)
         and pallas_scan.enabled()
         and pallas_scan.supports(metric, base.dtype, base.shape[1], k, b, n)
     ):

@@ -42,6 +42,10 @@ def main() -> None:
     ap.add_argument("--fallback", action="store_true",
                     help="BatchingSearcher(fallback_exact=True): serve exact "
                     "results during requantization windows instead of erroring")
+    ap.add_argument("--http", action="store_true",
+                    help="drive the load through the real JSON/HTTP endpoint "
+                    "(serve()) instead of the in-process BatchingSearcher — "
+                    "includes HTTP framing/JSON costs in every latency")
     ap.add_argument("--cpu", action="store_true")
     args = ap.parse_args()
 
@@ -76,14 +80,51 @@ def main() -> None:
             ds.search(warm[:b], args.k, mode=m)
     print("# warmup done", flush=True)
 
-    searcher = BatchingSearcher(
-        ds, max_batch=args.max_batch, max_wait_ms=args.max_wait_ms,
-        fallback_exact=args.fallback,
-    )
+    server = None
+    if args.http:
+        from sqlite_vector_tpu.serving import serve
+
+        server = serve(
+            ds, port=0, max_batch=args.max_batch,
+            max_wait_ms=args.max_wait_ms, fallback_exact=args.fallback,
+        )
+        port = server.server_address[1]
+        url = f"http://127.0.0.1:{port}/search"
+        searcher = None
+        print(f"# serving over HTTP on :{port}", flush=True)
+    else:
+        searcher = BatchingSearcher(
+            ds, max_batch=args.max_batch, max_wait_ms=args.max_wait_ms,
+            fallback_exact=args.fallback,
+        )
     stop = threading.Event()
     lat: dict[str, list] = {m: [] for m in modes}
     lat_lock = threading.Lock()
     counters = {"ok": 0, "state_err": 0, "errors": []}
+
+    def do_search(q: np.ndarray, mode: str):
+        if searcher is not None:
+            return searcher.search(q, args.k, mode=mode)
+        import json as _json
+        import urllib.error
+        import urllib.request
+
+        req = urllib.request.Request(
+            url,
+            data=_json.dumps(
+                {"vector": q.tolist(), "k": args.k, "mode": mode}
+            ).encode(),
+            headers={"Content-Type": "application/json"},
+        )
+        try:
+            with urllib.request.urlopen(req, timeout=120) as r:
+                out = _json.loads(r.read())
+        except urllib.error.HTTPError as e:
+            body = e.read().decode(errors="replace")
+            if "VectorStateError" in body:
+                raise VectorStateError(body) from None
+            raise RuntimeError(f"HTTP {e.code}: {body[:200]}") from None
+        return np.asarray(out["ids"]), np.asarray(out["distances"])
 
     def client(seed: int) -> None:
         crng = np.random.default_rng(seed)
@@ -94,7 +135,7 @@ def main() -> None:
             j += 1
             t = time.perf_counter()
             try:
-                ids, dist = searcher.search(q, args.k, mode=mode)
+                ids, dist = do_search(q, mode)
                 # inside the try: a correctness violation must be COUNTED,
                 # not silently kill this client thread
                 assert np.all(np.diff(dist) >= 0), "unsorted distances"
@@ -153,7 +194,10 @@ def main() -> None:
         t.join(timeout=120)
     elapsed = time.perf_counter() - t0
 
-    searcher.close()
+    if server is not None:
+        server.close()
+    else:
+        searcher.close()
     gc.collect()
     live1 = jax.live_arrays()
     bytes1, count1 = sum(a.nbytes for a in live1), len(live1)
@@ -163,7 +207,7 @@ def main() -> None:
         return float(np.percentile(np.asarray(xs) * 1e3, p)) if xs else -1.0
 
     out = {
-        "metric": "serving_soak",
+        "metric": "serving_soak_http" if args.http else "serving_soak",
         "backend": svt.backend(),
         "n": args.n,
         "dim": args.dim,
