@@ -1103,9 +1103,14 @@ class Dataset:
                 policy
             ):
                 # the fast path scanned -dot; shift to 1 - dot on the host
-                # (free; the order was already correct) and re-apply the
-                # nearly-zero snap so self-distances are exactly 0
-                vals = np.where(np.isposinf(vals), vals, vals + 1.0)
+                # (free; the order was already correct), clamp into the
+                # reference's cosine range (it clamps cos to [-1, 1],
+                # src/distance-cpu.c:463-465 — narrow-dtype rounding can
+                # push a self-dot past 1), and re-apply the nearly-zero
+                # snap so self-distances are exactly 0
+                vals = np.where(
+                    np.isposinf(vals), vals, np.clip(vals + 1.0, 0.0, 2.0)
+                )
                 vals = np.where(
                     np.abs(vals) <= _NEARLY_ZERO, 0.0, vals
                 ).astype(np.float32)

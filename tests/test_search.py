@@ -189,3 +189,48 @@ def test_normalized_flag_ignored_for_other_metrics(rng):
     q = data[42]
     np.testing.assert_array_equal(a.search(q, 5)[0], b.search(q, 5)[0])
     np.testing.assert_array_equal(a.search(q, 5)[1], b.search(q, 5)[1])
+
+
+def test_normalized_cosine_fast_path_f16_and_host_and_mesh(rng):
+    """The fast path must hold across storage dtypes and layouts: f16
+    storage, host (streaming) storage, and a 1-D mesh."""
+    import jax
+
+    import sqlite_vector_tpu as svt
+
+    data = rng.standard_normal((600, 32)).astype(np.float32)
+    data /= np.linalg.norm(data, axis=1, keepdims=True)
+    q = data[11]
+
+    f16 = svt.Dataset.from_arrays(
+        "nf16", data.astype(np.float16),
+        options="dimension=32,type=FLOAT16,distance=COSINE,normalized=1",
+    )
+    ids, dist = f16.search(q, 5)
+    assert ids[0] == f16.ids[11] and dist[0] == 0.0
+
+    host = svt.Dataset(
+        "nhost",
+        svt.parse_options("dimension=32,type=FLOAT32,distance=COSINE,normalized=1"),
+        storage="host",
+    )
+    hids = host.add(data)
+    ids, dist = host.search(q, 5)
+    assert ids[0] == hids[11] and dist[0] == 0.0
+    plain = svt.Dataset.from_arrays(
+        "nplain", data.copy(), options="dimension=32,type=FLOAT32,distance=COSINE"
+    )
+    np.testing.assert_array_equal(ids, plain.search(q, 5)[0])
+
+    mesh = svt.make_mesh()
+    m = svt.Dataset(
+        "nmesh",
+        svt.parse_options("dimension=32,type=FLOAT32,distance=COSINE,normalized=1"),
+        mesh=mesh,
+    )
+    mids = m.add(data)
+    ids, dist = m.search(q, 5)
+    assert ids[0] == mids[11] and dist[0] == 0.0
+    np.testing.assert_allclose(
+        dist, plain.search(q, 5)[1], rtol=1e-4, atol=1e-5
+    )
