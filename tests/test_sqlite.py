@@ -1269,3 +1269,43 @@ def test_sql_surface_on_2d_mesh(tmp_path, rng):
     assert rows2[0][0] == 5
     c2.close()
     c.close()
+
+
+@pytest.mark.skipif(
+    not (os.path.exists(REF_SO) and _vtab_available()),
+    reason="compiled C reference / vtab unavailable",
+)
+def test_normalized_cosine_interop_with_c_reference(tmp_path, rng):
+    """normalized=1 + COSINE: the C reference parses the flag and computes
+    plain cosine; our engine scans a pure dot. On unit-norm data both must
+    return the same neighbor sets and matching distances."""
+    dim = 24
+    data = rng.standard_normal((400, dim)).astype(np.float32)
+    data /= np.linalg.norm(data, axis=1, keepdims=True)
+    path = str(tmp_path / "norm.db")
+    c = svs.connect(path)
+    c.execute("CREATE TABLE t (v BLOB)")
+    c.executemany("INSERT INTO t(v) VALUES (?)", ((r.tobytes(),) for r in data))
+    c.commit()
+    c.vector_init(
+        "t", "v", f"type=FLOAT32,dimension={dim},distance=COSINE,normalized=1"
+    )
+    sql = "SELECT rowid, distance FROM vector_full_scan('t','v',?,10)"
+    q = data[7].tobytes()
+    ours = c.execute(sql, (q,)).fetchall()
+    c.close()
+    assert ours[0][0] == 8 and ours[0][1] == 0.0
+
+    rc = sqlite3.connect(path)
+    rc.enable_load_extension(True)
+    rc.load_extension(REF_SO[:-3])
+    rc.execute(
+        "SELECT vector_init('t','v',"
+        f"'type=FLOAT32,dimension={dim},distance=COSINE,normalized=1')"
+    )
+    theirs = rc.execute(sql, (q,)).fetchall()
+    rc.close()
+    assert [r[0] for r in ours] == [r[0] for r in theirs]
+    np.testing.assert_allclose(
+        [r[1] for r in ours], [r[1] for r in theirs], rtol=1e-4, atol=1e-5
+    )
