@@ -136,6 +136,19 @@ def _device_row_update(vectors, new_rows, start):
     return jax.lax.dynamic_update_slice_in_dim(vectors, new_rows, start, axis=0)
 
 
+@functools.partial(jax.jit, donate_argnums=(0,))
+def _device_row_update_donated(vectors, new_rows, start):
+    # donation IS safe here: the target is a freshly allocated padded buffer
+    # no search can reference yet (_upload_rows_padded) — in-place update
+    # keeps peak HBM at cap + one chunk instead of 2x cap
+    return jax.lax.dynamic_update_slice_in_dim(vectors, new_rows, start, axis=0)
+
+
+# bytes per host->device chunk in _upload_rows_padded (bounds the transient
+# footprint and keeps transfer progress observable/cancelable)
+_UPLOAD_CHUNK_BYTES = 512 << 20
+
+
 def _device_rows_scatter(vectors, pos, rows):
     """Scatter `rows` into `vectors` at row positions `pos` — the O(changed)
     device path for update() (same no-donation rationale as above)."""
@@ -861,6 +874,43 @@ class Dataset:
             return jax.device_put(arr, self._device)
         return jnp.asarray(arr)
 
+    def _upload_rows_padded(
+        self, rows: Any, count: int, cap: int
+    ) -> jnp.ndarray:
+        """Upload `count` rows into a [cap, dim] zero-padded device matrix,
+        transferring ONLY the real bytes — the capacity padding is written
+        on device. (Host-side padding uploaded the zeros too: the 10M x 768
+        int8 preload moved 12.9 GB for 7.7 GB of codes, a 20.7-minute
+        transfer on a slow-link day — measured round 3.) Rows stream in
+        chunks into a donated fresh buffer, so peak HBM is cap + one chunk.
+        Mesh layouts keep the host-side pad (padded rows must shard
+        consistently across devices)."""
+        dim = int(rows.shape[1]) if count else self.dimension
+        dtype = rows.dtype if count else self.dtype.np_dtype
+        if self._mesh is not None or count == 0 or cap <= count:
+            padded = np.zeros((cap, dim), dtype)
+            padded[:count] = rows[:count]
+            return self._put(padded)
+        # allocate the zeroed capacity ON device (jnp.zeros is an XLA
+        # computation, not a host transfer)
+        if self._device is not None:
+            with jax.default_device(self._device):
+                out = jnp.zeros((cap, dim), dtype)
+        else:
+            out = jnp.zeros((cap, dim), dtype)
+        chunk_rows = max(1, _UPLOAD_CHUNK_BYTES // max(dim * out.dtype.itemsize, 1))
+        put = (
+            (lambda a: jax.device_put(a, self._device))
+            if self._device is not None
+            else jnp.asarray
+        )
+        for s in range(0, count, chunk_rows):
+            e = min(s + chunk_rows, count)
+            out = _device_row_update_donated(
+                out, put(np.ascontiguousarray(rows[s:e])), s
+            )
+        return out
+
     def _put_query(self, arr: np.ndarray) -> jnp.ndarray:
         """Place a query batch (replicated over rows; dim-sharded on a 2-D
         mesh). NOTE: on 2-D meshes the zero dim-padding happens here, so
@@ -895,10 +945,11 @@ class Dataset:
         cur_cap = 0 if self._vectors is None else self._vectors.shape[0]
         if full or cap != cur_cap or self._mesh is not None:
             # capacity change or in-place row movement: full (re)upload at
-            # the new padded size
-            padded = np.zeros((cap, self.dimension), self.dtype.np_dtype)
-            padded[:count] = self._host_vectors[:count]
-            new_vecs = self._put(padded)
+            # the new padded size (only the real rows cross the link —
+            # capacity padding is zeroed on device)
+            new_vecs = self._upload_rows_padded(
+                self._host_vectors, count, cap
+            )
         else:
             # amortized append: device-side slice update of the new rows only
             # (no host->device transfer of the existing matrix)
@@ -1954,11 +2005,9 @@ class Dataset:
         """
         quant = self._require_quant("vector_quantize_preload")
         if quant.codes is not None and not isinstance(quant.codes, jnp.ndarray):
-            codes = np.asarray(quant.codes)
+            codes = quant.codes  # may be an on-disk memmap — stream chunks
             cap = _next_capacity(quant.count, self._mesh_size)
-            padded = np.zeros((cap, self.dimension), codes.dtype)
-            padded[: quant.count] = codes[: quant.count]
-            quant.codes = self._put(padded)
+            quant.codes = self._upload_rows_padded(codes, quant.count, cap)
             quant.sq_norms = None
 
     def drop_quantization(self) -> None:
@@ -2244,11 +2293,9 @@ class Dataset:
             codes = None
             count = q["count"]
             if os.path.exists(codes_path) and count:
-                host_codes = np.load(codes_path)
+                host_codes = np.load(codes_path, mmap_mode="r")
                 cap = _next_capacity(count, ds._mesh_size)
-                padded = np.zeros((cap, options.dimension), host_codes.dtype)
-                padded[:count] = host_codes
-                codes = ds._put(padded)
+                codes = ds._upload_rows_padded(host_codes, count, cap)
             qids_path = os.path.join(directory, "qids.npy")
             qids = np.load(qids_path) if os.path.exists(qids_path) else None
             ds._quant = _QuantState(
