@@ -39,10 +39,13 @@ def open_db() -> svs.VectorConnection:
         " embedding BLOB)"
     )
     conn.commit()
+    # normalized=1: embeddings are unit-norm (the embedders L2-normalize;
+    # index_dir re-normalizes defensively), so the engine scans cosine as a
+    # pure dot product — the fast path the reference parses but never uses
     conn.vector_init(
         "documents",
         "embedding",
-        f"type=FLOAT32,dimension={DIM},distance=COSINE",
+        f"type=FLOAT32,dimension={DIM},distance=COSINE,normalized=1",
     )
     return conn
 
@@ -61,6 +64,8 @@ def index_dir(conn: svs.VectorConnection, embedder, directory: str) -> None:
         return
     t0 = time.time()
     vecs = embedder.encode(texts)
+    norms = np.linalg.norm(vecs, axis=1, keepdims=True)
+    vecs = vecs / np.where(norms > 0, norms, 1.0)  # normalized=1 contract
     print(f"embedded {len(paths)} docs in {time.time() - t0:.2f}s "
           f"({embedder.name})")
     conn.executemany(
