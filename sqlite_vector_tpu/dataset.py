@@ -256,10 +256,20 @@ class Dataset:
                 from jax.sharding import NamedSharding, PartitionSpec
 
                 if storage == "host":
+                    # measured rationale (round 3, BASELINE.md): host
+                    # streaming is transport-bound — 33-41 MB/s sustained
+                    # link vs ~300 GB/s device-side scan, a ~10,000x gap.
+                    # A 2-D (rows x dim) factorization changes only how the
+                    # already->1000x-faster compute is laid out per tile,
+                    # moves the same bytes over the link, and adds a psum
+                    # per tile; rows-only sharding therefore suffices for
+                    # streamed tiles at any mesh shape.
                     raise VectorConfigError(
                         "storage='host' is not supported with a 2-D mesh — "
                         "host streaming shards tiles over rows only (use a "
-                        "1-D mesh, or hbm storage)."
+                        "1-D mesh, or hbm storage). Streamed scans are "
+                        "transport-bound, so a dim-sharded tile layout "
+                        "cannot help (see STATUS.md)."
                     )
                 self._mesh_2d = True
                 self._axes_2d = (axes[0], axes[1])
