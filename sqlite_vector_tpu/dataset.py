@@ -897,10 +897,16 @@ class Dataset:
         consistently across devices)."""
         dim = int(rows.shape[1]) if count else self.dimension
         dtype = rows.dtype if count else self.dtype.np_dtype
-        if self._mesh is not None or count == 0 or cap <= count:
+        if self._mesh is not None or self._row_sharding is not None or count == 0:
+            # sharded placements (mesh OR an explicit sharding= parameter)
+            # keep the host-side pad: the padded rows must land on devices
+            # consistently with _put's sharding
             padded = np.zeros((cap, dim), dtype)
             padded[:count] = rows[:count]
             return self._put(padded)
+        # single-device: chunked streaming even when cap == count (a
+        # power-of-two count would otherwise materialize a >RAM memmap
+        # in host RAM in one shot)
         # allocate the zeroed capacity ON device (jnp.zeros is an XLA
         # computation, not a host transfer)
         if self._device is not None:
@@ -1003,9 +1009,20 @@ class Dataset:
         cache = self._sq_norms
         if cache is not None and cache[0] is vecs:
             return cache[1]
-        norms = jax.jit(lambda x: jnp.sum(x * x, axis=-1))(
-            vecs.astype(jnp.float32)
-        )
+        if self.dtype in (VectorType.I8, VectorType.U8):
+            # integer-stored datasets: int32 sums — the exact-integer
+            # distance contract requires them (a float32 cache is already
+            # rounded above 2^24 and gets discarded/recomputed by both
+            # _pairwise_int and the 2-D compose, defeating the cache)
+            norms = jax.jit(
+                lambda x: jnp.sum(
+                    x.astype(jnp.int32) * x.astype(jnp.int32), axis=-1
+                )
+            )(vecs)
+        else:
+            norms = jax.jit(lambda x: jnp.sum(x * x, axis=-1))(
+                vecs.astype(jnp.float32)
+            )
         if self._mesh_2d:
             # full-dim norms, rows-sharded + replicated across dim groups:
             # the layout sharded_scan_*_2d consumes (the 2-D matrix carries
@@ -1143,26 +1160,36 @@ class Dataset:
                 if mode_eff in ("exact", "approx")
                 else None
             )
+            # ONE fast-path decision per query: _has_nonfinite is sticky but
+            # can flip mid-query under a concurrent non-finite add(); the
+            # scan's metric choice and the host-side shift below must agree
+            cosine_fast = mode_eff in (
+                "exact", "approx"
+            ) and self._cosine_dot_fast(policy, q)
 
             if mode_eff == "exact":
-                vals, idx = self._search_exact(q, k, mask, policy=policy)
+                vals, idx = self._search_exact(
+                    q, k, mask, policy=policy, cosine_fast=cosine_fast
+                )
             elif mode_eff == "quantized":
                 vals, idx = self._search_quantized(q, k, mask, quant=quant)
             elif mode_eff == "approx":
                 if policy is not None:
                     # lane-skip semantics need the exact policy kernels
-                    vals, idx = self._search_exact(q, k, mask, policy=policy)
+                    vals, idx = self._search_exact(
+                        q, k, mask, policy=policy, cosine_fast=cosine_fast
+                    )
                 else:
-                    vals, idx = self._search_approx(q, k, mask, recall_target)
+                    vals, idx = self._search_approx(
+                        q, k, mask, recall_target, cosine_fast=cosine_fast
+                    )
             else:
                 vals, idx = self._search_rerank(q, k, mask, expand, quant=quant)
 
             # single device->host fetch for both outputs (one round trip);
             # device_get returns numpy arrays directly
             vals, idx = jax.device_get((vals, idx))
-            if mode_eff in ("exact", "approx") and self._cosine_dot_fast(
-                policy
-            ):
+            if cosine_fast:
                 # the fast path scanned -dot; shift to 1 - dot on the host
                 # (free; the order was already correct), clamp into the
                 # reference's cosine range (it clamps cos to [-1, 1],
@@ -1300,7 +1327,9 @@ class Dataset:
         qa = q.astype(np.float32) if q.dtype.name == "bfloat16" else q
         return self.dtype if not bool(np.isfinite(qa).all()) else None
 
-    def _cosine_dot_fast(self, policy: "VectorType | None") -> bool:
+    def _cosine_dot_fast(
+        self, policy: "VectorType | None", q: np.ndarray | None = None
+    ) -> bool:
         """normalized=1 + COSINE: scan as a pure dot product (no norms, no
         sqrt, no divide) over unit-normalized queries; the host applies
         1 + (-dot) after the fetch (a monotonic shift — top-k order is
@@ -1309,12 +1338,25 @@ class Dataset:
         exploiting the user's assertion is a beyond-parity fast path with
         unchanged results on genuinely unit-norm data (zero-norm rows and
         queries still yield distance 1.0, matching the reference's
-        zero-norm rule, src/distance-cpu.c:105-109)."""
-        return (
+        zero-norm rule, src/distance-cpu.c:105-109).
+
+        Non-finite data falls back to the plain cosine path: a base row
+        with Inf would score -inf on the dot scan (clipped to a bogus 0.0
+        top hit) where plain cosine yields NaN -> excluded, and a NaN
+        query must return an empty result, not k rows at 1.0. The sticky
+        dataset flag covers rows; the query is checked per call."""
+        if not (
             self.metric is DistanceMetric.COSINE
             and bool(self.options.normalized)
             and policy is None
-        )
+            and not self._has_nonfinite
+        ):
+            return False
+        if q is not None:
+            qa = q.astype(np.float32) if q.dtype.name == "bfloat16" else q
+            if not bool(np.isfinite(qa).all()):
+                return False
+        return True
 
     def _search_exact(
         self,
@@ -1322,9 +1364,16 @@ class Dataset:
         k: int,
         mask: np.ndarray | None = None,
         policy: VectorType | None = None,
+        cosine_fast: bool | None = None,
     ):
+        # cosine_fast: search() snapshots the fast-path decision once per
+        # query so the scan and its host-side shift agree even if the
+        # sticky non-finite flag flips mid-query (None = decide here, for
+        # internal callers like the rerank fallback)
+        if cosine_fast is None:
+            cosine_fast = self._cosine_dot_fast(policy, q)
         metric = self.metric
-        if self._cosine_dot_fast(policy):
+        if cosine_fast:
             metric = DistanceMetric.DOT
             q = _unit_rows(q)
         if self._storage == "host":
@@ -1480,16 +1529,23 @@ class Dataset:
         )
 
     def _search_approx(
-        self, q: np.ndarray, k: int, mask: np.ndarray | None, recall_target: float
+        self,
+        q: np.ndarray,
+        k: int,
+        mask: np.ndarray | None,
+        recall_target: float,
+        cosine_fast: bool | None = None,
     ):
         from sqlite_vector_tpu.ops.scan import approx_scan_topk
 
+        if cosine_fast is None:
+            cosine_fast = self._cosine_dot_fast(None, q)
         if self._storage == "host" or self._mesh is not None:
             # approx selection is a single-chip HBM fast path; other layouts
             # fall back to the exact scan (still correct, recall = 1)
-            return self._search_exact(q, k, mask)
+            return self._search_exact(q, k, mask, cosine_fast=cosine_fast)
         metric = self.metric
-        if self._cosine_dot_fast(None):
+        if cosine_fast:
             metric = DistanceMetric.DOT
             q = _unit_rows(q)
         vecs = self._vectors  # one snapshot (see _search_exact)
@@ -2193,6 +2249,15 @@ class Dataset:
                 "Required 'dimension' option is missing (it must be "
                 "specified in vector_init)."
             )
+        if not shards:
+            # empty dataset: load() treats an empty shard list as "no
+            # shards" and would look for vectors.npy — write one empty
+            # shard so the round trip matches save()'s behavior
+            out = np.zeros((0, dim), np_dtype)
+            if opts.type is VectorType.BF16:
+                out = out.view(np.uint16)
+            np.save(os.path.join(directory, "vectors-00000.npy"), out)
+            shards.append({"file": "vectors-00000.npy", "rows": 0})
         np.save(
             os.path.join(directory, "ids.npy"),
             np.arange(ids_start, ids_start + count, dtype=np.int64),

@@ -853,3 +853,69 @@ def test_from_arrays_does_not_mutate_caller_options(rng):
     # and the adopted options are private: external mutation is inert
     opts.dimension = 999
     assert d1.dimension == 16
+
+
+def test_upload_padded_preserves_explicit_sharding(rng):
+    """Round-3 review finding: a Dataset built with the sharding= parameter
+    (no mesh) must keep its NamedSharding through the chunked upload path."""
+    import jax
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    from sqlite_vector_tpu.parallel import make_mesh
+
+    mesh = make_mesh(4)
+    sh = NamedSharding(mesh, P("rows"))
+    ds = Dataset(
+        "sh", VectorOptions(dimension=16, type=VectorType.F32), sharding=sh
+    )
+    data = rng.standard_normal((2000, 16)).astype(np.float32)
+    ids = ds.add(data)
+    assert ds._vectors.sharding == sh  # not silently single-device
+    got, dist = ds.search(data[5], 3)
+    assert got[0] == ids[5] and dist[0] == 0.0
+
+
+def test_save_stream_empty_roundtrip(tmp_path):
+    d = str(tmp_path / "empty")
+    n = Dataset.save_stream(d, [], options="dimension=8,type=FLOAT32")
+    assert n == 0
+    ds = Dataset.load(d)
+    assert len(ds) == 0
+    ds2 = Dataset.load(d, storage="host", mmap=True)
+    assert len(ds2) == 0
+
+
+def test_upload_padded_pow2_count_chunks(rng, tmp_path):
+    """count == capacity (power of two) must still stream chunks (a >RAM
+    memmap would otherwise be materialized whole in host RAM)."""
+    from sqlite_vector_tpu import dataset as dsmod
+
+    old = dsmod._UPLOAD_CHUNK_BYTES
+    dsmod._UPLOAD_CHUNK_BYTES = 4096  # force many chunks
+    try:
+        n, dim = 2048, 8  # n == _next_capacity(n)
+        data = rng.standard_normal((n, dim)).astype(np.float32)
+        ds = Dataset("p2", VectorOptions(dimension=dim, type=VectorType.F32))
+        out = ds._upload_rows_padded(data, n, n)
+        assert out.shape == (n, dim)
+        np.testing.assert_array_equal(np.asarray(out), data)
+    finally:
+        dsmod._UPLOAD_CHUNK_BYTES = old
+
+
+def test_exact_sq_norms_int_dtype_is_int32(rng):
+    """Integer-stored datasets cache int32 norms (the exact-integer
+    contract; a float cache was discarded and recomputed every scan)."""
+    import jax.numpy as jnp
+
+    codes = rng.integers(-128, 128, (500, 32)).astype(np.int8)
+    ds = Dataset.from_arrays(
+        "i8", codes, options="dimension=32,type=INT8,distance=L2"
+    )
+    norms = ds._exact_sq_norms(ds._vectors)
+    assert norms.dtype == jnp.int32
+    want = np.sum(codes.astype(np.int32) ** 2, axis=-1)
+    np.testing.assert_array_equal(np.asarray(norms)[:500], want)
+    q = codes[3]
+    ids, dist = ds.search(q, 5)
+    assert ids[0] == ds.ids[3] and dist[0] == 0.0

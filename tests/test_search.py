@@ -234,3 +234,39 @@ def test_normalized_cosine_fast_path_f16_and_host_and_mesh(rng):
     np.testing.assert_allclose(
         dist, plain.search(q, 5)[1], rtol=1e-4, atol=1e-5
     )
+
+
+def test_normalized_cosine_nonfinite_falls_back_to_plain(rng):
+    """Round-3 review findings: an Inf base row must stay EXCLUDED (plain
+    cosine yields NaN -> +inf) — not clip to a bogus 0.0 top hit on the
+    dot fast path; a NaN query must return an empty result, not k rows at
+    1.0. Both cases gate the fast path off."""
+    import sqlite_vector_tpu as svt
+
+    data = rng.standard_normal((60, 16)).astype(np.float32)
+    data /= np.linalg.norm(data, axis=1, keepdims=True)
+    data[17, 3] = np.inf
+    plain = svt.Dataset.from_arrays(
+        "pinf", data.copy(), options="dimension=16,type=FLOAT32,distance=COSINE"
+    )
+    fast = svt.Dataset.from_arrays(
+        "finf", data.copy(),
+        options="dimension=16,type=FLOAT32,distance=COSINE,normalized=1",
+    )
+    ip, dp = plain.search(data[0], 10)
+    iff, df = fast.search(data[0], 10)
+    np.testing.assert_array_equal(ip, iff)
+    np.testing.assert_allclose(dp, df, rtol=1e-5)
+    assert fast.ids[17] not in iff  # the Inf row is excluded, not first
+    # NaN query: both paths return empty (NaN distances are never selected)
+    nanq = data[0].copy()
+    nanq[5] = np.nan
+    assert len(plain.search(nanq, 5)[0]) == 0
+    assert len(fast.search(nanq, 5)[0]) == 0
+    # a FINITE dataset with a finite query still rides the fast path
+    clean = svt.Dataset.from_arrays(
+        "fclean", np.delete(data, 17, axis=0),
+        options="dimension=16,type=FLOAT32,distance=COSINE,normalized=1",
+    )
+    assert clean._cosine_dot_fast(None, data[:1]) is True
+    assert fast._cosine_dot_fast(None, data[:1]) is False  # sticky flag
