@@ -375,9 +375,7 @@ def bench_core(args):
     )
     qq_dev = jax.device_put(qcodes_q[:, None, :])
     runq = make_chained(DistanceMetric.L2, k, quant.count, M)
-    sqn = jax.jit(
-        lambda x: jnp.sum(x.astype(jnp.int32) * x.astype(jnp.int32), axis=-1)
-    )(quant.codes)
+    sqn = ds._quant_sq_norms(quant)  # the engine's own int32 cache
     runq(qq_dev, quant.codes, sqn)
     t0 = time.time()
     for _ in range(reps):
@@ -534,8 +532,36 @@ def bench_10m(args):
         stream_rows = n
     else:
         # rows whose streaming fits ~args.stream_seconds at the probed rate
+        # (clamp order matters: n is the hard upper bound — the old
+        # max(min(...), 65536) could exceed n and count unread bytes)
         stream_rows = int(ceiling * args.stream_seconds / (dim * 4))
-        stream_rows = max(min(stream_rows, n), 65536)
+        stream_rows = min(max(stream_rows, 65536), n)
+    # hoist the per-tile executables' compile out of the timed window: the
+    # fused tile scan + the merge compile against DEVICE-SIDE zeros (no
+    # link traffic; a cold remote compile costs tens of seconds and would
+    # halve the measured GB/s)
+    try:
+        import jax.numpy as jnp
+
+        from sqlite_vector_tpu.ops.scan import fused_scan_topk
+        from sqlite_vector_tpu.ops.streaming import (
+            DEFAULT_STREAM_ROWS,
+            _merge,
+        )
+
+        if stream_rows > DEFAULT_STREAM_ROWS:  # multi-tile path ahead
+            warm_tile = jnp.zeros((DEFAULT_STREAM_ROWS, dim), jnp.float32)
+            qd_w = jax.device_put(q[None])
+            wv, wi = fused_scan_topk(
+                qd_w, warm_tile, DistanceMetric.L2, k,
+                valid_count=DEFAULT_STREAM_ROWS,
+            )
+            jax.block_until_ready(
+                _merge(wv, wi, wv, wi, k)
+            )
+            del warm_tile
+    except Exception as e:
+        log(f"[10m] stream warm-up failed (continuing): {e!r}")
     t0 = time.time()
     if stream_rows == n:
         got, dist = ds.search(q, k)
@@ -600,9 +626,7 @@ def bench_10m(args):
         )
     )
     qq_dev = jax.device_put(qq[:, None, :])
-    sqn = jax.jit(
-        lambda x: jnp.sum(x.astype(jnp.int32) * x.astype(jnp.int32), axis=-1)
-    )(quant.codes)
+    sqn = ds._quant_sq_norms(quant)  # the engine's own int32 cache
     runq = make_chained(DistanceMetric.L2, k, quant.count, M)
     runq(qq_dev, quant.codes, sqn)  # compile
     best = 0.0

@@ -131,7 +131,12 @@ static int svt_best_index(sqlite3_vtab *tab, sqlite3_index_info *info) {
   const struct sqlite3_index_constraint *c = info->aConstraint;
   for (int i = 0; i < info->nConstraint; i++, c++) {
     if (c->op != SQLITE_INDEX_CONSTRAINT_EQ) continue;
-    if (c->iColumn < COL_TBL || c->iColumn >= nargs) continue;
+    /* a stream module called with a 4th positional argument lands an EQ on
+     * the dead memidx column; BIND it (argvIndex 4) so xFilter raises the
+     * reference's arity error ("expects 3 arguments, but 4 were provided")
+     * instead of SQLite silently post-filtering NULL=value to zero rows */
+    int bind_max = v->is_stream ? COL_MEMIDX + 1 : nargs;
+    if (c->iColumn < COL_TBL || c->iColumn >= bind_max) continue;
     present[c->iColumn] = 1;
     if (!c->usable) continue;
     /* a second EQ term on the same hidden column (e.g. a WHERE clause
@@ -146,12 +151,19 @@ static int svt_best_index(sqlite3_vtab *tab, sqlite3_index_info *info) {
     info->aConstraintUsage[i].omit = 1;
     have[c->iColumn] = 1;
   }
-  for (int i = 0; i < nargs; i++) {
+  for (int i = 0; i < 4; i++) {
     /* an argument the user DID pass but that is unusable in this join
      * order (e.g. it references an outer table not yet positioned) makes
-     * the plan infeasible; an argument missing entirely falls through to
+     * the plan infeasible; a missing SUFFIX of arguments falls through to
      * xFilter's arity error */
     if (present[i] && !have[i]) return SQLITE_CONSTRAINT;
+  }
+  for (int i = 1; i < 4; i++) {
+    /* a GAP in the bound arguments (e.g. WHERE binds tbl, vector, memidx
+     * but not k) would leave non-contiguous argvIndex values — SQLite
+     * reports that as an 'xBestIndex malfunction'; declare the plan
+     * infeasible instead (clear 'no query solution') */
+    if (have[i] && !have[i - 1]) return SQLITE_CONSTRAINT;
   }
   return SQLITE_OK;
 }

@@ -91,7 +91,10 @@ class BatchingSearcher:
             mode = "exact" if exact else "quantized"
         q, _ = self.dataset._coerce_queries(query)
         if q.shape[0] != 1:
-            raise ValueError("submit() takes a single query; use search_many")
+            raise ValueError(
+                "submit() takes a single query; for batches call "
+                "Dataset.search(queries, k) directly"
+            )
         fut: Future = Future()
         # the closed-check and the enqueue must be atomic vs close() —
         # see _lifecycle_lock (the put is non-blocking: unbounded queue)
@@ -130,6 +133,12 @@ class BatchingSearcher:
             fut = item[-1]
             if not fut.done():
                 fut.set_exception(RuntimeError("BatchingSearcher is closed"))
+        if self._thread.is_alive():
+            # the dispatcher outlived the join timeout (e.g. a cold remote
+            # compile mid-dispatch) and the drain above may have consumed
+            # its shutdown sentinel — re-arm it so the thread exits (and
+            # releases its Dataset reference) when the dispatch finishes
+            self._queue.put(None)
 
     # -- dispatcher -----------------------------------------------------------
 
@@ -249,6 +258,7 @@ def serve(
         return store.get(name)
 
     def searcher_for(ds: Dataset) -> BatchingSearcher:
+        stale = []
         with searchers_lock:
             s = searchers.get(id(ds))
             if s is None:
@@ -263,13 +273,18 @@ def serve(
                         except Exception:
                             pass
                     for key in [k for k in searchers if k not in active]:
-                        searchers.pop(key).close()
+                        stale.append(searchers.pop(key))
                 s = BatchingSearcher(
                     ds, max_batch=max_batch, max_wait_ms=max_wait_ms,
                     fallback_exact=fallback_exact,
                 )
                 searchers[id(ds)] = s
-            return s
+        # close() joins the dispatcher (up to 5 s each) — do it OUTSIDE the
+        # lock so concurrent requests on other datasets don't stall behind
+        # an eviction
+        for old in stale:
+            old.close()
+        return s
 
     class Handler(BaseHTTPRequestHandler):
         def log_message(self, *a):  # quiet

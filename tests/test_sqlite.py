@@ -1309,3 +1309,27 @@ def test_normalized_cosine_interop_with_c_reference(tmp_path, rng):
     np.testing.assert_allclose(
         [r[1] for r in ours], [r[1] for r in theirs], rtol=1e-4, atol=1e-5
     )
+
+
+@pytest.mark.skipif(not _vtab_available(), reason="vtab extension unavailable")
+def test_stream_tvf_extra_argument_is_arity_error(tmp_path, data):
+    """A stream TVF called with a 4th argument must raise the reference's
+    arity error — not silently post-filter NULL=value to zero rows
+    (round-3 review finding)."""
+    c = svs.connect(str(tmp_path / "ar.db"))
+    c.execute("CREATE TABLE t (v BLOB)")
+    c.executemany("INSERT INTO t(v) VALUES (?)", ((r.tobytes(),) for r in data))
+    c.commit()
+    c.vector_init("t", "v", f"type=FLOAT32,dimension={DIM}")
+    with pytest.raises(sqlite3.OperationalError, match="expects 3 arguments"):
+        c.execute(
+            "SELECT rowid, distance FROM vector_full_scan_stream('t','v',?,20)",
+            (data[2].tobytes(),),
+        ).fetchall()
+    # the correct 3-arg call still works
+    rows = c.execute(
+        "SELECT rowid, distance FROM vector_full_scan_stream('t','v',?)",
+        (data[2].tobytes(),),
+    ).fetchall()
+    assert len(rows) == len(data)
+    c.close()

@@ -178,6 +178,7 @@ def main() -> None:
     live0 = jax.live_arrays()
     bytes0, count0 = sum(a.nbytes for a in live0), len(live0)
     del live0
+    mem0 = ds.memory_bytes()  # expected growth: the mutator net-adds rows
 
     threads = [
         threading.Thread(target=client, args=(s,), daemon=True)
@@ -202,6 +203,7 @@ def main() -> None:
     live1 = jax.live_arrays()
     bytes1, count1 = sum(a.nbytes for a in live1), len(live1)
     del live1
+    mem1 = ds.memory_bytes()
 
     def pct(xs: list, p: float) -> float:
         return float(np.percentile(np.asarray(xs) * 1e3, p)) if xs else -1.0
@@ -221,7 +223,12 @@ def main() -> None:
             m: {"p50": round(pct(lat[m], 50), 2), "p99": round(pct(lat[m], 99), 2)}
             for m in modes
         },
+        # leak signal: raw live-buffer delta MINUS the dataset's own
+        # legitimate growth (mutator adds rows / capacity doublings /
+        # requant rebuilds) — ~0 means the serving layer leaked nothing
         "live_bytes_delta": bytes1 - bytes0,
+        "dataset_growth_bytes": mem1 - mem0,
+        "leak_bytes": (bytes1 - bytes0) - (mem1 - mem0),
         "live_count_delta": count1 - count0,
     }
     print(json.dumps(out), flush=True)
