@@ -26,15 +26,21 @@ TYPES = [VectorType.F32, VectorType.F16, VectorType.BF16, VectorType.U8]
 METRICS = list(DistanceMetric)
 
 
-def _rand_rows(rng, n, dim, vtype):
+def _rand_rows(rng, n, dim, vtype, normalized=False):
     if vtype is VectorType.U8:
         return rng.integers(0, 256, (n, dim)).astype(np.uint8)
     if vtype is VectorType.I8:
         return rng.integers(-128, 128, (n, dim)).astype(np.int8)
-    return (rng.standard_normal((n, dim)) * 2).astype(vtype.np_dtype)
+    rows = (rng.standard_normal((n, dim)) * 2).astype(np.float32)
+    if normalized:
+        # normalized=1 fuzzing: the cosine pure-dot fast path must match
+        # the oracle's plain cosine on genuinely unit-norm rows
+        norms = np.linalg.norm(rows, axis=1, keepdims=True)
+        rows = rows / np.where(norms > 0, norms, 1.0)
+    return rows.astype(vtype.np_dtype)
 
 
-@pytest.mark.parametrize("seed", range(6))
+@pytest.mark.parametrize("seed", range(10))
 def test_api_op_sequences(tmp_path, seed):
     rng = np.random.default_rng(4000 + seed)
     vtype = TYPES[seed % len(TYPES)]
@@ -42,12 +48,18 @@ def test_api_op_sequences(tmp_path, seed):
     dim = int(rng.integers(4, 32))
     rel_tol = REL_TOL_BY_TYPE[vtype.value]
     use_mesh = seed % 3 == 0
+    # normalized=1 + COSINE on float types rides the pure-dot fast path;
+    # generated rows are unit-normalized so the plain-cosine oracle applies
+    normalized = metric is DistanceMetric.COSINE and vtype in (
+        VectorType.F32, VectorType.F16, VectorType.BF16
+    )
 
     mesh = svt.make_mesh() if use_mesh else None
     ds = svt.Dataset(
         f"api{seed}",
         svt.parse_options(
             f"dimension={dim},type={vtype.value},distance={metric.value}"
+            + (",normalized=1" if normalized else "")
         ),
         mesh=mesh,
     )
@@ -57,7 +69,7 @@ def test_api_op_sequences(tmp_path, seed):
 
     def do_add():
         n = int(rng.integers(1, 20))
-        rows = _rand_rows(rng, n, dim, vtype)
+        rows = _rand_rows(rng, n, dim, vtype, normalized)
         ids = ds.add(rows)
         for i, rid in enumerate(ids):
             state[int(rid)] = rows[i]
@@ -66,7 +78,7 @@ def test_api_op_sequences(tmp_path, seed):
         if not state:
             return
         rid = int(rng.choice(list(state)))
-        row = _rand_rows(rng, 1, dim, vtype)[0]
+        row = _rand_rows(rng, 1, dim, vtype, normalized)[0]
         ds.update(rid, row)
         state[rid] = row
 
