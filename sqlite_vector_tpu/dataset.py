@@ -1644,6 +1644,12 @@ class Dataset:
                 d = oracle.snap_zero(
                     oracle.distance(qf[bi], cand, self.metric, VectorType.F32)
                 )
+                # finite-only admission (device-path parity, rerank.py:118,
+                # 128; the reference's strict-< slot replacement never admits
+                # Inf/NaN): such slots stay +inf/-1 instead of becoming
+                # phantom neighbors
+                keep = np.isfinite(d)
+                d, cand_pos = d[keep], cand_pos[keep]
                 order = np.argsort(d, kind="stable")[:k]
                 out_vals[bi, : len(order)] = d[order]
                 out_idx[bi, : len(order)] = cand_pos[order]

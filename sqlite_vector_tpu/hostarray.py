@@ -59,7 +59,11 @@ class ShardedRows:
             out_parts.append(self._parts[i][lo:hi])
             i += 1
         if len(out_parts) == 1:
-            return np.asarray(out_parts[0])
+            # np.array(copy=True): the documented contract is a materialized
+            # COPY — a within-one-shard view would alias the backing mmap
+            # and silently expose stale/shared memory to callers that trust
+            # the docstring
+            return np.array(out_parts[0])
         if not out_parts:
             return np.zeros((0, self.shape[1]), self.dtype)
         return np.concatenate(out_parts)
@@ -74,10 +78,25 @@ class ShardedRows:
             if key < 0:
                 key += self.shape[0]
             return self._slice_rows(int(key), int(key) + 1)[0]
+        if isinstance(key, tuple):
+            # v[i, j] would silently gather rows i and j — reject numpy
+            # idioms this substitute doesn't implement rather than return
+            # wrong data
+            raise IndexError(
+                "ShardedRows supports row indexing only (no multi-axis keys)"
+            )
         # fancy row indexing (rerank candidate gathers): gather per shard
         idx = np.asarray(key)
         if idx.ndim != 1:
             raise IndexError("ShardedRows supports 1-D fancy indexing only")
+        if idx.dtype == bool or not np.issubdtype(idx.dtype, np.integer):
+            # bool masks would cast True/False to rows 1/0 and float arrays
+            # would truncate — both silently wrong vs the np.ndarray
+            # contract; fail loudly instead
+            raise IndexError(
+                "ShardedRows fancy indexing takes integer row arrays "
+                "(boolean masks and float indices are not supported)"
+            )
         # normalize negatives like np.ndarray (the substitute contract)
         idx = np.where(idx < 0, idx + self.shape[0], idx).astype(np.int64)
         if len(idx) and (idx.min() < 0 or idx.max() >= self.shape[0]):

@@ -52,6 +52,17 @@ def matmul_precision():
 # Metrics that have no matmul decomposition and stay on the VPU.
 METRIC_IS_FLOAT_ONLY = {DistanceMetric.L1}
 
+# Integer-composition overflow bound: qsq + csq can reach 2*dim*255^2
+# (beyond int32 for dim > 16512 with u8 codes), but XLA integer adds wrap
+# mod 2^32, and modular arithmetic gives the EXACT result whenever the
+# FINAL value fits int32 — i.e. the true ||q-b||^2 <= dim*255^2 < 2^31,
+# dim <= 33026 (verified at dim 20000, where intermediates do wrap:
+# tests/test_distance.py::test_int_l2_exact_through_intermediate_wrap).
+# Past dim ~33k the distance itself no longer fits int32 — the SAME
+# domain where the reference's own i32 diff^2 kernels overflow
+# (src/distance-cpu.c:470-502), so parity ends there by construction.
+INT_L2_EXACT_MAX_DIM = 33026
+
 
 def _snap(d: jnp.ndarray) -> jnp.ndarray:
     return jnp.where(jnp.abs(d) <= NEARLY_ZERO, jnp.zeros_like(d), d)
@@ -247,7 +258,8 @@ def _pairwise_int(
 
     The reference computes quantized distances directly on the 8-bit codes
     (src/sqlite-vector.c:2134-2136 dispatches to the u8/i8 kernels); values
-    are in quantized units. int32 accumulation is exact for dim <= ~2^15.
+    are in quantized units. int32 accumulation is exact up to
+    INT_L2_EXACT_MAX_DIM (intermediate wrap is harmless — see its note).
     """
     # Use int32-accumulating MXU matmul on the 8-bit codes.
     def idot(x, y):
@@ -290,7 +302,10 @@ def compose_int(
     if metric is DistanceMetric.DOT:
         return (-dot).astype(jnp.float32)
     if metric in (DistanceMetric.L2, DistanceMetric.SQUARED_L2):
-        d = q_sq[:, None] + b_sq[None, :] - 2 * dot  # exact int32
+        # intermediates may wrap mod 2^32 for u8 past dim 16512, but the
+        # composition is exact while the final value fits int32 — see
+        # INT_L2_EXACT_MAX_DIM
+        d = q_sq[:, None] + b_sq[None, :] - 2 * dot
         df = d.astype(jnp.float32)
         return jnp.sqrt(df) if metric is DistanceMetric.L2 else df
 

@@ -74,8 +74,18 @@ def resolve_quant_params(
     """
     if qtype is QuantType.AUTO:
         qtype = QuantType.I8 if any_negative else QuantType.U8
-    mn32 = np.float32(mn)
-    mx32 = np.float32(mx)
+    # C-init clamps (oracle.compute_quant_params parity; the reference
+    # initializes min=FLT_MAX / max=-FLT_MAX, so +Inf can never raise min
+    # above FLT_MAX nor -Inf lower max below -FLT_MAX, :1202-1252) — the
+    # raw device reduce propagates +-Inf and would otherwise install a NaN
+    # scale for non-finite-only columns, poisoning every later query
+    flt_max = float(np.finfo(np.float32).max)
+    mn32 = np.float32(min(float(mn), flt_max))
+    mx32 = np.float32(max(float(mx), -flt_max))
+    if float(mn32) > float(mx32):
+        # no valid (non-NaN) values were scanned: the reference's
+        # no-rows params (:1173-1178), matching the oracle's all-NaN case
+        return qtype, np.float32(1.0), np.float32(0.0)
     with np.errstate(divide="ignore", invalid="ignore"):
         if qtype is QuantType.U8:
             scale = np.float32(255.0) / (mx32 - mn32)
@@ -93,12 +103,11 @@ def _q_round(s: jnp.ndarray, lo: float, hi: float) -> jnp.ndarray:
     +Inf -> hi, -Inf -> lo."""
     s = s.astype(jnp.float32)
     r = s + jnp.float32(0.5) * (jnp.float32(1.0) - jnp.float32(2.0) * (s < 0))
-    r = jnp.where(jnp.isnan(r), jnp.float32(0.0), r)
     out = jnp.clip(jnp.trunc(r), lo, hi)
+    # non-finite: +Inf -> hi, -Inf -> lo, NaN -> 0 (all already in [lo, hi]
+    # — q_round_u8's lo is 0, q_round_s8 spans 0 — so no further clip)
     nf = jnp.where(s > 0, jnp.float32(hi), jnp.where(s < 0, jnp.float32(lo), 0.0))
-    out = jnp.where(jnp.isfinite(s), out, nf)
-    # NaN -> 0, clipped into range (q_round_s8 returns 0; q_round_u8 returns 0)
-    return jnp.clip(out, lo, hi)
+    return jnp.where(jnp.isfinite(s), out, nf)
 
 
 @functools.partial(jax.jit, static_argnames=("qtype",))

@@ -52,6 +52,8 @@ def candidate_distances(
         qsq = jnp.sum(qi * qi, axis=-1, keepdims=True)
         csq = jnp.sum(ci * ci, axis=-1)
         if metric in (DistanceMetric.L2, DistanceMetric.SQUARED_L2):
+            # intermediate wrap is fine: exact while the final value fits
+            # int32 (distance.INT_L2_EXACT_MAX_DIM)
             return (qsq + csq - 2 * dot).astype(jnp.float32)
         qsqf, csqf = qsq.astype(jnp.float32), csq.astype(jnp.float32)
         denom = jnp.sqrt(qsqf) * jnp.sqrt(csqf)
@@ -104,9 +106,17 @@ def rerank_topk(
         valid_count=valid_count,
         base_sq_norms=codes_sq_norms,
     )  # [B, ke]
+    # ascending ROW order for tie parity with the scan paths (the earliest
+    # row wins equal distances, like the reference's strict `<` slot
+    # replacement); -1 padding sorts first and is masked to +inf below
+    cand_idx = jnp.sort(cand_idx, axis=-1)
     safe_idx = jnp.clip(cand_idx, 0, base_f.shape[0] - 1)
     cand = jnp.take(base_f, safe_idx, axis=0)  # [B, ke, d]
     d = candidate_distances(queries_f, cand, metric)
+    # near-zero snap BEFORE ranking (the scan paths snap pre-top-k): a raw
+    # 4e-7 must tie with a true 0.0, earliest row winning — without it the
+    # rerank backend silently reorders near-duplicate neighbors
+    d = jnp.where(jnp.abs(d) <= NEARLY_ZERO, 0.0, d)
     d = jnp.where(jnp.isnan(d), jnp.inf, d)  # NaN rows are never selected
     d = jnp.where(cand_idx >= 0, d, jnp.inf)
     neg, pos = jax.lax.top_k(-d, k)  # ke >= k by construction

@@ -919,3 +919,47 @@ def test_exact_sq_norms_int_dtype_is_int32(rng):
     q = codes[3]
     ids, dist = ds.search(q, 5)
     assert ids[0] == ds.ids[3] and dist[0] == 0.0
+
+
+def test_rerank_near_zero_tie_parity():
+    """rerank_topk must snap near-zero distances BEFORE its top-k and rank
+    ties in ascending row order, matching scan_topk (reference strict-<
+    slot replacement: earliest row wins equal distances)."""
+    import numpy as np
+    from sqlite_vector_tpu.ops.rerank import rerank_topk
+    from sqlite_vector_tpu.ops.scan import scan_topk
+    from sqlite_vector_tpu.types import DistanceMetric, QuantType
+    from sqlite_vector_tpu import oracle
+
+    q = np.float32([[1.0, 0.0]])
+    base = np.float32([[-4e-7, 0.0], [-2e-7, 0.0]])
+    want_d, want_i = scan_topk(q, base, DistanceMetric.DOT, 2)
+    qt, scale, offset = oracle.compute_quant_params(base, QuantType.I8)
+    codes = oracle.quantize(base, scale, offset, qt)
+    qq = oracle.quantize(q, scale, offset, qt)
+    got_d, got_i = rerank_topk(q, base, qq, codes, DistanceMetric.DOT, 2)
+    np.testing.assert_array_equal(np.asarray(got_i), np.asarray(want_i))
+    np.testing.assert_array_equal(np.asarray(got_d), np.asarray(want_d))
+
+
+def test_rerank_host_rescore_excludes_nonfinite(rng):
+    """The host-fallback rerank rescore (mask/host/mesh/stale routes) must
+    not admit Inf/NaN exact distances as real neighbors — parity with the
+    fused device path, which reports such slots as +inf/-1."""
+    import numpy as np
+    import sqlite_vector_tpu as svt
+
+    base = rng.standard_normal((30, 8)).astype(np.float32)
+    base[4, 2] = np.inf
+    base[9, 5] = np.nan
+    ds = svt.Dataset("rrnf", svt.parse_options("dimension=8,type=FLOAT32"))
+    ids = ds.add(base)
+    ds.quantize()
+    # ids_filter forces the host rescore path (mask is not None)
+    got_ids, got_vals = ds.search(
+        base[0], 30, mode="rerank", expand=4, ids_filter=ids
+    )
+    assert int(ids[4]) not in got_ids.tolist()
+    assert int(ids[9]) not in got_ids.tolist()
+    assert np.isfinite(got_vals).all()
+    assert len(got_ids) == 28

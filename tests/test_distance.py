@@ -90,3 +90,32 @@ def test_precomputed_base_norms_match(rng):
     d1 = np.asarray(pairwise_distance(q, base, DistanceMetric.L2))
     d2 = np.asarray(pairwise_distance(q, base, DistanceMetric.L2, base_sq_norms=sq))
     np.testing.assert_allclose(d1, d2, rtol=1e-6, atol=1e-6)
+
+
+def test_int_l2_exact_through_intermediate_wrap():
+    """u8 at dim 20000: qsq+csq (~2.6e9) wraps int32, but mod-2^32
+    arithmetic keeps the composition exact while the FINAL value fits
+    int32 (distance.INT_L2_EXACT_MAX_DIM) — regression for the claimed
+    composition overflow at dim > 16512."""
+    from sqlite_vector_tpu.ops.distance import _pairwise_int
+    from sqlite_vector_tpu.ops.rerank import candidate_distances
+
+    dim = 20000
+    rng = np.random.default_rng(7)
+    q = rng.integers(0, 256, (2, dim)).astype(np.uint8)
+    b = rng.integers(0, 256, (3, dim)).astype(np.uint8)
+    q[0, :] = 255                      # adversarial: max qsq
+    b[0, :] = 0
+    b[0, 1::2] = 255                   # disjoint support: small dot
+    want = (
+        (q.astype(np.int64)[:, None, :] - b.astype(np.int64)[None]) ** 2
+    ).sum(-1)
+    assert want.max() < 2**31          # final value must fit int32
+    got = np.asarray(_pairwise_int(q, b, DistanceMetric.SQUARED_L2, None))
+    np.testing.assert_array_equal(got, want.astype(np.float32))
+    # the rerank/Pallas-finish rescorer composes the same way
+    cand = np.broadcast_to(b, (2, 3, dim))
+    got2 = np.asarray(
+        candidate_distances(q, np.ascontiguousarray(cand), DistanceMetric.SQUARED_L2)
+    )
+    np.testing.assert_array_equal(got2, want.astype(np.float32))

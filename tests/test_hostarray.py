@@ -54,3 +54,27 @@ def test_mismatched_shards_rejected(parts):
         ShardedRows([parts[0], parts[1][:, :3]])
     with pytest.raises(ValueError):
         ShardedRows([parts[0], parts[1].astype(np.float64)])
+
+
+def test_numpy_idioms_rejected(parts):
+    """Unsupported numpy idioms must raise, not silently return wrong data:
+    bool masks would gather rows 1/0, tuple keys would gather two rows,
+    float indices would truncate."""
+    v = ShardedRows(parts)
+    with pytest.raises(IndexError):
+        v[np.zeros(len(v), bool)]
+    with pytest.raises(IndexError):
+        v[1, 2]
+    with pytest.raises(IndexError):
+        v[np.array([1.7])]
+
+
+def test_single_shard_slice_is_copy(parts):
+    """The class contract says slices are materialized copies — including
+    slices that lie within ONE shard (previously returned an aliasing
+    view of the backing array/mmap)."""
+    v = ShardedRows(parts)
+    got = v[1:3]  # inside shard 0 (5 rows)
+    before = got.copy()
+    got += 99.0
+    np.testing.assert_array_equal(v[1:3], before)

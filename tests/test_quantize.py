@@ -329,3 +329,23 @@ def test_quantize_checkpoint_mismatch_restarts(tmp_path, rng, monkeypatch):
     ds.drop_quantization()
     ds.quantize()
     np.testing.assert_array_equal(got, np.asarray(ds._quant.codes))
+
+
+def test_resolve_params_nonfinite_match_oracle():
+    """Non-finite-only inputs: the device minmax + resolve_quant_params must
+    produce the oracle's (C-init-clamped) params, never a NaN scale — a NaN
+    scale persisted into _QuantState poisons every later quantized query."""
+    cases = [
+        np.full((3, 4), np.inf, np.float32),
+        np.full((3, 4), -np.inf, np.float32),
+        np.full((3, 4), np.nan, np.float32),
+    ]
+    for v in cases:
+        for qt in (QuantType.AUTO, QuantType.U8, QuantType.I8):
+            mn, mx, neg = minmax_and_negative(v)
+            got = resolve_quant_params(float(mn), float(mx), bool(neg), qt)
+            want = oracle.compute_quant_params(v, qt)
+            assert got[0] is want[0], (v[0, 0], qt)
+            np.testing.assert_array_equal(got[1], want[1], err_msg=f"{v[0,0]} {qt}")
+            np.testing.assert_array_equal(got[2], want[2], err_msg=f"{v[0,0]} {qt}")
+            assert np.isfinite(got[1])  # scale is never NaN/Inf
