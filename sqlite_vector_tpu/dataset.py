@@ -1404,7 +1404,6 @@ class Dataset:
             else self._exact_sq_norms(vecs)
         )
         if self._mesh_2d:
-            self._require_no_policy_2d(policy)
             from sqlite_vector_tpu.parallel import sharded_scan_topk_2d
 
             return sharded_scan_topk_2d(
@@ -1416,6 +1415,7 @@ class Dataset:
                 valid_count=count,
                 row_mask=dmask,
                 base_sq_norms=norms,
+                policy_vtype=policy,
                 rows_axis=self._axes_2d[0],
                 dim_axis=self._axes_2d[1],
             )
@@ -1716,12 +1716,12 @@ class Dataset:
             vecs = self._vectors  # one snapshot (see _search_exact)
             count = self._count
             if self._mesh_2d:
-                self._require_no_policy_2d(policy)
                 from sqlite_vector_tpu.parallel import sharded_scan_distances_2d
 
                 d = sharded_scan_distances_2d(
                     qd, vecs, self.metric, self._mesh,
                     base_sq_norms=self._exact_sq_norms(vecs),
+                    policy_vtype=policy,
                     rows_axis=self._axes_2d[0], dim_axis=self._axes_2d[1],
                 )
             elif self._mesh is not None:
@@ -1884,16 +1884,6 @@ class Dataset:
             ids=ids[:count].copy(),
         )
         return count
-
-    @staticmethod
-    def _require_no_policy_2d(policy) -> None:
-        if policy is not None:
-            raise VectorConfigError(
-                "Non-finite input handling (f16/bf16 lane-skip policies, and "
-                "raw +Inf value parity for f32 streamed distances) is not "
-                "supported on a 2-D (rows x dim) mesh — use a 1-D rows mesh "
-                "for datasets or queries with non-finite values."
-            )
 
     def _quantize_host(self, opts: VectorOptions, checkpoint: str | None) -> int:
         """Host-resident quantize build: chunked numpy pipeline with

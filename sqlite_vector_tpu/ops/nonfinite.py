@@ -27,6 +27,7 @@ pays nothing.
 
 from __future__ import annotations
 
+import jax
 import jax.numpy as jnp
 
 from sqlite_vector_tpu.types import DistanceMetric, VectorType
@@ -73,15 +74,58 @@ def policy_pairwise(
     callers tile rows to bound the working set. Only called for
     needs_policy() configurations.
     """
+    return _policy_impl(q, tile, metric, vtype, dim_axis=None)
+
+
+def policy_pairwise_sharded(
+    q: jnp.ndarray,
+    tile: jnp.ndarray,
+    metric: DistanceMetric,
+    vtype: VectorType,
+    *,
+    dim_axis: str,
+) -> jnp.ndarray:
+    """policy_pairwise inside a shard_map body on a dim-sharded mesh.
+
+    q [B, d/c] and tile [T, d/c] are the LOCAL feature slices; the result
+    is the full-dim [B, T] policy distance, replicated across the dim
+    groups. Every policy is dim-separable: lane sums psum over `dim_axis`,
+    lane "any" flags reduce as psum(int) > 0, and DOT's first-infinite-
+    product short-circuit resolves with a pmin over GLOBAL lane indices
+    (zero feature padding is policy-neutral: padding lanes are finite and
+    contribute 0 to every sum)."""
+    return _policy_impl(q, tile, metric, vtype, dim_axis=dim_axis)
+
+
+def _policy_impl(
+    q: jnp.ndarray,
+    tile: jnp.ndarray,
+    metric: DistanceMetric,
+    vtype: VectorType,
+    dim_axis: str | None,
+) -> jnp.ndarray:
     x = q.astype(jnp.float32)[:, None, :]
     y = tile.astype(jnp.float32)[None, :, :]
+
+    def allsum(v):
+        # lane sum, then the cross-shard sum (NaN/Inf propagate through
+        # psum exactly like through a longer local sum — order-independent
+        # for the non-finite cases the policies care about)
+        s = jnp.sum(v, axis=-1)
+        return jax.lax.psum(s, dim_axis) if dim_axis is not None else s
+
+    def anylane(m):
+        a = jnp.any(m, axis=-1)
+        if dim_axis is not None:
+            a = jax.lax.psum(a.astype(jnp.int32), dim_axis) > 0
+        return a
 
     if vtype is VectorType.F32 and metric in _LASSQ_METRICS:
         # f32 is PLAIN math, not LASSQ (src/distance-cpu.c:39-74): NaN
         # propagates, an unmatched Inf lane gives +Inf, matched Infs give
         # inf-inf = NaN — the direct sum reproduces all of it
         d = x - y
-        s = jnp.sum(d * d, axis=-1)
+        s = allsum(d * d)
         return jnp.sqrt(s) if metric is DistanceMetric.L2 else s
 
     if metric in _LASSQ_METRICS:
@@ -93,9 +137,9 @@ def policy_pairwise(
         matched = (
             jnp.isinf(x) & jnp.isinf(y) & (jnp.sign(x) == jnp.sign(y))
         )
-        any_inf = jnp.any(inf_lane & ~matched, axis=-1)
+        any_inf = anylane(inf_lane & ~matched)
         d = jnp.where(nan_mask | matched, 0.0, d)
-        s = jnp.sum(d * d, axis=-1)
+        s = allsum(d * d)
         s = jnp.where(any_inf, jnp.inf, s)
         return jnp.sqrt(s) if metric is DistanceMetric.L2 else s
 
@@ -108,31 +152,54 @@ def policy_pairwise(
         matched = (
             jnp.isinf(x) & jnp.isinf(y) & (jnp.sign(x) == jnp.sign(y))
         )
-        any_inf = jnp.any(inf_lane & ~matched & lane_ok, axis=-1)
-        s = jnp.sum(d, axis=-1)
+        any_inf = anylane(inf_lane & ~matched & lane_ok)
+        s = allsum(d)
         return jnp.where(any_inf, jnp.inf, s)
 
     if metric is DistanceMetric.DOT:
         p = jnp.where(lane_ok, x * y, 0.0)
         inf_p = jnp.isinf(p)
-        s = jnp.sum(jnp.where(inf_p, 0.0, p), axis=-1)
-        any_inf = jnp.any(inf_p, axis=-1)
-        # the C kernel short-circuits on the first infinite product and
+        s = allsum(jnp.where(inf_p, 0.0, p))
+        # the C kernel short-circuits on the FIRST infinite product and
         # returns -Inf of its sign (:414-421); argmax finds that first lane
-        first = jnp.take_along_axis(
-            p, jnp.argmax(inf_p, axis=-1)[..., None], axis=-1
+        # locally, and across dim shards the smallest GLOBAL lane index
+        # wins (global index = shard offset + local index; unique per lane)
+        any_inf_local = jnp.any(inf_p, axis=-1)
+        first_local = jnp.argmax(inf_p, axis=-1)
+        first_p = jnp.take_along_axis(
+            p, first_local[..., None], axis=-1
         )[..., 0]
-        first_sign = jnp.where(any_inf, jnp.sign(first), 0.0)
-        return jnp.where(any_inf, -first_sign * jnp.inf, -s)
+        if dim_axis is None:
+            any_inf = any_inf_local
+            sign = jnp.where(any_inf_local, jnp.sign(first_p), 0.0)
+        else:
+            big = jnp.int32(2**31 - 1)
+            offset = (
+                jax.lax.axis_index(dim_axis) * q.shape[-1]
+            ).astype(jnp.int32)
+            first_global = jnp.where(
+                any_inf_local, offset + first_local.astype(jnp.int32), big
+            )
+            gfirst = jax.lax.pmin(first_global, dim_axis)
+            sign = jax.lax.psum(
+                jnp.where(
+                    any_inf_local & (first_global == gfirst),
+                    jnp.sign(first_p),
+                    0.0,
+                ),
+                dim_axis,
+            )
+            any_inf = gfirst < big
+        return jnp.where(any_inf, -sign * jnp.inf, -s)
 
     # COSINE (:431-468): NaN lanes skipped, any Inf lane or non-finite
     # denominator -> 1.0; cosine clamped to [-1, 1]
-    any_inf = jnp.any((jnp.isinf(x) | jnp.isinf(y)) & lane_ok, axis=-1)
+    any_inf = anylane((jnp.isinf(x) | jnp.isinf(y)) & lane_ok)
     xm = jnp.where(lane_ok, x, 0.0)
     ym = jnp.where(lane_ok, y, 0.0)
-    dot = jnp.sum(xm * ym, axis=-1)
-    nx = jnp.sum(xm * xm, axis=-1)
-    ny = jnp.sum(ym * ym, axis=-1)
+    dot = allsum(xm * ym)
+    nx = allsum(xm * xm)
+    ny = allsum(ym * ym)
     denom = jnp.sqrt(nx) * jnp.sqrt(ny)
     safe = jnp.where(denom > 0.0, denom, 1.0)
     cos = jnp.clip(dot / safe, -1.0, 1.0)

@@ -299,13 +299,24 @@ def _local_topk_merge_2d(
     k: int,
     rows_axis: str,
     dim_axis: str,
+    policy_vtype=None,
 ) -> tuple[jnp.ndarray, jnp.ndarray]:
     """Per-chip body on a (rows, dim) mesh: partial distance components over
     the local feature slice, psum over `dim` (every metric is
     dim-separable), compose, local top-k, then the candidate merge over
     `rows`. The merge runs redundantly on every dim-group chip — it is
-    O(B·k·R), negligible next to the scan."""
-    dist = _sanitize_nan(_compose_2d(q, b, metric, dim_axis, b_sq))
+    O(B·k·R), negligible next to the scan. policy_vtype routes through the
+    dim-separable non-finite policy kernels (same semantics as the 1-D
+    path; b_sq is ignored — policies never use cached norms)."""
+    if policy_vtype is not None:
+        from sqlite_vector_tpu.ops.nonfinite import policy_pairwise_sharded
+
+        dist = policy_pairwise_sharded(
+            q, b, metric, policy_vtype, dim_axis=dim_axis
+        )
+    else:
+        dist = _compose_2d(q, b, metric, dim_axis, b_sq)
+    dist = _sanitize_nan(dist)
     shard_rows = b.shape[0]
     start = (jax.lax.axis_index(rows_axis) * shard_rows).astype(jnp.int32)
     local_valid = jnp.clip(valid - start, 0, shard_rows)
@@ -326,16 +337,19 @@ def _local_topk_merge_2d(
 @functools.partial(
     jax.jit,
     static_argnames=(
-        "metric", "k", "mesh", "rows_axis", "dim_axis", "has_mask", "has_sq"
+        "metric", "k", "mesh", "rows_axis", "dim_axis", "has_mask",
+        "has_sq", "policy_vtype",
     ),
 )
 def _sharded_scan_topk_2d_impl(
     queries, base, valid, row_mask, base_sq_norms, *,
     metric, k, mesh, rows_axis, dim_axis, has_mask, has_sq,
+    policy_vtype=None,
 ):
     body = functools.partial(
         _local_topk_merge_2d,
         metric=metric, k=k, rows_axis=rows_axis, dim_axis=dim_axis,
+        policy_vtype=policy_vtype,
     )
     in_specs = [P(None, dim_axis), P(rows_axis, dim_axis), P()]
     args = [queries, base, valid]
@@ -372,6 +386,7 @@ def sharded_scan_topk_2d(
     base_sq_norms: jnp.ndarray | None = None,
     rows_axis: str = ROWS_AXIS,
     dim_axis: str = DIM_AXIS,
+    policy_vtype=None,
 ) -> tuple[jnp.ndarray, jnp.ndarray]:
     """Fused top-k scan on a 2-D (rows x dim) mesh for very large dims.
 
@@ -380,9 +395,9 @@ def sharded_scan_topk_2d(
     (pad first; feature padding with zeros is distance-neutral for every
     metric). Distances are built from dim-slice partial components psum'd
     over ICI — one [B, N/rows] collective per scan — then merged over rows
-    exactly like the 1-D path. Non-finite lane-skip policies are not
-    supported on the dim-sharded path (route f16/bf16 non-finite datasets
-    through the 1-D mesh).
+    exactly like the 1-D path. policy_vtype (a VectorType) selects the
+    non-finite lane-skip policy kernels, which compose over dim shards the
+    same way (ops.nonfinite.policy_pairwise_sharded).
 
     base_sq_norms: optional FULL-dim row sq-norms ([Npad], sharded over
     `rows_axis`, replicated across dim groups; int32 for integer codes) —
@@ -406,6 +421,7 @@ def sharded_scan_topk_2d(
         rows_axis=rows_axis, dim_axis=dim_axis,
         has_mask=row_mask is not None,
         has_sq=base_sq_norms is not None,
+        policy_vtype=policy_vtype,
     )
 
 
@@ -418,11 +434,14 @@ def sharded_scan_distances_2d(
     base_sq_norms: jnp.ndarray | None = None,
     rows_axis: str = ROWS_AXIS,
     dim_axis: str = DIM_AXIS,
+    policy_vtype=None,
 ) -> jnp.ndarray:
     """Full [B, N] distance matrix on a (rows x dim) mesh: partial
     components psum'd over `dim`, result column-sharded over `rows`
     (replicated across the dim groups). Streaming-vtab analogue.
-    base_sq_norms as in sharded_scan_topk_2d."""
+    base_sq_norms as in sharded_scan_topk_2d; policy_vtype routes through
+    the dim-separable non-finite policy kernels (raw values — NaN stays
+    NaN, matching the 1-D scan_distances contract)."""
     n, dim = base.shape
     r = mesh.shape[rows_axis]
     c = mesh.shape[dim_axis]
@@ -435,19 +454,32 @@ def sharded_scan_distances_2d(
         queries, base, base_sq_norms, metric=metric, mesh=mesh,
         rows_axis=rows_axis, dim_axis=dim_axis,
         has_sq=base_sq_norms is not None,
+        policy_vtype=policy_vtype,
     )
 
 
 @functools.partial(
     jax.jit,
-    static_argnames=("metric", "mesh", "rows_axis", "dim_axis", "has_sq"),
+    static_argnames=(
+        "metric", "mesh", "rows_axis", "dim_axis", "has_sq", "policy_vtype"
+    ),
 )
 def _sharded_scan_distances_2d_impl(
-    queries, base, base_sq_norms, *, metric, mesh, rows_axis, dim_axis, has_sq
+    queries, base, base_sq_norms, *, metric, mesh, rows_axis, dim_axis,
+    has_sq, policy_vtype=None,
 ):
+    def body(q, b, sq):
+        if policy_vtype is not None:
+            from sqlite_vector_tpu.ops.nonfinite import policy_pairwise_sharded
+
+            return policy_pairwise_sharded(
+                q, b, metric, policy_vtype, dim_axis=dim_axis
+            )
+        return _compose_2d(q, b, metric, dim_axis, sq)
+
     if has_sq:
         fn = shard_map(
-            lambda q, b, sq: _compose_2d(q, b, metric, dim_axis, sq),
+            body,
             mesh,
             in_specs=(
                 P(None, dim_axis), P(rows_axis, dim_axis), P(rows_axis)
@@ -456,7 +488,7 @@ def _sharded_scan_distances_2d_impl(
         )
         return fn(queries, base, base_sq_norms)
     fn = shard_map(
-        lambda q, b: _compose_2d(q, b, metric, dim_axis),
+        lambda q, b: body(q, b, None),
         mesh,
         in_specs=(P(None, dim_axis), P(rows_axis, dim_axis)),
         out_specs=P(None, rows_axis),

@@ -418,22 +418,109 @@ def test_dataset_2d_mesh_rejects_host_storage(mesh2d):
         )
 
 
-def test_dataset_2d_mesh_nonfinite_policy_rejected(mesh2d, rng):
-    """f16 lane-skip policies need the 1-D mesh; the 2-D path must refuse
-    loudly rather than return silently-wrong distances."""
-    from sqlite_vector_tpu.errors import VectorConfigError
+@pytest.mark.parametrize("metric", METRICS)
+def test_dataset_2d_mesh_nonfinite_policy_matches_unsharded(
+    mesh2d, metric, rng
+):
+    """f16 lane-skip policies on the 2-D mesh: every policy is
+    dim-separable (policy_pairwise_sharded), so an f16 dataset with NaN/Inf
+    content must return the same neighbors as the single-chip policy path."""
     from sqlite_vector_tpu.types import VectorOptions, VectorType as VT
 
+    d, n, k = 24, 64, 8
+    base = rng.standard_normal((n, d)).astype(np.float16)
+    base[3, 2] = np.nan          # lane-skipped
+    base[5, 20] = np.inf         # unmatched Inf (second dim shard)
+    base[9, 1] = -np.inf         # unmatched Inf (first dim shard)
+    base[11, 0] = np.nan
+    base[11, 15] = np.inf        # NaN + Inf in one row, across shards
+    opts = VectorOptions(dimension=d, type=VT.F16, distance=metric)
+    ds1 = svt.Dataset(f"nf1_{metric.name}", opts)
+    ds2 = svt.Dataset(f"nf2_{metric.name}", opts, mesh=mesh2d)
+    ds1.add(base)
+    ds2.add(base)
+    queries = [
+        base[0].astype(np.float32),
+        np.full(d, 0.5, np.float32),
+    ]
+    q_nan = base[1].astype(np.float32)
+    q_nan[7] = np.nan            # non-finite QUERY triggers the policy too
+    queries.append(q_nan)
+    for q in queries:
+        ids1, d1 = ds1.search(q, k)
+        ids2, d2 = ds2.search(q, k)
+        assert ids1.tolist() == ids2.tolist(), metric
+        np.testing.assert_allclose(d1, d2, rtol=1e-5, atol=1e-6)
+
+
+def test_sharded_2d_policy_dot_first_inf_across_shards(mesh2d, rng):
+    """DOT's short-circuit takes the sign of the FIRST infinite product in
+    lane order (src/distance-cpu.c:414-421). On a dim-sharded mesh 'first'
+    means the smallest GLOBAL lane index — build rows whose first infinite
+    product lives in different shards (and with conflicting signs across
+    shards) and check the sharded kernel against the single-chip policy."""
+    from sqlite_vector_tpu.ops.nonfinite import policy_pairwise
+    from sqlite_vector_tpu.parallel import (
+        block_sharding_2d,
+        dim_sharding_2d,
+        sharded_scan_distances_2d,
+    )
+
+    n, d = 8, 64  # dim axis = 2 -> lanes [0,32) and [32,64)
+    base = (rng.standard_normal((n, d)) * 0.1).astype(np.float32)
+    q = np.abs(rng.standard_normal((1, d))).astype(np.float32) + 0.5
+    base[0, 40] = np.inf    # only shard 1: +inf product -> -inf distance
+    base[1, 10] = -np.inf   # shard 0 first (-) beats shard 1 (+)
+    base[1, 50] = np.inf
+    base[2, 33] = np.inf    # shard 1 first (+) beats nothing in shard 0
+    base[2, 5] = np.nan     # NaN lane in shard 0 is skipped, not first-inf
+    want = np.asarray(
+        policy_pairwise(
+            jax.numpy.asarray(q), jax.numpy.asarray(base),
+            DistanceMetric.DOT, VectorType.F16,
+        )
+    )
+    got = np.asarray(
+        sharded_scan_distances_2d(
+            jax.device_put(q, dim_sharding_2d(mesh2d)),
+            jax.device_put(base, block_sharding_2d(mesh2d)),
+            DistanceMetric.DOT,
+            mesh2d,
+            policy_vtype=VectorType.F16,
+        )
+    )
+    assert np.isneginf(want[0, 0]) and np.isposinf(want[0, 1])
+    assert np.isneginf(want[0, 2])
+    finite = np.isfinite(want)
+    np.testing.assert_array_equal(np.isfinite(got), finite)
+    np.testing.assert_array_equal(got[~finite], want[~finite])
+    np.testing.assert_allclose(got[finite], want[finite], rtol=1e-5)
+
+
+def test_dataset_2d_mesh_f32_inf_raw_distances(mesh2d, rng):
+    """f32 L2 streamed distances on the 2-D mesh must expose the
+    reference's RAW values for Inf rows (+Inf, not the matmul
+    decomposition's NaN) — the needs_raw_policy path composing over dim
+    shards (plain math: partial sums psum exactly)."""
+    from sqlite_vector_tpu.types import VectorOptions
+
+    d, n = 16, 32
+    base = rng.standard_normal((n, d)).astype(np.float32)
+    base[4, 3] = np.inf
+    base[7, 12] = np.nan
     ds = svt.Dataset(
-        "nf2",
-        VectorOptions(dimension=8, type=VT.F16, distance=DistanceMetric.L1),
+        "raw2d", VectorOptions(dimension=d, distance=DistanceMetric.L2),
         mesh=mesh2d,
     )
-    base = rng.standard_normal((64, 8)).astype(np.float16)
-    base[3, 2] = np.nan
     ds.add(base)
-    with pytest.raises(VectorConfigError, match="1-D rows mesh"):
-        ds.search(base[0].astype(np.float32), 3)
+    q = rng.standard_normal(d).astype(np.float32)
+    got = ds.distances(q)
+    want = oracle.distance(
+        q[None, :], base, DistanceMetric.L2, VectorType.F32
+    )[0]
+    assert np.isposinf(got[4]) and np.isnan(got[7])
+    finite = np.isfinite(want)
+    np.testing.assert_allclose(got[finite], want[finite], rtol=2e-4, atol=2e-4)
 
 
 def test_dataset_2d_mesh_custom_axis_names(rng):
