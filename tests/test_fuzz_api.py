@@ -26,7 +26,7 @@ TYPES = [VectorType.F32, VectorType.F16, VectorType.BF16, VectorType.U8]
 METRICS = list(DistanceMetric)
 
 
-def _rand_rows(rng, n, dim, vtype, normalized=False):
+def _rand_rows(rng, n, dim, vtype, normalized=False, inject=False):
     if vtype is VectorType.U8:
         return rng.integers(0, 256, (n, dim)).astype(np.uint8)
     if vtype is VectorType.I8:
@@ -37,6 +37,14 @@ def _rand_rows(rng, n, dim, vtype, normalized=False):
         # the oracle's plain cosine on genuinely unit-norm rows
         norms = np.linalg.norm(rows, axis=1, keepdims=True)
         rows = rows / np.where(norms > 0, norms, 1.0)
+    if inject and rng.random() < 0.25:
+        # sparse NaN/Inf injection: drives the lane-skip policy kernels
+        # (1-D and 2-D mesh) through the same mutation/persistence churn
+        # as finite data; the sticky has_nonfinite flag keeps the policy
+        # path active for the rest of the sequence
+        rows[rng.integers(0, n), rng.integers(0, dim)] = rng.choice(
+            [np.nan, np.inf, -np.inf]
+        )
     return rows.astype(vtype.np_dtype)
 
 
@@ -47,14 +55,26 @@ def test_api_op_sequences(tmp_path, seed):
     metric = METRICS[(seed * 2 + 1) % len(METRICS)]
     dim = int(rng.integers(4, 32))
     rel_tol = REL_TOL_BY_TYPE[vtype.value]
-    use_mesh = seed % 3 == 0
+    # mesh cycle: none / 1-D rows / 2-D (rows x dim) — the 2-D seeds fuzz
+    # block sharding + dim zero-padding (and the dim-separable non-finite
+    # policies) through the same op sequences
+    if seed % 3 == 0:
+        mesh = svt.make_mesh()
+    elif seed % 3 == 1:
+        from sqlite_vector_tpu.parallel import make_mesh_2d
+
+        mesh = make_mesh_2d(4, 2)
+    else:
+        mesh = None
     # normalized=1 + COSINE on float types rides the pure-dot fast path;
     # generated rows are unit-normalized so the plain-cosine oracle applies
     normalized = metric is DistanceMetric.COSINE and vtype in (
         VectorType.F32, VectorType.F16, VectorType.BF16
     )
-
-    mesh = svt.make_mesh() if use_mesh else None
+    # odd seeds with float dtypes inject sparse NaN/Inf (policy paths)
+    inject = seed % 2 == 1 and vtype in (
+        VectorType.F32, VectorType.F16, VectorType.BF16
+    )
     ds = svt.Dataset(
         f"api{seed}",
         svt.parse_options(
@@ -69,7 +89,7 @@ def test_api_op_sequences(tmp_path, seed):
 
     def do_add():
         n = int(rng.integers(1, 20))
-        rows = _rand_rows(rng, n, dim, vtype, normalized)
+        rows = _rand_rows(rng, n, dim, vtype, normalized, inject)
         ids = ds.add(rows)
         for i, rid in enumerate(ids):
             state[int(rid)] = rows[i]
@@ -78,7 +98,7 @@ def test_api_op_sequences(tmp_path, seed):
         if not state:
             return
         rid = int(rng.choice(list(state)))
-        row = _rand_rows(rng, 1, dim, vtype, normalized)[0]
+        row = _rand_rows(rng, 1, dim, vtype, normalized, inject)[0]
         ds.update(rid, row)
         state[rid] = row
 
