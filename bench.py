@@ -713,6 +713,9 @@ def main() -> None:
     p.add_argument("--summary-file", default="BENCH_running.json",
                    help="running summary JSON, rewritten after every RESULT "
                    "('' disables)")
+    p.add_argument("--cpu", action="store_true",
+                   help="force the JAX CPU backend (CI smoke on machines "
+                   "whose site config force-selects a TPU plugin)")
     args = p.parse_args()
     ARGS = args
     if args.quick:
@@ -727,6 +730,11 @@ def main() -> None:
     )
 
     import jax
+
+    if args.cpu:
+        # must run before first backend use; the env var alone is not
+        # reliable under this container's sitecustomize (see tests/conftest)
+        jax.config.update("jax_platforms", "cpu")
 
     import sqlite_vector_tpu as svt
 

@@ -1344,10 +1344,21 @@ class Dataset:
         with Inf would score -inf on the dot scan (clipped to a bogus 0.0
         top hit) where plain cosine yields NaN -> excluded, and a NaN
         query must return an empty result, not k rows at 1.0. The sticky
-        dataset flag covers rows; the query is checked per call."""
+        dataset flag covers rows; the query is checked per call.
+
+        F32 storage only: casting a unit-norm row to f16/bf16 re-perturbs
+        its norm by up to ~2*eps_dtype (bf16: ~4e-3 — the extended API
+        fuzzer caught a self-match at distance 2.2e-3 instead of 0), an
+        error the skipped division no longer cancels, large enough to flip
+        near-boundary neighbors vs the reference's plain cosine on the
+        same stored bytes. Plain cosine's divide removes the cast error
+        exactly, and the measured fast-path gain was ~1% (norms are
+        cached; the scan is memory-bound), so 16-bit floats take the
+        plain path."""
         if not (
             self.metric is DistanceMetric.COSINE
             and bool(self.options.normalized)
+            and self.dtype is VectorType.F32
             and policy is None
             and not self._has_nonfinite
         ):

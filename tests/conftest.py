@@ -40,6 +40,27 @@ import numpy as np
 import pytest
 
 
+def pytest_configure(config):
+    config.addinivalue_line(
+        "markers",
+        "nonfinite_inputs: deliberately feeds NaN/Inf into jitted code "
+        "(auto-skipped when the CI NaN guard sets JAX_DEBUG_NANS)",
+    )
+
+
+def pytest_collection_modifyitems(config, items):
+    # the CI NaN-guard step (JAX_DEBUG_NANS=1) excludes whole suites built
+    # around non-finite inputs by file; tests in OTHER files that feed
+    # deliberate NaN/Inf opt out with this marker instead
+    if os.environ.get("JAX_DEBUG_NANS", "").lower() in ("1", "true"):
+        skip = pytest.mark.skip(
+            reason="deliberate non-finite inputs (NaN-guard run)"
+        )
+        for item in items:
+            if "nonfinite_inputs" in item.keywords:
+                item.add_marker(skip)
+
+
 @pytest.fixture
 def rng():
     return np.random.default_rng(0)

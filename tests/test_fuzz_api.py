@@ -66,8 +66,11 @@ def test_api_op_sequences(tmp_path, seed):
         mesh = make_mesh_2d(4, 2)
     else:
         mesh = None
-    # normalized=1 + COSINE on float types rides the pure-dot fast path;
-    # generated rows are unit-normalized so the plain-cosine oracle applies
+    # normalized=1 + COSINE: F32 rides the pure-dot fast path; f16/bf16
+    # declare the flag but take plain cosine (the storage cast re-perturbs
+    # norms by ~2*eps_dtype — seed 78 of the extended campaign caught the
+    # bf16 fast path returning a self-match at 2.2e-3 instead of 0). The
+    # plain-cosine oracle is the ground truth for BOTH paths.
     normalized = metric is DistanceMetric.COSINE and vtype in (
         VectorType.F32, VectorType.F16, VectorType.BF16
     )

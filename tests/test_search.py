@@ -192,8 +192,12 @@ def test_normalized_flag_ignored_for_other_metrics(rng):
 
 
 def test_normalized_cosine_fast_path_f16_and_host_and_mesh(rng):
-    """The fast path must hold across storage dtypes and layouts: f16
-    storage, host (streaming) storage, and a 1-D mesh."""
+    """Layouts ride the fast path (host storage, 1-D mesh); f16 storage
+    does NOT — casting unit rows to a 16-bit float re-perturbs their norms
+    by up to ~2*eps_dtype, an error the skipped division would bake into
+    every distance (the extended fuzzer caught a bf16 self-match at 2.2e-3
+    instead of 0), so 16-bit dtypes fall back to plain cosine, whose
+    divide cancels the cast error exactly (self-match back to 0.0)."""
     import jax
 
     import sqlite_vector_tpu as svt

@@ -418,6 +418,7 @@ def test_dataset_2d_mesh_rejects_host_storage(mesh2d):
         )
 
 
+@pytest.mark.nonfinite_inputs
 @pytest.mark.parametrize("metric", METRICS)
 def test_dataset_2d_mesh_nonfinite_policy_matches_unsharded(
     mesh2d, metric, rng
@@ -453,6 +454,7 @@ def test_dataset_2d_mesh_nonfinite_policy_matches_unsharded(
         np.testing.assert_allclose(d1, d2, rtol=1e-5, atol=1e-6)
 
 
+@pytest.mark.nonfinite_inputs
 def test_sharded_2d_policy_dot_first_inf_across_shards(mesh2d, rng):
     """DOT's short-circuit takes the sign of the FIRST infinite product in
     lane order (src/distance-cpu.c:414-421). On a dim-sharded mesh 'first'
@@ -497,6 +499,7 @@ def test_sharded_2d_policy_dot_first_inf_across_shards(mesh2d, rng):
     np.testing.assert_allclose(got[finite], want[finite], rtol=1e-5)
 
 
+@pytest.mark.nonfinite_inputs
 def test_dataset_2d_mesh_f32_inf_raw_distances(mesh2d, rng):
     """f32 L2 streamed distances on the 2-D mesh must expose the
     reference's RAW values for Inf rows (+Inf, not the matmul
