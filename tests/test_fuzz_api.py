@@ -201,12 +201,17 @@ def test_api_op_sequences(tmp_path, seed):
                 q[None], np.stack([state[int(i)] for i in sub]), metric, vtype
             )[0]
             subd = np.where(np.isnan(subd), np.inf, subd)
-            if np.isfinite(subd).any() and len(f_ids):
-                best = int(sub[np.argmin(subd)])
-                tol = max(rel_tol, 1e-6) * max(1.0, abs(float(subd.min())))
+            if not np.isposinf(subd).all() and len(f_ids):
+                mn = float(subd.min())
+                # a non-finite best (DOT's -inf short-circuit) admits no
+                # numeric slack: -inf + rel*inf = NaN would empty the
+                # winners set (same guard as parity.assert_topk_parity)
+                tol = (
+                    max(rel_tol, 1e-6) * max(1.0, abs(mn))
+                    if np.isfinite(mn) else 0.0
+                )
                 winners = {
-                    int(sub[j])
-                    for j in np.flatnonzero(subd <= subd.min() + tol)
+                    int(sub[j]) for j in np.flatnonzero(subd <= mn + tol)
                 }
                 assert int(f_ids[0]) in winners
 
