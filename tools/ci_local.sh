@@ -42,7 +42,9 @@ echo "== Multi-chip dryrun (8 virtual devices)"
 python -c "import __graft_entry__ as g; g.dryrun_multichip(8)"
 
 echo "== Editable-install job (package import from outside the repo)"
-pip install -e . --quiet --no-deps
+# --no-build-isolation: this container has zero egress; build with the
+# preinstalled setuptools instead of fetching an isolated copy
+pip install -e . --quiet --no-deps --no-build-isolation
 (cd /tmp && python - <<'EOF'
 import jax
 jax.config.update("jax_platforms", "cpu")
