@@ -1311,6 +1311,55 @@ def test_normalized_cosine_interop_with_c_reference(tmp_path, rng):
     )
 
 
+@pytest.mark.skipif(
+    not (os.path.exists(REF_SO) and _vtab_available()),
+    reason="compiled C reference / vtab unavailable",
+)
+def test_normalized_cosine_bf16_interop_with_c_reference(tmp_path, rng):
+    """normalized=1 + COSINE on FLOATB16 storage: the bf16 cast re-perturbs
+    unit norms by up to ~2*eps (≈4e-3), so the pure-dot fast path is
+    F32-only and bf16 must take plain cosine — whose divide cancels the
+    cast error exactly, matching the C reference on the same stored bytes
+    (self-match back at 0.0). Pins the round-3 campaign finding: the
+    pre-fix fast path returned the self-match at ~2.2e-3 here."""
+    import ml_dtypes
+
+    dim = 24
+    data = rng.standard_normal((400, dim)).astype(np.float32)
+    data /= np.linalg.norm(data, axis=1, keepdims=True)
+    data16 = data.astype(ml_dtypes.bfloat16)
+    path = str(tmp_path / "normb.db")
+    c = svs.connect(path)
+    c.execute("CREATE TABLE t (v BLOB)")
+    c.executemany(
+        "INSERT INTO t(v) VALUES (?)", ((r.tobytes(),) for r in data16)
+    )
+    c.commit()
+    c.vector_init(
+        "t", "v", f"type=FLOATB16,dimension={dim},distance=COSINE,normalized=1"
+    )
+    sql = "SELECT rowid, distance FROM vector_full_scan('t','v',?,10)"
+    q = data16[7].tobytes()
+    ours = c.execute(sql, (q,)).fetchall()
+    c.close()
+    assert ours[0][0] == 8 and ours[0][1] == 0.0  # fails on the pure-dot path
+
+    rc = sqlite3.connect(path)
+    rc.enable_load_extension(True)
+    rc.load_extension(REF_SO[:-3])
+    rc.execute(
+        "SELECT vector_init('t','v',"
+        f"'type=FLOATB16,dimension={dim},distance=COSINE,normalized=1')"
+    )
+    theirs = rc.execute(sql, (q,)).fetchall()
+    rc.close()
+    assert {r[0] for r in ours} == {r[0] for r in theirs}
+    np.testing.assert_allclose(
+        sorted(r[1] for r in ours), sorted(r[1] for r in theirs),
+        rtol=2e-3, atol=2e-3,
+    )
+
+
 @pytest.mark.skipif(not _vtab_available(), reason="vtab extension unavailable")
 def test_stream_tvf_extra_argument_is_arity_error(tmp_path, data):
     """A stream TVF called with a 4th argument must raise the reference's
