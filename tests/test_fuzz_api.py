@@ -78,6 +78,10 @@ def test_api_op_sequences(tmp_path, seed):
     inject = seed % 2 == 1 and vtype in (
         VectorType.F32, VectorType.F16, VectorType.BF16
     )
+    # host (streaming) storage as an independent dimension — the >HBM tile
+    # pipeline, its clamped masks, and the chunked host quantize go through
+    # the same op sequences; 2-D mesh + host is a rejected config (skip)
+    storage = "host" if (seed % 5 == 2 and seed % 3 != 1) else "hbm"
     ds = svt.Dataset(
         f"api{seed}",
         svt.parse_options(
@@ -85,6 +89,7 @@ def test_api_op_sequences(tmp_path, seed):
             + (",normalized=1" if normalized else "")
         ),
         mesh=mesh,
+        storage=storage,
     )
 
     state: dict[int, np.ndarray] = {}  # live rows by id
@@ -123,7 +128,7 @@ def test_api_op_sequences(tmp_path, seed):
         nonlocal ds
         d = str(tmp_path / f"rt{seed}")
         ds.save(d)
-        ds = svt.Dataset.load(d, mesh=mesh)
+        ds = svt.Dataset.load(d, mesh=mesh, storage=storage)
 
     def check():
         assert len(ds) == len(state)
