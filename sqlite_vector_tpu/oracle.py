@@ -120,7 +120,8 @@ def _distance_float(
     if metric in (DistanceMetric.L2, DistanceMetric.SQUARED_L2):
         # LASSQ policy (f16 :318-356, bf16 :164-197): diff NaN lanes -> 0,
         # any Inf involvement -> +Inf; f64 accumulation.
-        d = xb - yb
+        with np.errstate(invalid="ignore"):  # inf-inf -> NaN is the policy
+            d = xb - yb
         nan_mask = np.isnan(d)
         # f16 path checks Inf on the *inputs*; bf16 checks the diff. Matched
         # same-signed infinities produce d = NaN (skipped) under the f16 rule,
@@ -162,7 +163,8 @@ def _distance_float(
             ),
             0.0,
         )
-        out = np.where(any_inf, -first_sign * np.inf, -s)
+        with np.errstate(invalid="ignore"):  # 0*inf in the dead branch
+            out = np.where(any_inf, -first_sign * np.inf, -s)
         return out.astype(np.float32)
     # cosine (:431-468)
     any_inf = np.any((np.isinf(xb) | np.isinf(yb)) & lane_ok, axis=-1)
@@ -320,7 +322,10 @@ def quantize(
     finiteness guard (UB for NaN in C); we use the guarded q_round semantics
     for every source dtype. For finite inputs the results are identical.
     """
-    s = (np.asarray(values, dtype=np.float32) - np.float32(offset)) * np.float32(scale)
+    with np.errstate(invalid="ignore"):  # non-finite inputs; q_round guards
+        s = (
+            np.asarray(values, dtype=np.float32) - np.float32(offset)
+        ) * np.float32(scale)
     if qtype is QuantType.U8:
         return q_round_u8(s)
     if qtype is QuantType.I8:
