@@ -62,6 +62,34 @@ def needs_raw_policy(vtype: VectorType, metric: DistanceMetric) -> bool:
     return vtype is VectorType.F32 and metric in _LASSQ_METRICS
 
 
+# Row-tile bound applied INSIDE the policy kernels: the element-wise
+# [B, tile, d] cube normally fuses into its reduction, but the DOT policy's
+# first-infinite-lane gather can force XLA to materialize it — at 10M x 384
+# that is a >14 GB intermediate. Matches ops.scan.L1_ROW_TILE; callers that
+# already tile (fused_scan_topk) hit the single-tile branch unchanged.
+POLICY_ROW_TILE = 32768
+
+
+def _row_tiled(fn, q: jnp.ndarray, rows: jnp.ndarray) -> jnp.ndarray:
+    """Evaluate fn(q, row_tile) -> [B, tile] over row tiles via lax.scan,
+    concatenating to [B, N]. Zero-padded rows are policy-neutral (finite)
+    and sliced off; under shard_map every shard has the same row count, so
+    collectives inside fn stay in lockstep across scan iterations."""
+    n = rows.shape[0]
+    if n <= POLICY_ROW_TILE:
+        return fn(q, rows)
+    ntiles = -(-n // POLICY_ROW_TILE)
+    npad = ntiles * POLICY_ROW_TILE
+    padded = jnp.pad(rows, ((0, npad - n), (0, 0)))
+    tiles = padded.reshape(ntiles, POLICY_ROW_TILE, rows.shape[1])
+
+    def body(carry, bt):
+        return carry, fn(q, bt)
+
+    _, out = jax.lax.scan(body, jnp.int32(0), tiles)  # [ntiles, B, tile]
+    return jnp.moveaxis(out, 0, 1).reshape(q.shape[0], npad)[:, :n]
+
+
 def policy_pairwise(
     q: jnp.ndarray,
     tile: jnp.ndarray,
@@ -70,11 +98,14 @@ def policy_pairwise(
 ) -> jnp.ndarray:
     """[B, N_tile] distances under the reference's non-finite policies.
 
-    Element-wise formulation (the [B, T, d] cube fuses into the reduction);
-    callers tile rows to bound the working set. Only called for
-    needs_policy() configurations.
+    Element-wise formulation, internally bounded to POLICY_ROW_TILE rows
+    per step (see _row_tiled). Only called for needs_policy()
+    configurations.
     """
-    return _policy_impl(q, tile, metric, vtype, dim_axis=None)
+    return _row_tiled(
+        lambda qq, bt: _policy_impl(qq, bt, metric, vtype, dim_axis=None),
+        q, tile,
+    )
 
 
 def policy_pairwise_sharded(
@@ -93,8 +124,12 @@ def policy_pairwise_sharded(
     lane "any" flags reduce as psum(int) > 0, and DOT's first-infinite-
     product short-circuit resolves with a pmin over GLOBAL lane indices
     (zero feature padding is policy-neutral: padding lanes are finite and
-    contribute 0 to every sum)."""
-    return _policy_impl(q, tile, metric, vtype, dim_axis=dim_axis)
+    contribute 0 to every sum). Row-tiled like the unsharded variant —
+    the 2-D executors pass the whole local row shard."""
+    return _row_tiled(
+        lambda qq, bt: _policy_impl(qq, bt, metric, vtype, dim_axis=dim_axis),
+        q, tile,
+    )
 
 
 def _policy_impl(

@@ -212,6 +212,72 @@ def test_mesh_sharded_policy(rng):
     assert int(ids[33]) in got_ids.tolist()
 
 
+@pytest.mark.parametrize("metric", METRICS)
+@pytest.mark.parametrize("vtype", FLOAT_TYPES)
+def test_policy_row_tiling_matches_untiled(metric, vtype, rng, monkeypatch):
+    """The internal POLICY_ROW_TILE bound (which keeps the [B, tile, d]
+    policy cube off HBM at 10M rows) must be value-identical to the untiled
+    evaluation, including a ragged tail tile and non-finite special rows."""
+    import jax.numpy as jnp
+
+    from sqlite_vector_tpu.ops import nonfinite
+
+    base = _special_base(rng, vtype)  # 40 rows incl. every special pattern
+    q = rng.standard_normal((3, DIM)).astype(np.float32)
+    q[1, 7] = np.nan
+    qj = jnp.asarray(q)
+    bj = jnp.asarray(base.astype(np.float32))
+
+    want = np.asarray(nonfinite._policy_impl(qj, bj, metric, vtype, None))
+    monkeypatch.setattr(nonfinite, "POLICY_ROW_TILE", 16)  # 40 -> 3 tiles, ragged
+    got = np.asarray(nonfinite.policy_pairwise(qj, bj, metric, vtype))
+    # XLA may reassociate the d-axis reduction differently per tile shape;
+    # non-finite positions (the policy outputs under test) match exactly
+    np.testing.assert_allclose(got, want, rtol=1e-5, atol=1e-6)
+
+
+def test_policy_row_tiling_sharded(rng, monkeypatch):
+    """Row tiling inside the SHARDED policy kernel: collectives stay in
+    lockstep across scan steps, results match the unsharded evaluation."""
+    import jax.numpy as jnp
+    from jax.sharding import PartitionSpec as P
+
+    from sqlite_vector_tpu.ops import nonfinite
+    from sqlite_vector_tpu.parallel import make_mesh
+    from sqlite_vector_tpu.parallel.ops import _shard_map
+
+    mesh = make_mesh(4, axis_name="dim")  # 1-D mesh used as a dim axis
+    base = _special_base(rng, VectorType.F16).astype(np.float32)
+    q = rng.standard_normal((2, DIM)).astype(np.float32)
+    q[0, 3] = np.inf
+    qj, bj = jnp.asarray(q), jnp.asarray(base)
+
+    monkeypatch.setattr(nonfinite, "POLICY_ROW_TILE", 16)
+    for metric in METRICS:
+        want = np.asarray(
+            nonfinite._policy_impl(qj, bj, metric, VectorType.F16, None)
+        )
+
+        def body(qq, bb, m=metric):
+            return nonfinite.policy_pairwise_sharded(
+                qq, bb, m, VectorType.F16, dim_axis="dim"
+            )
+
+        got = np.asarray(
+            _shard_map(
+                body,
+                mesh=mesh,
+                in_specs=(P(None, "dim"), P(None, "dim")),
+                out_specs=P(None, None),
+            )(qj, bj)
+        )
+        # local-sum + psum reassociates the f32 accumulation; non-finite
+        # positions (the policy outputs under test) still match exactly
+        np.testing.assert_allclose(
+            got, want, rtol=1e-5, atol=1e-6, err_msg=str(metric)
+        )
+
+
 @pytest.mark.parametrize("metric", ["L2", "SQUARED_L2"])
 def test_f32_stream_raw_values_match_reference_semantics(metric, rng):
     """The streaming vtabs expose RAW distances. For f32 L2/SQUARED_L2 the
