@@ -65,29 +65,33 @@ def needs_raw_policy(vtype: VectorType, metric: DistanceMetric) -> bool:
 # Row-tile bound applied INSIDE the policy kernels: the element-wise
 # [B, tile, d] cube normally fuses into its reduction, but the DOT policy's
 # first-infinite-lane gather can force XLA to materialize it — at 10M x 384
-# that is a >14 GB intermediate. Matches ops.scan.L1_ROW_TILE; callers that
+# that is a >14 GB intermediate. Shares ops.scan.L1_ROW_TILE (scan.py only
+# imports this module lazily, so the import is cycle-free); callers that
 # already tile (fused_scan_topk) hit the single-tile branch unchanged.
-POLICY_ROW_TILE = 32768
+from sqlite_vector_tpu.ops.scan import L1_ROW_TILE as POLICY_ROW_TILE
 
 
 def _row_tiled(fn, q: jnp.ndarray, rows: jnp.ndarray) -> jnp.ndarray:
     """Evaluate fn(q, row_tile) -> [B, tile] over row tiles via lax.scan,
-    concatenating to [B, N]. Zero-padded rows are policy-neutral (finite)
-    and sliced off; under shard_map every shard has the same row count, so
-    collectives inside fn stay in lockstep across scan iterations."""
-    n = rows.shape[0]
-    if n <= POLICY_ROW_TILE:
+    concatenating to [B, N]. The full-tile prefix is a free reshape of the
+    input (no padded copy — the point of tiling is to stay memory-bound);
+    the ragged tail is one extra direct call. Under shard_map every shard
+    has the same row count, so both the tile count and the tail branch
+    agree across shards and collectives inside fn stay in lockstep."""
+    n, tile_rows = rows.shape[0], POLICY_ROW_TILE
+    if n <= tile_rows:
         return fn(q, rows)
-    ntiles = -(-n // POLICY_ROW_TILE)
-    npad = ntiles * POLICY_ROW_TILE
-    padded = jnp.pad(rows, ((0, npad - n), (0, 0)))
-    tiles = padded.reshape(ntiles, POLICY_ROW_TILE, rows.shape[1])
+    nfull = n // tile_rows
+    tiles = rows[: nfull * tile_rows].reshape(nfull, tile_rows, rows.shape[1])
 
     def body(carry, bt):
         return carry, fn(q, bt)
 
-    _, out = jax.lax.scan(body, jnp.int32(0), tiles)  # [ntiles, B, tile]
-    return jnp.moveaxis(out, 0, 1).reshape(q.shape[0], npad)[:, :n]
+    _, out = jax.lax.scan(body, jnp.int32(0), tiles)  # [nfull, B, tile]
+    full = jnp.moveaxis(out, 0, 1).reshape(q.shape[0], nfull * tile_rows)
+    if n == nfull * tile_rows:
+        return full
+    return jnp.concatenate([full, fn(q, rows[nfull * tile_rows :])], axis=1)
 
 
 def policy_pairwise(

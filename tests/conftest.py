@@ -52,7 +52,11 @@ def pytest_collection_modifyitems(config, items):
     # the CI NaN-guard step (JAX_DEBUG_NANS=1) excludes whole suites built
     # around non-finite inputs by file; tests in OTHER files that feed
     # deliberate NaN/Inf opt out with this marker instead
-    if os.environ.get("JAX_DEBUG_NANS", "").lower() in ("1", "true"):
+    # ask JAX itself (rather than re-parsing the env var) so the skip
+    # tracks every spelling JAX accepts ('1'/'true'/'on'/'yes'/...)
+    import jax
+
+    if jax.config.jax_debug_nans:
         skip = pytest.mark.skip(
             reason="deliberate non-finite inputs (NaN-guard run)"
         )
