@@ -140,14 +140,16 @@ def _distance_float(
     # NaN lanes skipped; f64 accumulation
     lane_ok = ~(np.isnan(xb) | np.isnan(yb))
     if metric is DistanceMetric.L1:
-        d = np.where(lane_ok, np.abs(xb - yb), 0.0)
+        with np.errstate(invalid="ignore"):  # matched infs: inf-inf -> NaN
+            d = np.where(lane_ok, np.abs(xb - yb), 0.0)
         inf_lane = np.isinf(xb) | np.isinf(yb)
         matched = np.isinf(xb) & np.isinf(yb) & (np.sign(xb) == np.sign(yb))
         any_inf = np.any(inf_lane & ~matched & lane_ok, axis=-1)
         s = np.sum(d, axis=-1, dtype=np.float64)
         return np.where(any_inf, np.inf, s).astype(np.float32)
     if metric is DistanceMetric.DOT:
-        p = np.where(lane_ok, xb * yb, 0.0)
+        with np.errstate(invalid="ignore"):  # 0*inf in masked lanes
+            p = np.where(lane_ok, xb * yb, 0.0)
         # an infinite product short-circuits with flipped sign (:414-421)
         inf_p = np.isinf(p)
         s = np.sum(np.where(inf_p, 0.0, p), axis=-1, dtype=np.float64)
