@@ -198,13 +198,18 @@ def _cmd_serve(args) -> int:
     print(f"serving {len(ds)} x {ds.dimension} on http://{host}:{port}")
     print("POST /search {'vector': [...], 'k': 10, 'mode': 'exact'}; ctrl-C to stop")
     try:
-        import threading
-
-        threading.Event().wait()
+        _serve_block(server)
     except KeyboardInterrupt:
         server.searcher.close()
         server.shutdown()
     return 0
+
+
+def _serve_block(server) -> None:
+    """Block until ctrl-C (separate so tests can drive the live server)."""
+    import threading
+
+    threading.Event().wait()
 
 
 def _cmd_warm(args) -> int:
@@ -341,10 +346,18 @@ def main(argv: list[str] | None = None) -> int:
     p.add_argument("--modes", default="exact,quantized,rerank")
     p.add_argument("--max-batch", type=int, default=64)
 
-    p = sub.add_parser("recall", help="recall measurement (QUANTIZATION.md workflow)")
-    p.add_argument("rest", nargs=argparse.REMAINDER)
+    sub.add_parser("recall", help="recall measurement (QUANTIZATION.md "
+                   "workflow); remaining args go to tools.recall")
 
-    args = ap.parse_args(argv)
+    # `recall` forwards every remaining argument to tools.recall's own
+    # parser. A REMAINDER positional cannot do this (it never captures
+    # leading optionals like `recall --n 100000`), so parse leniently and
+    # re-tighten for every other command.
+    args, extra = ap.parse_known_args(argv)
+    if args.cmd == "recall":
+        args.rest = extra
+    elif extra:
+        ap.error(f"unrecognized arguments: {' '.join(extra)}")
     if args.cpu:
         import jax
 

@@ -97,3 +97,62 @@ def test_search_error_path(tmp_path, capsys):
                "dimension=2,type=FLOAT32"])
     assert rc == 1
     assert "error:" in capsys.readouterr().err
+
+
+def test_recall_command(capsys):
+    """`recall` forwards to tools.recall: synthetic build + quantize +
+    exact-vs-quantized overlap (the QUANTIZATION.md:43-77 workflow)."""
+    assert main(["recall", "--n", "2000", "--dim", "16", "--k", "5",
+                 "--queries", "8"]) == 0
+    out = capsys.readouterr().out
+    assert "recall@5:" in out and "quant params:" in out
+    recall = float(out.split("recall@5:")[1].split()[0])
+    # self-queries on clustered data: near-perfect overlap expected
+    assert recall > 0.8
+
+
+def test_serve_command(tmp_path, vecs_npy, monkeypatch, capsys):
+    """`serve --dir` end-to-end through the real HTTP endpoint.
+
+    The command blocks in cli._serve_block until ctrl-C; the test swaps in
+    a block hook that issues a real POST /search against the live server
+    and then raises KeyboardInterrupt, exercising the full serve wiring
+    (load -> coalescer -> HTTP -> clean shutdown)."""
+    import json as _json
+    import urllib.request
+
+    import sqlite_vector_tpu as svt
+    from sqlite_vector_tpu import cli
+
+    npy, mat = vecs_npy
+    d = str(tmp_path / "ds")
+    assert main(["ds-create", d, OPTS, "--npy", npy]) == 0
+    capsys.readouterr()
+
+    captured = {}
+    real_serve = svt.serve
+
+    def capture_serve(*a, **kw):
+        captured["server"] = real_serve(*a, **kw)
+        return captured["server"]
+
+    def _request_then_interrupt(server):
+        host, port = server.server_address[:2]
+        body = _json.dumps({"vector": mat[3].tolist(), "k": 2}).encode()
+        req = urllib.request.Request(
+            f"http://{host}:{port}/search", data=body,
+            headers={"Content-Type": "application/json"},
+        )
+        with urllib.request.urlopen(req, timeout=60) as r:
+            captured["resp"] = _json.loads(r.read())
+        raise KeyboardInterrupt
+
+    monkeypatch.setattr(svt, "serve", capture_serve)
+    monkeypatch.setattr(cli, "_serve_block", _request_then_interrupt)
+    assert main(["serve", "--dir", d, "--port", "0"]) == 0
+
+    resp = captured["resp"]
+    # auto-assigned ids are 1-based (SQLite rowid convention): row 3 -> id 4
+    assert resp["ids"][0] == 4 and resp["distances"][0] == 0.0
+    out = capsys.readouterr().out
+    assert "serving 200 x 16" in out

@@ -19,7 +19,11 @@ JAX_DEBUG_NANS=1 python -m pytest -q tests/test_distance.py \
     tests/test_capability_matrix.py
 
 echo "== Bench smoke (CPU) — last stdout line must be valid JSON"
-python bench.py --quick --skip10m --cpu | tee /tmp/ci_bench_out.txt
+# unlike the GitHub job (--skip10m: shared runners), the local replica also
+# exercises the 10m-config code path at --quick scale (200k x 768, temp
+# cache) so section-ordering/budget-guard regressions surface here
+python bench.py --quick --cpu --cache-dir /tmp/ci_bench_cache \
+    | tee /tmp/ci_bench_out.txt
 python - <<'EOF'
 import json
 lines = [l for l in open("/tmp/ci_bench_out.txt") if l.strip()]
