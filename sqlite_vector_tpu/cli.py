@@ -194,10 +194,21 @@ def _cmd_serve(args) -> int:
         ds, args.host, args.port,
         max_batch=args.max_batch, max_wait_ms=args.max_wait_ms,
     )
-    host, port = server.server_address[:2]
-    print(f"serving {len(ds)} x {ds.dimension} on http://{host}:{port}")
-    print("POST /search {'vector': [...], 'k': 10, 'mode': 'exact'}; ctrl-C to stop")
+    # install the SIGTERM handler BEFORE announcing readiness: a supervisor
+    # may send it the moment the startup line appears
+    import signal
+
     try:
+        signal.signal(signal.SIGTERM, _raise_interrupt)
+    except ValueError:  # non-main thread (embedded use): ctrl-C only
+        pass
+    try:
+        # everything after the handler install sits inside the try: the
+        # interrupt may land the instant the startup line is visible
+        host, port = server.server_address[:2]
+        print(f"serving {len(ds)} x {ds.dimension} on http://{host}:{port}")
+        print("POST /search {'vector': [...], 'k': 10, 'mode': 'exact'}; "
+              "ctrl-C to stop")
         _serve_block(server)
     except KeyboardInterrupt:
         server.searcher.close()
@@ -205,8 +216,14 @@ def _cmd_serve(args) -> int:
     return 0
 
 
+def _raise_interrupt(signum, frame):
+    """SIGTERM (what production supervisors send) takes the same clean
+    shutdown path as ctrl-C: drain the coalescer, stop the server."""
+    raise KeyboardInterrupt
+
+
 def _serve_block(server) -> None:
-    """Block until ctrl-C (separate so tests can drive the live server)."""
+    """Block until ctrl-C/SIGTERM (separate so tests can drive the server)."""
     import threading
 
     threading.Event().wait()

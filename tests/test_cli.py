@@ -156,3 +156,36 @@ def test_serve_command(tmp_path, vecs_npy, monkeypatch, capsys):
     assert resp["ids"][0] == 4 and resp["distances"][0] == 0.0
     out = capsys.readouterr().out
     assert "serving 200 x 16" in out
+
+
+def test_serve_sigterm_clean_shutdown(tmp_path, vecs_npy):
+    """SIGTERM (what production supervisors send) takes the same clean
+    shutdown path as ctrl-C: drain the coalescer, stop the server, exit 0."""
+    import signal
+    import subprocess
+    import sys
+    import time
+
+    npy, _ = vecs_npy
+    d = str(tmp_path / "ds")
+    assert main(["ds-create", d, OPTS, "--npy", npy]) == 0
+
+    proc = subprocess.Popen(
+        [sys.executable, "-u", "-m", "sqlite_vector_tpu", "--cpu",
+         "serve", "--dir", d, "--port", "0"],
+        stdout=subprocess.PIPE, stderr=subprocess.STDOUT, text=True,
+    )
+    try:
+        deadline = time.time() + 120
+        started = False
+        while time.time() < deadline:
+            line = proc.stdout.readline()
+            if line.startswith("serving"):
+                started = True
+                break
+        assert started, "server never printed its startup line"
+        proc.send_signal(signal.SIGTERM)
+        assert proc.wait(timeout=60) == 0
+    finally:
+        if proc.poll() is None:
+            proc.kill()
