@@ -17,12 +17,17 @@ Controls (read at each call):
                             test suite wants: reloading CPU executables cuts
                             the suite ~4x)
   SVT_COMPILE_CACHE=0|off   disable entirely
-  (unset)                   default dir ~/.cache/sqlite_vector_tpu/xla, but
-                            JAX's own persistence thresholds are left at
-                            their defaults, so only substantial compiles are
-                            written — the directory stays bounded for
-                            applications that import this package alongside
-                            their own JAX code
+  (unset)                   default dir ~/.cache/sqlite_vector_tpu/xla on
+                            non-CPU backends only (where cold compiles cost
+                            seconds to minutes); JAX's own persistence
+                            thresholds are left at their defaults, so only
+                            substantial compiles are written — the directory
+                            stays bounded for applications that import this
+                            package alongside their own JAX code. The plain
+                            CPU backend is excluded from the implicit
+                            default: compiles there are fast, and this jax
+                            release logs a spurious feature-mismatch ERROR
+                            per CPU cache hit
 
 If the process already configured a cache (jax_compilation_cache_dir or the
 JAX_COMPILATION_CACHE_DIR env var), the package leaves it — and the user's
@@ -81,6 +86,19 @@ def enable_persistent_cache() -> str | None:
             # SVT_COMPILE_CACHE=<dir> overrides it
             return prev or os.environ["JAX_COMPILATION_CACHE_DIR"]
         cache_dir = raw or _DEFAULT_DIR
+        if not raw:
+            # Implicit default: auto-enable only off-CPU. Plain-CPU
+            # compiles are fast, and this jax release's CPU AOT cache
+            # loader logs a spurious machine-feature-mismatch ERROR line
+            # per cache hit (virtual prefer-no-* flags recorded at write
+            # are absent from the loader's host-feature set — reproduced
+            # with a fresh cache written by an identical process on the
+            # same machine): scary per-process noise for little gain. The
+            # TPU/GPU backends, where a cold compile costs seconds to
+            # minutes, keep the instant-start default; SVT_COMPILE_CACHE=
+            # <dir> still opts a CPU process in explicitly.
+            if jax.default_backend() == "cpu":
+                return None
         jax.config.update("jax_compilation_cache_dir", cache_dir)
         if prev is not None and prev != cache_dir:
             # the cache backend is a lazily-initialized singleton bound to
