@@ -131,7 +131,9 @@ class BatchingSearcher:
             if item is None:
                 continue
             fut = item[-1]
-            if not fut.done():
+            # claim-then-set: a caller's fut.cancel() racing this drain
+            # would otherwise make set_exception raise InvalidStateError
+            if fut.set_running_or_notify_cancel():
                 fut.set_exception(RuntimeError("BatchingSearcher is closed"))
         if self._thread.is_alive():
             # the dispatcher outlived the join timeout (e.g. a cold remote
@@ -169,12 +171,25 @@ class BatchingSearcher:
         for q, k, mode, fut in batch:
             groups.setdefault((k, mode), []).append((q, fut))
         for (k, mode), items in groups.items():
+            # claim every future FIRST: after set_running_or_notify_cancel
+            # returns True a racing fut.cancel() is a guaranteed no-op, so
+            # the set_result/set_exception below can never raise
+            # InvalidStateError mid-loop (which would discard batch-mates'
+            # computed results and, racing twice, kill the dispatcher
+            # thread — hanging every later submit). Futures already
+            # cancelled by their caller drop out here.
+            live = [
+                (q, fut) for q, fut in items
+                if fut.set_running_or_notify_cancel()
+            ]
+            if not live:
+                continue
             try:
-                qs = np.stack([q for q, _ in items])
-                bsize = _bucket(len(items))
-                if bsize != len(items):
+                qs = np.stack([q for q, _ in live])
+                bsize = _bucket(len(live))
+                if bsize != len(live):
                     qs = np.concatenate(
-                        [qs, np.zeros((bsize - len(items),) + qs.shape[1:], qs.dtype)]
+                        [qs, np.zeros((bsize - len(live),) + qs.shape[1:], qs.dtype)]
                     )
                 try:
                     ids, dist = self.dataset.search(qs, k, mode=mode)
@@ -185,12 +200,11 @@ class BatchingSearcher:
                         raise
                     # requantization window: serve exact results instead
                     ids, dist = self.dataset.search(qs, k, mode="exact")
-                for i, (_, fut) in enumerate(items):
+                for i, (_, fut) in enumerate(live):
                     keep = ids[i] >= 0
-                    if not fut.done():  # a cancelled future must not poison
-                        fut.set_result((ids[i][keep], dist[i][keep]))
+                    fut.set_result((ids[i][keep], dist[i][keep]))
             except Exception as e:  # propagate to every waiter
-                for _, fut in items:
+                for _, fut in live:
                     if not fut.done():
                         fut.set_exception(e)
 
@@ -318,7 +332,17 @@ def serve(
 
         def do_POST(self):
             try:
-                n = int(self.headers.get("Content-Length", 0))
+                try:
+                    n = int(self.headers.get("Content-Length", 0))
+                except (TypeError, ValueError):
+                    n = -1
+                if n < 0:
+                    # malformed/negative length: rfile.read(-1) would block
+                    # until client EOF, pinning this handler thread for as
+                    # long as the peer holds the connection (slowloris)
+                    self.close_connection = True
+                    self._reply(400, {"error": "invalid Content-Length"})
+                    return
                 if n > max_request_bytes:
                     # refuse before reading the body into memory; close the
                     # connection (the unread body would otherwise desync

@@ -109,6 +109,12 @@ class _TableContext:
     # outside one, verify the shadow table survived (a ROLLBACK is invisible
     # to the change stamp)
     quant_provisional: bool = False
+    # PRAGMA schema_version recorded when `quant` was built/loaded. Every
+    # re-quantize (this bridge's SAVEPOINT path and the C extension alike)
+    # DROP+CREATEs the shadow table, bumping the schema cookie, and a
+    # ROLLBACK reverts it — so a cookie mismatch means the cached codes no
+    # longer correspond to the on-disk shadow/params generation.
+    quant_schema_ver: int | None = None
     # quant params restored from _sqliteai_vector (sqlite_unserialize parity)
     stored_qtype: QuantType | None = None
     stored_scale: float | None = None
@@ -246,13 +252,31 @@ class VectorConnection:
 
     def _resolve_pk(self, table: str) -> str:
         """rowid, or the single INTEGER pk for WITHOUT ROWID tables
-        (src/sqlite-vector.c:1081-1088, 307-348)."""
-        row = self._conn.execute(
-            "SELECT sql FROM sqlite_master WHERE type='table' AND lower(name)=lower(?)",
-            (table,),
-        ).fetchone()
-        sql = (row[0] or "") if row else ""
-        if "without rowid" not in sql.lower():
+        (src/sqlite-vector.c:1081-1088, 307-348).
+
+        The reference substring-searches the whole CREATE statement for
+        "without rowid" (:307-323), which misclassifies ordinary tables
+        whose SQL merely contains that text in a string literal, column
+        name, or comment. pragma_table_list reports the property exactly
+        (its `wr` column, SQLite >= 3.37); the reference's heuristic
+        remains only as the fallback for older libraries."""
+        without_rowid: bool
+        try:
+            row = self._conn.execute(
+                "SELECT wr FROM pragma_table_list WHERE schema='main' "
+                "AND lower(name)=lower(?)",
+                (table,),
+            ).fetchone()
+            without_rowid = bool(row and row[0])
+        except sqlite3.OperationalError:
+            row = self._conn.execute(
+                "SELECT sql FROM sqlite_master WHERE type='table' "
+                "AND lower(name)=lower(?)",
+                (table,),
+            ).fetchone()
+            sql = (row[0] or "") if row else ""
+            without_rowid = "without rowid" in sql.lower()
+        if not without_rowid:
             return "rowid"
         pks = [
             r
@@ -514,7 +538,14 @@ class VectorConnection:
         ctx = self._lookup(table, column, "vector_quantize")
         opts = parse_options(options, ctx.options)
         ds = self._refresh(ctx)
-        count = ds.quantize(qtype=opts.qtype)
+        ds.quantize(qtype=opts.qtype)
+        # one snapshot: Dataset.quantize builds OUTSIDE the mutation lock, so
+        # a concurrent add/remove (serving mutator) can swap ds.ids between
+        # the build and this read — codes, ids, and count must all come from
+        # the same _QuantState generation or shadow records pair code rows
+        # with the wrong rowids
+        qsnap = ds._quant
+        count = qsnap.count if qsnap is not None else 0
 
         shadow = _shadow_name(ctx.table, ctx.column)
         cur = self._conn.cursor()
@@ -530,9 +561,11 @@ class VectorConnection:
                 "(rowid1 INTEGER, rowid2 INTEGER, counter INTEGER, data BLOB)"
             )
             if count:
-                qtype, scale, offset = ds.quant_params
-                codes = np.asarray(ds._quant.codes)[:count]
-                rowids = ds.ids
+                qtype, scale, offset = (
+                    qsnap.qtype, float(qsnap.scale), float(qsnap.offset)
+                )
+                codes = np.asarray(qsnap.codes)[:count]
+                rowids = qsnap.ids
                 q_size = 8 + ctx.options.dimension
                 max_vectors = max(int(opts.max_memory) // q_size, 1)
                 for start in range(0, count, max_vectors):
@@ -598,7 +631,7 @@ class VectorConnection:
                 qtype=qtype,
                 scale=float(scale),
                 offset=float(offset),
-                codes=ds._quant.codes,
+                codes=qsnap.codes,
                 ids=np.array(rowids, np.int64),
                 count=count,
                 sq_norms=None,
@@ -608,12 +641,24 @@ class VectorConnection:
         # inside a caller's open transaction the cache is provisional: a
         # later ROLLBACK drops the shadow table invisibly to the stamp
         ctx.quant_provisional = self._conn.in_transaction
+        # the cookie the shadow writes produced (pending value inside an
+        # open transaction): _require_quant compares it to decide both
+        # promote-vs-drop at transaction end and cross-connection freshness
+        ctx.quant_schema_ver = self._schema_ver()
         # refresh the stamp: the shadow-table writes changed the database
         # (never cache a stamp taken inside an open transaction)
         ctx.stamp = (
             None if self._conn.in_transaction else self._change_stamp()
         )
         return count
+
+    def _schema_ver(self) -> int:
+        """The connection's current schema cookie (pending value inside an
+        open transaction; reverted by ROLLBACK; bumped by every shadow
+        DROP+CREATE from either engine)."""
+        return int(
+            self._conn.execute("PRAGMA schema_version").fetchone()[0]
+        )
 
     def _shadow_exists(self, ctx: _TableContext) -> bool:
         row = self._conn.execute(
@@ -626,14 +671,20 @@ class VectorConnection:
         """Read reference-format shadow chunks into device int8 codes —
         the interop analogue of vector_quantize_preload
         (src/sqlite-vector.c:1338-1404)."""
+        # record the cookie BEFORE reading: if another connection
+        # re-quantizes mid-load, the next _require_quant sees a moved cookie
+        # and reloads (conservative, never stale)
+        schema_ver = self._schema_ver()
         if not self._shadow_exists(ctx):
             raise VectorStateError(
                 "vector_quantize_scan: quantization table not found — run "
                 "vector_quantize first."
             )
-        if ctx.stored_qtype is None or ctx.stored_scale is None:
-            # re-read: another connection may have quantized since init
-            self._unserialize_quant_params(ctx)
+        # ALWAYS re-read the params: codes and qtype/scale/offset must come
+        # from the same generation — another connection may have
+        # re-quantized with a different qtype (AUTO flipping I8<->U8) or
+        # scale since vector_init unserialized them
+        self._unserialize_quant_params(ctx)
         if ctx.stored_qtype is None or ctx.stored_scale is None:
             raise VectorStateError(
                 "vector_quantize_scan: quantization parameters not found in "
@@ -663,6 +714,7 @@ class VectorConnection:
         cap = max(1 << max(count - 1, 1).bit_length(), 1024)
         padded = np.zeros((cap, dim), codes.dtype)
         padded[:count] = codes
+        ctx.quant_schema_ver = schema_ver
         return _QuantCache(
             qtype=ctx.stored_qtype,
             scale=float(ctx.stored_scale),
@@ -678,17 +730,36 @@ class VectorConnection:
             and ctx.quant_provisional
             and not self._conn.in_transaction
         ):
-            # the transaction that built this quant has ended: committed
-            # (shadow table exists — promote) or rolled back (drop the cache
-            # so the scan errors exactly like the reference, :1780-1787)
-            if self._shadow_exists(ctx):
+            # the transaction that built this quant has ended. Promote only
+            # if the schema cookie still matches the value recorded when the
+            # shadow was written: a ROLLBACK reverts the cookie along with
+            # the shadow/metadata, and mere shadow existence cannot tell
+            # "our write committed" from "an older shadow survived the
+            # rollback" (serving rolled-back codes/rowids otherwise).
+            if (
+                self._shadow_exists(ctx)
+                and ctx.quant_schema_ver == self._schema_ver()
+            ):
                 ctx.quant_provisional = False
             else:
+                # rolled back (or further schema churn): drop the cache AND
+                # the init-time params so the next scan reloads whatever
+                # shadow/params generation actually survived on disk — or
+                # errors exactly like the reference (:1780-1787)
                 ctx.quant = None
+                ctx.stored_qtype = None
+                ctx.stored_scale = None
+                ctx.stored_offset = None
         if ctx.quant is not None and (
             ctx.quant.codes is not None or ctx.quant.count == 0
         ):
-            return ctx.quant
+            # freshness: every re-quantize — this bridge's or the C
+            # extension's, this connection's or another's — DROP+CREATEs
+            # the shadow and bumps the schema cookie; a moved cookie means
+            # the cached codes/params are a dead generation
+            if ctx.quant_schema_ver == self._schema_ver():
+                return ctx.quant
+            ctx.quant = None
         ctx.quant = self._load_quant_from_shadow(ctx)
         return ctx.quant
 

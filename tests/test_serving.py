@@ -473,3 +473,74 @@ def test_http_load_multi_dataset_concurrent(rng):
         assert len(latencies) == 8 * 25
     finally:
         server.close()
+
+
+def test_cancelled_future_does_not_poison_batch(ds, monkeypatch):
+    """A caller's fut.cancel() racing the dispatch must neither raise
+    InvalidStateError into the dispatcher nor discard batch-mates' results:
+    futures are claimed (set_running_or_notify_cancel) before dispatch, so
+    a cancel landing mid-dispatch is a no-op and the result is delivered."""
+    from concurrent.futures import Future
+
+    base = ds._host_vectors[: len(ds)]
+    searcher = BatchingSearcher(ds, max_batch=8, max_wait_ms=1)
+    try:
+        # a future cancelled BEFORE dispatch drops out; batch-mates proceed
+        f_cancelled, f_live = Future(), Future()
+        assert f_cancelled.cancel()
+        searcher._dispatch(
+            [(base[3], 3, "exact", f_cancelled), (base[5], 3, "exact", f_live)]
+        )
+        assert f_cancelled.cancelled()
+        ids, _ = f_live.result(timeout=10)
+        assert int(ids[0]) == 6  # 1-based auto ids: row 5 -> id 6
+
+        # a cancel landing WHILE the batch computes (the InvalidStateError
+        # race window pre-fix) is a no-op after the claim: the result is
+        # delivered, not CancelledError, and nothing leaks to batch-mates
+        f_racer, f_mate = Future(), Future()
+        real_search = searcher.dataset.search
+
+        def search_and_cancel(*a, **kw):
+            assert not f_racer.cancel()  # claimed: cancel must refuse
+            return real_search(*a, **kw)
+
+        monkeypatch.setattr(searcher.dataset, "search", search_and_cancel)
+        searcher._dispatch(
+            [(base[7], 3, "exact", f_racer), (base[9], 3, "exact", f_mate)]
+        )
+        assert int(f_racer.result(timeout=10)[0][0]) == 8
+        assert int(f_mate.result(timeout=10)[0][0]) == 10
+    finally:
+        searcher.close()
+
+
+def test_http_negative_content_length(ds):
+    """A negative/garbage Content-Length must be rejected with 400 instead
+    of rfile.read(-1) blocking until client EOF (slowloris handler pin)."""
+    import http.client
+
+    server = serve(ds, port=0)
+    try:
+        port = server.server_address[1]
+        for bad in ("-1", "nonsense"):
+            c = http.client.HTTPConnection("127.0.0.1", port, timeout=10)
+            c.putrequest("POST", "/search")
+            c.putheader("Content-Length", bad)
+            c.endheaders()
+            resp = c.getresponse()
+            assert resp.status == 400, bad
+            c.close()
+        # the endpoint still serves normal requests afterwards
+        body = json.dumps(
+            {"vector": np.asarray(ds._host_vectors[0]).tolist(), "k": 1}
+        ).encode()
+        req = urllib.request.Request(
+            f"http://127.0.0.1:{port}/search", data=body,
+            headers={"Content-Type": "application/json"},
+        )
+        with urllib.request.urlopen(req, timeout=10) as r:
+            assert json.loads(r.read())["ids"] == [1]
+    finally:
+        server.searcher.close()
+        server.shutdown()

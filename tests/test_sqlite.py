@@ -1382,3 +1382,108 @@ def test_stream_tvf_extra_argument_is_arity_error(tmp_path, data):
     ).fetchall()
     assert len(rows) == len(data)
     c.close()
+
+
+def test_rollback_discards_provisional_quant(tmp_path, data):
+    """vector_quantize inside a ROLLED-BACK transaction must not leave its
+    codes serving scans: shadow existence alone cannot distinguish 'our
+    write committed' from 'the pre-transaction shadow survived the
+    rollback' — the schema cookie can (it reverts with the rollback)."""
+    path = str(tmp_path / "rb.db")
+    c = svs.connect(path)
+    c.execute("CREATE TABLE t (v BLOB)")
+    c.executemany(
+        "INSERT INTO t(v) VALUES (?)", ((r.tobytes(),) for r in data[:40])
+    )
+    c.commit()
+    c.vector_init("t", "v", f"type=FLOAT32,dimension={DIM}")
+    c.vector_quantize("t", "v")  # committed generation: 40 rows
+    v1 = c.vector_quantize_scan("t", "v", data[0].tobytes(), 5)
+
+    c.execute("BEGIN")
+    c.executemany(
+        "INSERT INTO t(v) VALUES (?)", ((r.tobytes(),) for r in data[40:])
+    )
+    assert c.vector_quantize("t", "v") == len(data)  # provisional
+    c.execute("ROLLBACK")
+
+    # rolled-back rows (ids > 40) must never be served; the scan reflects
+    # the committed generation exactly
+    assert c.vector_quantize_scan("t", "v", data[0].tobytes(), 5) == v1
+    rows = list(c.vector_quantize_scan_stream("t", "v", data[0].tobytes()))
+    assert len(rows) == 40 and max(r[0] for r in rows) <= 40
+    c.close()
+
+
+def test_cross_connection_requantize_refreshes_cache(tmp_path, rng):
+    """Connection A's cached quantization must follow a re-quantize done by
+    connection B — including an AUTO qtype flip (I8 -> U8) that changes how
+    the shadow bytes are interpreted and the scale the query is quantized
+    with (stale init-time params must be re-read with the codes)."""
+    path = str(tmp_path / "xq.db")
+    neg = rng.standard_normal((30, DIM)).astype(np.float32)  # negatives: I8
+    a = svs.connect(path)
+    a.execute("CREATE TABLE t (v BLOB)")
+    a.executemany("INSERT INTO t(v) VALUES (?)", ((r.tobytes(),) for r in neg))
+    a.commit()
+    a.vector_init("t", "v", f"type=FLOAT32,dimension={DIM}")
+    a.vector_quantize("t", "v")
+    assert a.vector_quantize_scan("t", "v", neg[3].tobytes(), 3)[0][0] == 4
+
+    b = svs.connect(path)
+    pos = np.abs(neg) + 1.0  # all-positive: AUTO resolves U8
+    b.execute("DELETE FROM t")
+    b.executemany("INSERT INTO t(v) VALUES (?)", ((r.tobytes(),) for r in pos))
+    b.commit()
+    b.vector_init("t", "v", f"type=FLOAT32,dimension={DIM}")
+    b.vector_quantize("t", "v")
+    want = b.vector_quantize_scan("t", "v", pos[5].tobytes(), 3)
+
+    got = a.vector_quantize_scan("t", "v", pos[5].tobytes(), 3)
+    assert got == want and got[0][1] == 0.0
+    a.close()
+    b.close()
+
+
+def test_quantize_shadow_uses_quantize_time_ids(conn, data, monkeypatch):
+    """Shadow records pair codes with ids captured AT quantize time: a
+    mutation landing between the device build (outside the mutation lock)
+    and the shadow write must not shift or shrink the pairing."""
+    ctx = conn._lookup("docs", "v", "test")
+    ds = conn._refresh(ctx)
+    real_quantize = ds.quantize
+
+    def quantize_then_mutate(*a, **kw):
+        n = real_quantize(*a, **kw)
+        # removal of half the rows forces compaction: ds.ids shrinks and
+        # reorders while the quantize-time _QuantState stays intact
+        ds.remove(ds.ids[: len(data) // 2])
+        return n
+
+    monkeypatch.setattr(ds, "quantize", quantize_then_mutate)
+    assert conn.vector_quantize("docs", "v") == len(data)
+    rows = conn.vector_quantize_scan("docs", "v", data[7].tobytes(), 1)
+    assert rows[0][0] == 8  # row 7 still paired with its 1-based id
+    c_rows = list(
+        conn.vector_quantize_scan_stream("docs", "v", data[7].tobytes())
+    )
+    assert len(c_rows) == len(data)
+
+
+def test_without_rowid_substring_false_positive(tmp_path, data):
+    """An ordinary rowid table whose SQL merely CONTAINS the text 'without
+    rowid' (string literal/comment) must not be misclassified — the
+    reference's substring heuristic (:307-323) rejects it; pragma_table_list
+    classifies exactly."""
+    c = svs.connect(str(tmp_path / "fp.db"))
+    c.execute(
+        "CREATE TABLE t (v BLOB, note TEXT DEFAULT 'without rowid')"
+    )
+    c.executemany(
+        "INSERT INTO t(v) VALUES (?)", ((r.tobytes(),) for r in data[:20])
+    )
+    c.commit()
+    c.vector_init("t", "v", f"type=FLOAT32,dimension={DIM}")  # must not raise
+    rows = c.vector_full_scan("t", "v", data[2].tobytes(), 1)
+    assert rows[0][0] == 3 and rows[0][1] == 0.0
+    c.close()
