@@ -67,6 +67,11 @@ static PyObject *parse_json_f64(PyObject *, PyObject *args) {
                    (Py_ssize_t)(p - start + 1), ch);
       return nullptr;
     }
+    /* DELIBERATE DEVIATION: the reference's range check
+     * `value < 0 || value > 255` (:1601-1615) lets NaN through into an
+     * (int8_t)/(uint8_t) cast — undefined behavior with no portable
+     * result to mirror. Both of our parse paths reject NaN instead
+     * (docs/MIGRATION.md deviations). */
     if (check == 1 && !(value >= 0.0 && value <= 255.0)) {
       PyErr_SetString(PyExc_ValueError, "Value out of range for uint8_t.");
       return nullptr;
@@ -189,7 +194,11 @@ static PyObject *load_blobs(PyObject *, PyObject *args) {
     long long rowid = g_sqlite.column_int64(stmt, 0);
     const void *blob = g_sqlite.column_blob(stmt, 1);
     int nbytes = g_sqlite.column_bytes(stmt, 1);
-    if (!blob) continue;
+    /* column_blob returns NULL for a zero-length (x'') blob with
+     * nbytes == 0: that is a short vector, not a NULL — fall through to
+     * the size check so both loaders (this and the Python fallback)
+     * report the same "Invalid vector size" error */
+    if (!blob) nbytes = 0;
     if (nbytes < expected) {
       Py_BLOCK_THREADS
       err = PyErr_Format(

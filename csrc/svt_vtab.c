@@ -44,6 +44,26 @@ struct svt_vtab {
   int is_stream;       /* 3-arg streaming module */
 };
 
+/* user-visible SQL module name for an aux tag (error-message parity with
+ * the reference, which passes the SQL function name to its messages) */
+static const char *svt_sql_name(const char *tag) {
+  if (strcmp(tag, "full") == 0) return "vector_full_scan";
+  if (strcmp(tag, "quant") == 0) return "vector_quantize_scan";
+  if (strcmp(tag, "full_stream") == 0) return "vector_full_scan_stream";
+  return "vector_quantize_scan_stream";
+}
+
+/* sqlite_type_name analogue (reference :851-859) */
+static const char *svt_type_name(int t) {
+  switch (t) {
+    case SQLITE_INTEGER: return "INTEGER";
+    case SQLITE_FLOAT: return "FLOAT";
+    case SQLITE_TEXT: return "TEXT";
+    case SQLITE_BLOB: return "BLOB";
+    default: return "NULL";
+  }
+}
+
 typedef struct svt_cursor svt_cursor;
 struct svt_cursor {
   sqlite3_vtab_cursor base;
@@ -206,30 +226,32 @@ static int svt_filter(sqlite3_vtab_cursor *cur, int idx_num,
     char buf[160];
     sqlite3_snprintf(sizeof(buf), buf,
                      "%s expects %d arguments, but %d were provided.",
-                     v->fname, nargs, argc);
+                     svt_sql_name(v->fname), nargs, argc);
     return svt_set_error(&v->base, buf);
   }
-  /* type checks mirroring the reference (:1740-1757) */
+  /* type checks mirroring the reference's wording (:1740-1757 — sans its
+   * stray extra vararg, a format/argument mismatch in the original) */
   for (int i = 0; i < argc; i++) {
     int t = sqlite3_value_type(argv[i]);
-    int ok = 1;
+    const char *want = NULL;
     switch (i) {
       case 0:
       case 1:
-        ok = (t == SQLITE_TEXT);
+        if (t != SQLITE_TEXT) want = "TEXT";
         break;
       case 2:
-        ok = (t == SQLITE_TEXT || t == SQLITE_BLOB);
+        if (t != SQLITE_TEXT && t != SQLITE_BLOB) want = "TEXT or BLOB";
         break;
       case 3:
-        ok = (t == SQLITE_INTEGER);
+        if (t != SQLITE_INTEGER) want = "INTEGER";
         break;
     }
-    if (!ok) {
+    if (want) {
       char buf[160];
       sqlite3_snprintf(sizeof(buf), buf,
-                       "%s: argument %d has an invalid type.", v->fname,
-                       i + 1);
+                       "%s: argument %d must be of type %s (got %s).",
+                       svt_sql_name(v->fname), i + 1, want,
+                       svt_type_name(t));
       return svt_set_error(&v->base, buf);
     }
   }
@@ -280,7 +302,9 @@ static int svt_filter(sqlite3_vtab_cursor *cur, int idx_num,
   }
   sqlite3_int64 n;
   memcpy(&n, blob, 8); /* little-endian host (x86/arm) */
-  if (nbytes < 8 + n * 16) {
+  /* overflow-safe form: `nbytes < 8 + n * 16` is UB for a huge/corrupt n
+   * (signed overflow wraps negative in practice, defeating the guard) */
+  if (n < 0 || n > (nbytes - 8) / 16) {
     sqlite3_finalize(stmt);
     return svt_set_error(&v->base, "svt_scan_blob: malformed result blob");
   }

@@ -18,6 +18,8 @@ produced here are byte-compatible with databases written by the C extension.
 
 from __future__ import annotations
 
+import math
+
 import numpy as np
 
 from sqlite_vector_tpu.errors import VectorCodecError
@@ -78,6 +80,10 @@ def _parse_number(s: str, p: int) -> tuple[float, int]:
             return float.fromhex(s[p:end]), end
         except ValueError:
             return 0.0, p
+        except OverflowError:
+            # strtod saturates an over-range hex float to +-HUGE_VAL;
+            # float.fromhex raises instead — mirror the saturation
+            return (-math.inf if s[p] == "-" else math.inf), end
     int_digits = 0
     while i < n and s[i] in _DIGITS:
         i += 1

@@ -60,7 +60,10 @@ def vtab_extension_path() -> str | None:
         return _vtab_path
     _vtab_checked = True
     if not os.path.exists(_vtab_src):
-        return None
+        # installed distributions ship only the package (no csrc/): a
+        # prebuilt/shipped .so must still activate
+        _vtab_path = _vtab_so if os.path.exists(_vtab_so) else None
+        return _vtab_path
     if os.path.exists(_vtab_so) and os.path.getmtime(_vtab_so) >= os.path.getmtime(
         _vtab_src
     ):
@@ -89,7 +92,8 @@ def vtab_extension_path() -> str | None:
 
 def _build() -> bool:
     if not os.path.exists(_src):
-        return False
+        # no sources (installed distribution): use a prebuilt .so if shipped
+        return os.path.exists(_so)
     if os.path.exists(_so) and os.path.getmtime(_so) >= os.path.getmtime(_src):
         return True
     include = sysconfig.get_paths()["include"]

@@ -133,47 +133,40 @@ class QuantType(enum.Enum):
         )
 
 
+# The C reference's isspace/isdigit are ASCII; Python's str.isspace/strip
+# accept Unicode (NBSP, Arabic-Indic digits) and would silently diverge
+_ASCII_SPACE = " \t\n\r\v\f"
+
+
 def human_to_number(s: str) -> int:
     """Parse a size with optional KB/MB/GB suffix (reference: human_to_number :916).
 
-    Returns 0 on any parse failure, zero value, or invalid suffix — matching the
-    reference's "0 means ignore / use default" convention.
+    Full strtod parity via the codec's number parser: leading whitespace,
+    decimal AND hex floats (`0x10KB` == 16384), longest-valid-prefix. The
+    suffix comparison is strncasecmp(end, "KB", 2) — case-insensitive on
+    its first two chars with anything after them ignored (`5KBx` == 5120).
+    Returns 0 on zero value, +-inf, negative, overflow, or invalid suffix —
+    the reference's "0 means ignore" convention (:919-932). NaN input falls
+    through the reference's checks into a (uint64_t)NaN cast (UB); pinned
+    to 0 here.
     """
-    s = s.strip()
-    # strtod-style prefix parse: longest valid leading float
-    num_end = 0
-    seen_digit = False
+    from sqlite_vector_tpu.codec import _parse_number  # lazy: import cycle
+
     i = 0
-    if i < len(s) and s[i] in "+-":
+    while i < len(s) and s[i] in _ASCII_SPACE:
         i += 1
-    while i < len(s) and (s[i].isdigit() or s[i] == "."):
-        if s[i].isdigit():
-            seen_digit = True
-        i += 1
-        num_end = i
-    # exponent part
-    if seen_digit and i < len(s) and s[i] in "eE":
-        j = i + 1
-        if j < len(s) and s[j] in "+-":
-            j += 1
-        if j < len(s) and s[j].isdigit():
-            while j < len(s) and s[j].isdigit():
-                j += 1
-            num_end = j
-    if not seen_digit:
+    d, end = _parse_number(s, i)
+    if end == i or d == 0 or math.isnan(d) or math.isinf(d):
         return 0
-    try:
-        d = float(s[:num_end])
-    except ValueError:
-        return 0
-    if d == 0 or math.isinf(d):
-        return 0
-    rest = s[num_end:].strip()
-    if rest[:2].upper() == "KB":
+    while end < len(s) and s[end] in _ASCII_SPACE:
+        end += 1
+    rest = s[end:]
+    head = rest[:2].upper()
+    if head == "KB":
         d *= 1024
-    elif rest[:2].upper() == "MB":
+    elif head == "MB":
         d *= 1024 * 1024
-    elif rest[:2].upper() == "GB":
+    elif head == "GB":
         d *= 1024 * 1024 * 1024
     elif rest != "":
         return 0  # invalid suffix
@@ -214,12 +207,12 @@ def parse_options(
     s = options
     n = len(s)
     while p < n:
-        while p < n and s[p].isspace():
+        while p < n and s[p] in _ASCII_SPACE:  # SKIP_SPACES is ASCII
             p += 1
         key_start = p
         while p < n and s[p] not in "=,":
             p += 1
-        key = s[key_start:p].rstrip()
+        key = s[key_start:p].rstrip(_ASCII_SPACE)
         if p >= n or s[p] != "=":
             # malformed pair: skip to next comma
             while p < n and s[p] != ",":
@@ -228,12 +221,12 @@ def parse_options(
                 p += 1
             continue
         p += 1  # skip '='
-        while p < n and s[p].isspace():
+        while p < n and s[p] in _ASCII_SPACE:
             p += 1
         val_start = p
         while p < n and s[p] != ",":
             p += 1
-        value = s[val_start:p].rstrip()
+        value = s[val_start:p].rstrip(_ASCII_SPACE)
         if p < n:
             p += 1  # skip ','
         _apply_option(opts, key, value)
@@ -267,22 +260,30 @@ def _apply_option(opts: VectorOptions, key: str, value: str) -> None:
         # (parse_keyvalue_string returns false); mirror with an error
         raise VectorConfigError("Malformed option: empty key or value.")
     k = key.lower()
-    if k == "type":
+    # The reference matches keys with strncasecmp(key, OPTION_NAME, key_len)
+    # — i.e. any case-insensitive PREFIX of an option name selects it, in
+    # the callback's declaration order, first match wins (:952-989). So
+    # 'dim=768' sets dimension, 'dist=cosine' sets distance, and the
+    # ambiguous 'd' selects dimension (checked before distance).
+    if "type".startswith(k):
         opts.type = VectorType.from_name(value)
-    elif k == "dimension":
+    elif "dimension".startswith(k):
         dim = _strtol0(value)
         if dim <= 0:
             raise VectorConfigError(
                 f"Invalid vector dimension: expected a positive integer, got '{value}'."
             )
         opts.dimension = dim
-    elif k == "normalized":
+    elif "normalized".startswith(k):
         opts.normalized = _strtol0(value) != 0
-    elif k == "max_memory":
-        mm = human_to_number(value)
-        if mm > 0:  # 0 = parse failure -> keep the default (reference :916)
-            opts.max_memory = mm
-    elif k == "qtype":
+    elif "max_memory".startswith(k):
+        # assigned UNCONDITIONALLY — including 0 on parse failure: the
+        # reference's `if (max_memory >= 0)` is always true for uint64
+        # (:969-972). DELIBERATE DEVIATION: no (int) narrowing — the
+        # reference's cast truncates e.g. 4GB to 0 on 32-bit int; we keep
+        # the parsed value (docs/MIGRATION.md deviations)
+        opts.max_memory = human_to_number(value)
+    elif "qtype".startswith(k):
         opts.qtype = QuantType.from_name(value)
     elif k in ("qscale", "qoffset"):
         # accepted-but-unused here for parity: the reference parses these
@@ -293,6 +294,6 @@ def _apply_option(opts: VectorOptions, key: str, value: str) -> None:
             float(value)
         except ValueError:
             pass
-    elif k == "distance":
+    elif "distance".startswith(k):
         opts.distance = DistanceMetric.from_name(value)
     # unknown keys are ignored (reference :991)

@@ -441,10 +441,16 @@ def test_max_memory_chunking_and_bad_value(tmp_path, data):
     c.vector_quantize("t", "v", f"max_memory={chunk_rows}")
     n_chunks = c.execute("SELECT COUNT(*) FROM vector0_t_v").fetchone()[0]
     assert n_chunks == -(-N // 100)
-    # invalid max_memory string -> default 30MB (single chunk), not 0
+    # invalid max_memory string: the reference assigns human_to_number's
+    # 0-on-failure unconditionally (:969-972) -> minimal batching, one row
+    # per chunk (max_vectors clamps to 1)
     c.vector_quantize("t", "v", "max_memory=banana")
     n_chunks = c.execute("SELECT COUNT(*) FROM vector0_t_v").fetchone()[0]
-    assert n_chunks == 1
+    assert n_chunks == N
+    # hex sizes parse like strtod: 0x10KB = 16 KiB
+    from sqlite_vector_tpu.types import human_to_number
+
+    assert human_to_number("0x10KB") == 16 * 1024
     c.close()
 
 
@@ -878,8 +884,12 @@ SELECT
     ).fetchone()[0]
     assert sq == N
 
-    # wrong arity -> the reference's error contract
-    with pytest.raises(sqlite3.OperationalError, match="expects 4 arguments"):
+    # wrong arity -> the reference's exact error text, SQL function name
+    # included (:1736 passes "vector_full_scan", not an internal tag)
+    with pytest.raises(
+        sqlite3.OperationalError,
+        match="vector_full_scan expects 4 arguments, but 3 were provided",
+    ):
         c.execute(
             "SELECT id FROM vector_full_scan('documents', 'embedding', ?)",
             (q,),
@@ -1140,7 +1150,7 @@ def test_tvf_duplicate_constraint_on_hidden_column(tmp_path, data):
         ).fetchall()
         assert rows == []
     except sqlite3.OperationalError as e:
-        assert "invalid type" in str(e)
+        assert "must be of type" in str(e)  # reference-parity wording
     # and the plain query still plans fine
     rows = c.execute(
         "SELECT rowid, distance FROM vector_full_scan('t','v',?,5)",
@@ -1487,3 +1497,40 @@ def test_without_rowid_substring_false_positive(tmp_path, data):
     rows = c.vector_full_scan("t", "v", data[2].tobytes(), 1)
     assert rows[0][0] == 3 and rows[0][1] == 0.0
     c.close()
+
+
+def test_empty_blob_raises_consistently(tmp_path, data):
+    """A zero-length (x'') vector blob is a short vector, not a NULL: both
+    loaders (native C++ and the Python fallback) must raise the same
+    'Invalid vector size' error instead of the native path silently
+    skipping the row (column_blob returns NULL for empty blobs)."""
+    path = str(tmp_path / "eb.db")
+    c = svs.connect(path)
+    c.execute("CREATE TABLE t (v BLOB)")
+    c.executemany(
+        "INSERT INTO t(v) VALUES (?)", ((r.tobytes(),) for r in data[:10])
+    )
+    c.execute("INSERT INTO t(v) VALUES (x'')")
+    c.commit()
+    c.vector_init("t", "v", f"type=FLOAT32,dimension={DIM}")
+    with pytest.raises(Exception, match="Invalid vector size for rowid 11"):
+        c.vector_full_scan("t", "v", data[0].tobytes(), 3)
+    c.close()
+
+
+def test_native_prebuilt_so_without_sources(monkeypatch):
+    """An installed distribution ships the package without csrc/: a
+    prebuilt .so must still activate instead of being ignored."""
+    from sqlite_vector_tpu import native
+
+    if not os.path.exists(native._so):
+        pytest.skip("native module not built in this environment")
+    monkeypatch.setattr(native, "_src", native._src + ".missing")
+    assert native._build() is True
+    if os.path.exists(native._vtab_so):
+        monkeypatch.setattr(
+            native, "_vtab_src", native._vtab_src + ".missing"
+        )
+        monkeypatch.setattr(native, "_vtab_checked", False)
+        monkeypatch.setattr(native, "_vtab_path", None)
+        assert native.vtab_extension_path() == native._vtab_so

@@ -126,3 +126,50 @@ def test_strtol_base0_dimension_parity():
     assert parse_options("dimension=0x20").dimension == 32
     # qscale/qoffset: strtod never fails -> garbage must not crash
     parse_options("qscale=abc,qoffset=??,dimension=4")
+
+
+def test_option_key_prefix_matching():
+    """The reference matches option keys with strncasecmp(key, NAME,
+    key_len) — any case-insensitive prefix selects the option, first match
+    in declaration order wins (:952-989)."""
+    from sqlite_vector_tpu.types import parse_options
+
+    o = parse_options("dim=768,dist=cosine,norm=1,max=1KB,q=INT8,t=FLOAT16")
+    assert o.dimension == 768
+    assert o.distance.name == "COSINE"
+    assert o.normalized is True
+    assert o.max_memory == 1024
+    assert o.qtype.name == "I8"
+    assert o.type.name == "F16"
+    # ambiguous 'd' selects dimension — checked before distance
+    assert parse_options("d=5").dimension == 5
+
+
+def test_human_to_number_strtod_parity():
+    """strtod grammar (hex floats, ASCII-only whitespace/digits), 2-char
+    suffix compare with trailing junk ignored, 0 on zero/inf/negative/
+    invalid (reference :916-933)."""
+    from sqlite_vector_tpu.types import human_to_number as h
+
+    assert h("0x10KB") == 16 * 1024          # strtod parses hex
+    assert h("5KBx") == 5 * 1024             # strncasecmp(end,"KB",2)
+    assert h("5 KB") == 5 * 1024             # ASCII spaces skipped
+    assert h("2.5MB") == int(2.5 * 1024 * 1024)
+    assert h("1e3") == 1000
+    assert h("٣MB") == 0                # Arabic-Indic digit: not ASCII
+    assert h("5 KB") == 0               # NBSP is not strtod whitespace
+    assert h("1e999") == 0                   # HUGE_VAL -> 0
+    assert h("-3KB") == 0                    # negative -> 0
+    assert h("0") == 0
+    assert h("banana") == 0
+    assert h("5TB") == 0                     # invalid suffix
+
+
+def test_max_memory_assigned_unconditionally():
+    """The reference stores human_to_number's result even when it is 0
+    (parse failure) — `if (max_memory >= 0)` is always true for uint64."""
+    from sqlite_vector_tpu.types import DEFAULT_MAX_MEMORY, parse_options
+
+    assert parse_options("max_memory=banana").max_memory == 0
+    assert parse_options("max_memory=4GB").max_memory == 4 * 1024**3
+    assert parse_options("").max_memory == DEFAULT_MAX_MEMORY
