@@ -66,10 +66,24 @@ HOST_CHUNK_ELEMS = 64 << 20
 
 _FLOAT_TYPES = (VectorType.F32, VectorType.F16, VectorType.BF16)
 
-# 8 * FLT_EPSILON — the reference's nearly-zero snap threshold
-# (src/sqlite-vector.c:994-996); also applied host-side by the
-# normalized-cosine fast path after its monotonic 1 + (-dot) shift.
-_NEARLY_ZERO = 8.0 * 1.1920929e-07
+# the reference's nearly-zero snap threshold (src/sqlite-vector.c:994-996);
+# the SAME constant the device-side _snap uses — host-side snapping (the
+# normalized-cosine fast path's 1 + (-dot) shift) must stay bit-identical
+from sqlite_vector_tpu.ops.distance import NEARLY_ZERO as _NEARLY_ZERO
+
+
+# module-level jitted norm reductions: a fresh jax.jit(lambda) per call
+# would defeat jit's function-identity cache and retrace on every
+# norm-cache rebuild
+@jax.jit
+def _sq_norms_int32(x):
+    return jnp.sum(x.astype(jnp.int32) * x.astype(jnp.int32), axis=-1)
+
+
+@jax.jit
+def _sq_norms_f32(x):
+    x = x.astype(jnp.float32)
+    return jnp.sum(x * x, axis=-1)
 
 
 def _unit_rows(q: np.ndarray) -> np.ndarray:
@@ -373,7 +387,9 @@ class Dataset:
         quant = self._quant
         if vecs is not None:
             total += vecs.size * vecs.dtype.itemsize
-        if quant is not None and quant.codes is not None:
+        if quant is not None and isinstance(quant.codes, jnp.ndarray):
+            # host-resident codes (host storage before preload()) are not
+            # HBM bytes
             total += quant.codes.size
         return total
 
@@ -484,6 +500,10 @@ class Dataset:
         ids = np.asarray(ids, np.int64)
         if ids.shape != (n,):
             raise VectorConfigError("ids must have one entry per vector")
+        if n and len(np.unique(ids)) != n:
+            # same contract as add() (:414): duplicate ids corrupt the
+            # id->position map and later fail to_sqlite() mid-export
+            raise VectorConfigError("from_arrays: duplicate ids")
         if has_nonfinite is None:
             ds._has_nonfinite = _scan_nonfinite(vectors, opts.type, n)
         else:
@@ -959,7 +979,7 @@ class Dataset:
             return
         cap = _next_capacity(count, self._mesh_size)
         cur_cap = 0 if self._vectors is None else self._vectors.shape[0]
-        if full or cap != cur_cap or self._mesh is not None:
+        if full or cap != cur_cap:
             # capacity change or in-place row movement: full (re)upload at
             # the new padded size (only the real rows cross the link —
             # capacity padding is zeroed on device)
@@ -967,8 +987,13 @@ class Dataset:
                 self._host_vectors, count, cap
             )
         else:
-            # amortized append: device-side slice update of the new rows only
-            # (no host->device transfer of the existing matrix)
+            # amortized append: device-side slice update of the new rows
+            # only (no host->device transfer of the existing matrix). Mesh
+            # layouts included: GSPMD lowers the dynamic-update-slice on the
+            # sharded rows axis to shard-local updates and propagates the
+            # operand's sharding, so a mesh append moves just the new rows
+            # over the link instead of the full matrix (pinned by
+            # test_sharded.py::test_mesh_append_amortized)
             new_rows = np.ascontiguousarray(self._host_vectors[start:count])
             new_vecs = _device_row_update(
                 self._vectors, self._put_query(new_rows), start
@@ -1014,15 +1039,9 @@ class Dataset:
             # distance contract requires them (a float32 cache is already
             # rounded above 2^24 and gets discarded/recomputed by both
             # _pairwise_int and the 2-D compose, defeating the cache)
-            norms = jax.jit(
-                lambda x: jnp.sum(
-                    x.astype(jnp.int32) * x.astype(jnp.int32), axis=-1
-                )
-            )(vecs)
+            norms = _sq_norms_int32(vecs)
         else:
-            norms = jax.jit(lambda x: jnp.sum(x * x, axis=-1))(
-                vecs.astype(jnp.float32)
-            )
+            norms = _sq_norms_f32(vecs)
         if self._mesh_2d:
             # full-dim norms, rows-sharded + replicated across dim groups:
             # the layout sharded_scan_*_2d consumes (the 2-D matrix carries
@@ -1044,11 +1063,7 @@ class Dataset:
         ):
             return None
         if quant.sq_norms is None and isinstance(quant.codes, jnp.ndarray):
-            sq = jax.jit(
-                lambda x: jnp.sum(
-                    x.astype(jnp.int32) * x.astype(jnp.int32), axis=-1
-                )
-            )(quant.codes)
+            sq = _sq_norms_int32(quant.codes)
             if self._mesh_2d:
                 sq = jax.device_put(sq, self._mask_sharding)
             quant.sq_norms = sq
@@ -1786,13 +1801,19 @@ class Dataset:
 
     # -- quantization ----------------------------------------------------------
 
+    _QUANT_UNSET = object()
+
     def _require_quant(
-        self, caller: str, quant: "_QuantState | None" = None
+        self, caller: str, quant=_QUANT_UNSET
     ) -> _QuantState:
         # single snapshot read: a concurrent drop_quantization() between a
         # check and a use must not crash a searcher thread (serving.py runs
-        # searches and mutations from different threads)
-        q = quant if quant is not None else self._quant
+        # searches and mutations from different threads). A caller that
+        # already snapshotted passes its snapshot VERBATIM — including None
+        # (quantize() hadn't run at snapshot time): falling back to the
+        # live self._quant there would pair a fresh quant with masks built
+        # from the None-generation snapshot (empty filtered results)
+        q = self._quant if quant is Dataset._QUANT_UNSET else quant
         if q is None or q.codes is None:
             raise VectorStateError(
                 f"{caller}: quantization not found — run quantize() first "
@@ -2376,8 +2397,14 @@ class Dataset:
             count = q["count"]
             if os.path.exists(codes_path) and count:
                 host_codes = np.load(codes_path, mmap_mode="r")
-                cap = _next_capacity(count, ds._mesh_size)
-                codes = ds._upload_rows_padded(host_codes, count, cap)
+                if ds._storage == "host":
+                    # host storage streams codes per query until an explicit
+                    # preload(); uploading here would pin codes that may not
+                    # fit HBM — the very workload host storage serves
+                    codes = host_codes
+                else:
+                    cap = _next_capacity(count, ds._mesh_size)
+                    codes = ds._upload_rows_padded(host_codes, count, cap)
             qids_path = os.path.join(directory, "qids.npy")
             qids = np.load(qids_path) if os.path.exists(qids_path) else None
             ds._quant = _QuantState(

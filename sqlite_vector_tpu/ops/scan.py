@@ -246,23 +246,76 @@ def approx_scan_topk(
     throughput — the hardware-accelerated selection from
     https://arxiv.org/abs/2206.14286. Same output contract as scan_topk;
     row_mask ([N] bool) excludes rows (filtered search / tombstones).
+
+    Row-tiled exactly like scan_topk (per-tile approx_min_k + exact
+    candidate merge) so the [B, tile] f32 intermediate stays inside
+    INTERMEDIATE_BUDGET — the throughput mode must not OOM on precisely
+    the large-B*N workloads it targets.
     """
+    b = queries.shape[0]
     n = base.shape[0]
     valid = jnp.asarray(n if valid_count is None else valid_count, jnp.int32)
-    dist = pairwise_distance(queries, base, metric, base_sq_norms=base_sq_norms)
-    dist = _sanitize_nan(dist)
-    row_idx = jnp.arange(n, dtype=jnp.int32)
-    dist = jnp.where(row_idx[None, :] < valid, dist, jnp.inf)
-    if row_mask is not None:
-        dist = jnp.where(row_mask[None, :], dist, jnp.inf)
-    kk = min(k, n)
-    vals, idx = jax.lax.approx_min_k(dist, kk, recall_target=recall_target)
-    if kk < k:
-        pad = ((0, 0), (0, k - kk))
-        vals = jnp.pad(vals, pad, constant_values=jnp.inf)
-        idx = jnp.pad(idx, pad, constant_values=-1)
-    idx = jnp.where(jnp.isposinf(vals), -1, idx)
-    return vals, idx.astype(jnp.int32)
+    row_tile = _auto_row_tile(n, b, metric)
+
+    if n <= row_tile:
+        dist = pairwise_distance(
+            queries, base, metric, base_sq_norms=base_sq_norms
+        )
+        dist = _sanitize_nan(dist)
+        row_idx = jnp.arange(n, dtype=jnp.int32)
+        dist = jnp.where(row_idx[None, :] < valid, dist, jnp.inf)
+        if row_mask is not None:
+            dist = jnp.where(row_mask[None, :], dist, jnp.inf)
+        kk = min(k, n)
+        vals, idx = jax.lax.approx_min_k(dist, kk, recall_target=recall_target)
+        if kk < k:
+            pad = ((0, 0), (0, k - kk))
+            vals = jnp.pad(vals, pad, constant_values=jnp.inf)
+            idx = jnp.pad(idx, pad, constant_values=-1)
+        idx = jnp.where(jnp.isposinf(vals), -1, idx)
+        return vals, idx.astype(jnp.int32)
+
+    ntiles = _num_tiles(n, row_tile)
+    npad = ntiles * row_tile
+    if npad != n:
+        base = jnp.pad(base, ((0, npad - n), (0, 0)))
+        if base_sq_norms is not None:
+            base_sq_norms = jnp.pad(base_sq_norms, (0, npad - n))
+        if row_mask is not None:
+            row_mask = jnp.pad(row_mask, (0, npad - n))
+
+    kk = min(k, row_tile)
+    init_vals = jnp.full((b, k), jnp.inf, jnp.float32)
+    init_ids = jnp.full((b, k), -1, jnp.int32)
+
+    def body(carry, tile_idx):
+        run_vals, run_ids = carry
+        start = tile_idx * row_tile
+        tile = jax.lax.dynamic_slice_in_dim(base, start, row_tile, axis=0)
+        tile_sq = (
+            jax.lax.dynamic_slice_in_dim(base_sq_norms, start, row_tile)
+            if base_sq_norms is not None
+            else None
+        )
+        dist = pairwise_distance(queries, tile, metric, base_sq_norms=tile_sq)
+        dist = _sanitize_nan(dist)
+        row_idx = start + jnp.arange(row_tile, dtype=jnp.int32)
+        dist = jnp.where(row_idx[None, :] < valid, dist, jnp.inf)
+        if row_mask is not None:
+            tile_mask = jax.lax.dynamic_slice_in_dim(row_mask, start, row_tile)
+            dist = jnp.where(tile_mask[None, :], dist, jnp.inf)
+        vals, idx = jax.lax.approx_min_k(
+            dist, kk, recall_target=recall_target
+        )
+        run_vals, run_ids = merge_topk(
+            run_vals, run_ids, vals, (start + idx).astype(jnp.int32), k
+        )
+        return (run_vals, run_ids), None
+
+    (vals, idx), _ = jax.lax.scan(
+        body, (init_vals, init_ids), jnp.arange(ntiles, dtype=jnp.int32)
+    )
+    return vals, jnp.where(jnp.isposinf(vals), -1, idx).astype(jnp.int32)
 
 
 @functools.partial(jax.jit, static_argnames=("metric", "policy_vtype"))

@@ -963,3 +963,55 @@ def test_rerank_host_rescore_excludes_nonfinite(rng):
     assert int(ids[9]) not in got_ids.tolist()
     assert np.isfinite(got_vals).all()
     assert len(got_ids) == 28
+
+
+def test_from_arrays_rejects_duplicate_ids(rng):
+    vecs = rng.standard_normal((3, 8)).astype(np.float32)
+    with pytest.raises(VectorConfigError, match="duplicate ids"):
+        Dataset.from_arrays(
+            "dup", vecs, ids=[1, 1, 2],
+            options=VectorOptions(dimension=8),
+        )
+
+
+def test_require_quant_none_snapshot_raises(rng):
+    """A search that snapshotted quant=None (before quantize() ran) must
+    error, not adopt a quant that landed concurrently — its filter masks
+    were built against the None generation (empty results otherwise)."""
+    ds = Dataset("rqn", VectorOptions(dimension=8))
+    ds.add(rng.standard_normal((10, 8)).astype(np.float32))
+    snapshot = ds._quant  # None: not quantized yet
+    ds.quantize()  # the concurrent quantize landing after the snapshot
+    with pytest.raises(VectorStateError, match="quantization not found"):
+        ds._require_quant("vector_quantize_scan", snapshot)
+    # without a snapshot argument the live state is (correctly) used
+    assert ds._require_quant("vector_quantize_scan") is ds._quant
+
+
+def test_host_storage_load_keeps_codes_host_resident(tmp_path, rng):
+    """save/load round trip with storage='host': quantized codes stay a
+    host array (memmap) streamed per query — load() must not pin them in
+    HBM (a >HBM dataset's codes may not fit before an explicit preload)."""
+    import jax.numpy as jnp
+
+    base = rng.standard_normal((300, 16)).astype(np.float32)
+    ds = Dataset("hl", VectorOptions(dimension=16))
+    ds.add(base)
+    ds.quantize()
+    d = str(tmp_path / "ds")
+    ds.save(d)
+
+    back = Dataset.load(d, storage="host", mmap=True)
+    assert back._quant is not None
+    assert not isinstance(back._quant.codes, jnp.ndarray)
+    # codes are host bytes, so they are NOT HBM bytes
+    assert back.memory_bytes() == 0
+    got, dist = back.search(base[7], 3, exact=False)
+    want, _ = ds.search(base[7], 3, exact=False)
+    assert got.tolist() == want.tolist()
+    # preload() pins them on device, exactly as before
+    back.preload()
+    assert isinstance(back._quant.codes, jnp.ndarray)
+    assert back.memory_bytes() > 0
+    got2, _ = back.search(base[7], 3, exact=False)
+    assert got2.tolist() == want.tolist()

@@ -274,3 +274,45 @@ def test_normalized_cosine_nonfinite_falls_back_to_plain(rng):
     )
     assert clean._cosine_dot_fast(None, data[:1]) is True
     assert fast._cosine_dot_fast(None, data[:1]) is False  # sticky flag
+
+
+def test_approx_scan_topk_row_tiled(rng, monkeypatch):
+    """mode='approx' must row-tile like scan_topk: the [B, N] f32
+    intermediate previously materialized unbounded, OOMing on exactly the
+    large-N workloads the throughput mode targets. (On the CPU backend
+    approx_min_k falls back to exact selection, so the tiled result equals
+    the exact scan.)"""
+    import jax.numpy as jnp
+
+    from sqlite_vector_tpu.ops import scan
+
+    q = rng.standard_normal((2, 8)).astype(np.float32)
+    base = rng.standard_normal((9000, 8)).astype(np.float32)
+    want_v, want_i = scan.scan_topk(
+        jnp.asarray(q), jnp.asarray(base), DistanceMetric.L2, 5
+    )
+    # force by_budget == 8192 < n == 9000 -> two tiles (ragged tail)
+    monkeypatch.setattr(scan, "INTERMEDIATE_BUDGET", 65536)
+    tiled_calls = []
+    real_num_tiles = scan._num_tiles
+    monkeypatch.setattr(
+        scan,
+        "_num_tiles",
+        lambda n, t: tiled_calls.append((n, t)) or real_num_tiles(n, t),
+    )
+    got_v, got_i = scan.approx_scan_topk(
+        jnp.asarray(q), jnp.asarray(base), DistanceMetric.L2, 5
+    )
+    assert tiled_calls, "approx did not take the row-tiled branch"
+    np.testing.assert_array_equal(np.asarray(got_i), np.asarray(want_i))
+    np.testing.assert_allclose(
+        np.asarray(got_v), np.asarray(want_v), rtol=1e-6
+    )
+    # masked + short-count variants through the tiled path
+    mask = np.ones(9000, bool)
+    mask[int(want_i[0, 0])] = False
+    got_v2, got_i2 = scan.approx_scan_topk(
+        jnp.asarray(q), jnp.asarray(base), DistanceMetric.L2, 5,
+        row_mask=jnp.asarray(mask),
+    )
+    assert int(got_i2[0, 0]) != int(want_i[0, 0])

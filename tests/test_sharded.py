@@ -640,3 +640,41 @@ def test_dataset_2d_mesh_norm_cache_reuse(mesh2d, rng):
     got3, _ = ds.search(base[7], 5)
     assert got3[0] == ids[7]
     assert ds._sq_norms[0] is ds._vectors
+
+
+@pytest.mark.parametrize("mesh_kind", ["1d", "2d"])
+def test_mesh_append_amortized(rng, mesh_kind):
+    """Appends on mesh-sharded datasets take the device-side slice-update
+    path (new rows only cross the link), preserve the sharding layout, and
+    stay value-correct — no full-matrix re-upload per add()."""
+    if mesh_kind == "1d":
+        mesh = make_mesh()
+    else:
+        from sqlite_vector_tpu.parallel import make_mesh_2d
+
+        mesh = make_mesh_2d(4, 2)
+    d = 16
+    ds = svt.Dataset(
+        "ma_" + mesh_kind,
+        svt.parse_options(f"dimension={d},type=FLOAT32,distance=L2"),
+        mesh=mesh,
+    )
+    base = rng.standard_normal((1000, d)).astype(np.float32)
+    ids = ds.add(base)
+    sharding_before = ds._vectors.sharding
+
+    def boom(*a, **kw):  # capacity is unchanged: full upload must not run
+        raise AssertionError("append took the full re-upload path")
+
+    orig = ds._upload_rows_padded
+    ds._upload_rows_padded = boom
+    try:
+        extra = rng.standard_normal((10, d)).astype(np.float32)
+        extra_ids = ds.add(extra)
+    finally:
+        ds._upload_rows_padded = orig
+    assert ds._vectors.sharding == sharding_before
+    got, dist = ds.search(extra[3], 3)
+    assert got[0] == extra_ids[3] and dist[0] == 0.0
+    got2, _ = ds.search(base[123], 3)
+    assert got2[0] == ids[123]
