@@ -45,15 +45,19 @@ def _load_query(spec: str, dim: int | None = None) -> "np.ndarray | str":
 
 
 def _print_results(ids, dist, as_json: bool) -> None:
+    """Single query: ids/dist are [k]. Batched .npy queries: [B, k] —
+    JSON keeps the nesting, text output separates queries with a header."""
+    ids = np.asarray(ids)
+    dist = np.asarray(dist)
     if as_json:
-        print(
-            json.dumps(
-                {"ids": np.asarray(ids).tolist(),
-                 "distances": [float(d) for d in np.asarray(dist)]}
-            )
-        )
+        print(json.dumps({"ids": ids.tolist(), "distances": dist.tolist()}))
+    elif ids.ndim == 2:
+        for qi in range(ids.shape[0]):
+            print(f"# query {qi}")
+            for i, d in zip(ids[qi], dist[qi]):
+                print(f"{int(i)}\t{float(d):.6f}")
     else:
-        for i, d in zip(np.asarray(ids).ravel(), np.asarray(dist).ravel()):
+        for i, d in zip(ids.ravel(), dist.ravel()):
             print(f"{int(i)}\t{float(d):.6f}")
 
 

@@ -104,12 +104,17 @@ def policy_pairwise(
 
     Element-wise formulation, internally bounded to POLICY_ROW_TILE rows
     per step (see _row_tiled). Only called for needs_policy()
-    configurations.
+    configurations. Outputs carry the reference's nearly-zero snap: the C
+    scan/stream loops apply nearly_zero_float32 to EVERY emitted distance
+    (:1927, :2099, :2217), policy-kernel results included — NaN/±Inf pass
+    through the snap untouched.
     """
-    return _row_tiled(
+    from sqlite_vector_tpu.ops.distance import _snap
+
+    return _snap(_row_tiled(
         lambda qq, bt: _policy_impl(qq, bt, metric, vtype, dim_axis=None),
         q, tile,
-    )
+    ))
 
 
 def policy_pairwise_sharded(
@@ -129,11 +134,14 @@ def policy_pairwise_sharded(
     product short-circuit resolves with a pmin over GLOBAL lane indices
     (zero feature padding is policy-neutral: padding lanes are finite and
     contribute 0 to every sum). Row-tiled like the unsharded variant —
-    the 2-D executors pass the whole local row shard."""
-    return _row_tiled(
+    the 2-D executors pass the whole local row shard. Nearly-zero snapped
+    like policy_pairwise."""
+    from sqlite_vector_tpu.ops.distance import _snap
+
+    return _snap(_row_tiled(
         lambda qq, bt: _policy_impl(qq, bt, metric, vtype, dim_axis=dim_axis),
         q, tile,
-    )
+    ))
 
 
 def _policy_impl(

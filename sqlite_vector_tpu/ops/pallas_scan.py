@@ -248,10 +248,18 @@ def _make_kernel(metric: DistanceMetric, tile_n: int, is_int: bool):
         dist = _distance_block(q, tile, bsq, metric, is_int)
         # near-zero snap BEFORE ranking, exactly like the XLA path
         # (pairwise_distance snap=True): otherwise a raw 4e-7 outranks a
-        # true 0.0 and backend routing silently changes the neighbor set
+        # true 0.0 and backend routing silently changes the neighbor set.
+        # L2 rides in the SQUARED domain here (sqrt deferred to the
+        # finish), so its threshold is NEARLY_ZERO^2 — snapping squared
+        # values at NEARLY_ZERO would zero true distances up to ~9.8e-4
         from sqlite_vector_tpu.ops.distance import NEARLY_ZERO
 
-        dist = jnp.where(jnp.abs(dist) <= NEARLY_ZERO, 0.0, dist)
+        thresh = (
+            NEARLY_ZERO * NEARLY_ZERO
+            if metric is DistanceMetric.L2
+            else NEARLY_ZERO
+        )
+        dist = jnp.where(jnp.abs(dist) <= thresh, 0.0, dist)
         # NaN -> +inf: rows with NaN distances are never selected, like the
         # reference's strict `<` slot replacement (src/sqlite-vector.c:2102)
         dist = jnp.where(jnp.isnan(dist), jnp.inf, dist)
@@ -318,10 +326,15 @@ def _make_manual_kernel(
                     bsq = jnp.sum(tf * tf, axis=-1)[None, :]
                 dist = _distance_block(q, tile, bsq, metric, is_int)
                 # near-zero snap before ranking (match the XLA path; see
-                # _make_kernel)
+                # _make_kernel — L2 is in the squared domain here)
                 from sqlite_vector_tpu.ops.distance import NEARLY_ZERO
 
-                dist = jnp.where(jnp.abs(dist) <= NEARLY_ZERO, 0.0, dist)
+                thresh = (
+                    NEARLY_ZERO * NEARLY_ZERO
+                    if metric is DistanceMetric.L2
+                    else NEARLY_ZERO
+                )
+                dist = jnp.where(jnp.abs(dist) <= thresh, 0.0, dist)
                 dist = jnp.where(jnp.isnan(dist), jnp.inf, dist)
                 start = i * tile_n
                 iota_n = jax.lax.broadcasted_iota(
@@ -486,8 +499,14 @@ def _finish_from_minima(
 
     d = candidate_distances(queries, cand, metric)
     # near-zero snap BEFORE ranking (the XLA path snaps pre-top-k): raw
-    # 4e-7 vs true 0.0 must tie, with the earliest row winning
-    d = jnp.where(jnp.abs(d) <= NEARLY_ZERO, 0.0, d)
+    # 4e-7 vs true 0.0 must tie, with the earliest row winning. L2 is in
+    # the squared domain until the sqrt below, so snap at NEARLY_ZERO^2
+    _t = (
+        NEARLY_ZERO * NEARLY_ZERO
+        if metric is DistanceMetric.L2
+        else NEARLY_ZERO
+    )
+    d = jnp.where(jnp.abs(d) <= _t, 0.0, d)
     d = jnp.where(jnp.isnan(d), jnp.inf, d)  # NaN rows are never selected
 
     # padding rows / out-of-range positions -> +inf
@@ -543,6 +562,16 @@ def pallas_scan_topk(
             DistanceMetric.SQUARED_L2,
             DistanceMetric.COSINE,
         )
+        if (
+            base_sq_norms is not None
+            and jnp.issubdtype(base.dtype, jnp.integer)
+            and base_sq_norms.dtype != jnp.int32
+        ):
+            # exact-integer contract: a float32 norm cache is already
+            # rounded above 2^24 and the kernel's astype(int32) would
+            # truncate it — recompute, like _pairwise_int's guard
+            # (ops/distance.py)
+            base_sq_norms = None
         if base_sq_norms is None:
             if needs_sq:
                 if jnp.issubdtype(base.dtype, jnp.integer):

@@ -347,6 +347,11 @@ def quantize_fast(
     callers gate on the dataset's has_nonfinite flag). In-place temporaries:
     ~5 memory passes instead of ~10, which matters for the >RAM host
     quantize (30 GB x passes on one core)."""
+    if qtype is QuantType.AUTO:
+        # same contract as quantize(): AUTO must be resolved by
+        # compute_quant_params first — silently treating it as I8 would
+        # produce signed codes for params computed on the unsigned range
+        raise ValueError("quantize_fast: resolve QuantType.AUTO first")
     lo, hi = (0.0, 255.0) if qtype is QuantType.U8 else (-128.0, 127.0)
     s = np.asarray(values, dtype=np.float32)
     s = (s - np.float32(offset)) * np.float32(scale)  # one new temp

@@ -325,11 +325,8 @@ def _local_topk_merge_2d(
     if mask is not None:
         dist = jnp.where(mask[None, :], dist, jnp.inf)
 
-    vals, idx = topk_ascending(dist, min(k, shard_rows))
-    if vals.shape[1] < k:  # fewer local rows than k: pad candidates
-        pad = ((0, 0), (0, k - vals.shape[1]))
-        vals = jnp.pad(vals, pad, constant_values=jnp.inf)
-        idx = jnp.pad(idx, pad, constant_values=-1)
+    # topk_ascending pads to k with +inf/-1 itself when shard_rows < k
+    vals, idx = topk_ascending(dist, k)
     gidx = jnp.where(jnp.isposinf(vals), jnp.int32(-1), idx + start)
     return _merge_candidates_over_axis(vals, gidx, k, rows_axis)
 

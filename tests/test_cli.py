@@ -189,3 +189,21 @@ def test_serve_sigterm_clean_shutdown(tmp_path, vecs_npy):
     finally:
         if proc.poll() is None:
             proc.kill()
+
+
+def test_ds_search_batched_queries(tmp_path, vecs_npy, capsys):
+    """A [B, dim] query .npy: --json nests per-query results; the text
+    output separates queries instead of crashing on the 2-D array."""
+    npy, mat = vecs_npy
+    d = str(tmp_path / "dsb")
+    assert main(["ds-create", d, OPTS, "--npy", npy]) == 0
+    capsys.readouterr()
+    qpath = str(tmp_path / "qb.npy")
+    np.save(qpath, mat[[5, 9]])
+    assert main(["ds-search", d, qpath, "-k", "2", "--json"]) == 0
+    out = json.loads(capsys.readouterr().out)
+    assert out["ids"][0][0] == 6 and out["ids"][1][0] == 10
+    assert out["distances"][0][0] == 0.0
+    assert main(["ds-search", d, qpath, "-k", "2"]) == 0
+    text = capsys.readouterr().out
+    assert "# query 0" in text and "# query 1" in text

@@ -365,3 +365,43 @@ def test_rerank_policy_dtype_falls_back_to_exact(rng):
     assert r_ids.tolist() == e_ids.tolist()
     np.testing.assert_allclose(r_vals, e_vals, rtol=1e-3)
     assert ids[5] in r_ids  # the NaN-lane row is served, not dropped
+
+
+def test_policy_outputs_are_nearly_zero_snapped(rng):
+    """The C scan/stream loops snap EVERY emitted distance (:1927, :2099,
+    :2217) — policy-kernel results included. A tiny DOT distance must come
+    back exactly 0.0 through both policy wrappers, while NaN/Inf pass."""
+    import jax.numpy as jnp
+
+    from sqlite_vector_tpu.ops import nonfinite
+    from sqlite_vector_tpu.parallel import make_mesh
+    from sqlite_vector_tpu.parallel.ops import _shard_map
+
+    d = 8
+    q = np.zeros((1, d), np.float32)
+    q[0, 0] = 1.0
+    rows = np.zeros((3, d), np.float32)
+    rows[0, 0] = 4e-7          # dot 4e-7 -> raw -4e-7 -> snapped 0.0
+    rows[1, 1] = np.nan        # NaN lane: policy skips it -> -0.0 dot
+    rows[2, 0] = np.inf        # infinite product short-circuit -> -inf
+    out = np.asarray(nonfinite.policy_pairwise(
+        jnp.asarray(q), jnp.asarray(rows), DistanceMetric.DOT,
+        VectorType.F16,
+    ))
+    assert out[0, 0] == 0.0
+    assert out[0, 1] == 0.0
+    assert np.isneginf(out[0, 2])
+
+    mesh = make_mesh(4, axis_name="dim")
+    from jax.sharding import PartitionSpec as P
+
+    fn = _shard_map(
+        lambda qq, bb: nonfinite.policy_pairwise_sharded(
+            qq, bb, DistanceMetric.DOT, VectorType.F16, dim_axis="dim"
+        ),
+        mesh=mesh,
+        in_specs=(P(None, "dim"), P(None, "dim")),
+        out_specs=P(None, None),
+    )
+    out2 = np.asarray(fn(jnp.asarray(q), jnp.asarray(rows)))
+    np.testing.assert_array_equal(out2, out)

@@ -219,3 +219,17 @@ def test_quant_params_all_inf_matches_c_scan():
     # all-NaN / empty still resolve to the documented no-rows params
     qt3, s3, o3 = oracle.compute_quant_params(np.float32([np.nan]), QuantType.AUTO)
     assert (s3, o3) == (1.0, 0.0)
+
+
+def test_quantize_fast_rejects_unresolved_auto(rng):
+    """quantize_fast must error on QuantType.AUTO like quantize() does —
+    silently treating AUTO as I8 corrupts codes whose params were computed
+    for the unsigned range."""
+    import pytest
+
+    from sqlite_vector_tpu.oracle import quantize_fast
+    from sqlite_vector_tpu.types import QuantType
+
+    vals = rng.standard_normal((4, 8)).astype(np.float32)
+    with pytest.raises(ValueError, match="AUTO"):
+        quantize_fast(vals, np.float32(1.0), np.float32(0.0), QuantType.AUTO)

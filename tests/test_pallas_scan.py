@@ -202,3 +202,49 @@ def test_supports_memory_bounds():
     assert supports(DistanceMetric.L2, np.float32, 384, 20, 64, 1_000_000)
     # b * k*128 * d_pad * 4 = 26 GB candidate gather
     assert not supports(DistanceMetric.L2, np.float32, 768, 256, 256, 4_000_000)
+
+
+def test_l2_snap_in_squared_domain(rng):
+    """The pre-ranking nearly-zero snap must use NEARLY_ZERO^2 for L2 (the
+    kernel carries squared distances until the final sqrt): snapping squared
+    values at NEARLY_ZERO zeroed true distances up to ~9.8e-4, changing both
+    neighbor identity and reported values vs the XLA path."""
+    import jax.numpy as jnp
+
+    d = 8
+    q = np.zeros((1, d), np.float32)
+    q[0, 0] = 1e-3
+    base = rng.standard_normal((200, d)).astype(np.float32)
+    base[3] = q[0]
+    base[3, 1] = 9.5e-4  # squared distance 9.02e-7 > NEARLY_ZERO^2
+    base[124] = q[0]     # exact duplicate: true distance 0
+    vals, idx = pallas_scan_topk(
+        jnp.asarray(q), jnp.asarray(base), DistanceMetric.L2, 2
+    )
+    assert int(idx[0, 0]) == 124 and float(vals[0, 0]) == 0.0
+    assert int(idx[0, 1]) == 3
+    np.testing.assert_allclose(float(vals[0, 1]), 9.5e-4, rtol=1e-3)
+
+
+def test_int8_float_norm_cache_recomputed(rng):
+    """A float32 base_sq_norms cache on an integer-code scan must be
+    recomputed, not truncated via astype(int32) (exact-integer contract —
+    _pairwise_int has the same guard)."""
+    import jax.numpy as jnp
+
+    codes = rng.integers(-128, 128, (300, 24)).astype(np.int8)
+    q = rng.integers(-128, 128, (2, 24)).astype(np.int8)
+    want_v, want_i = pallas_scan_topk(
+        jnp.asarray(q), jnp.asarray(codes), DistanceMetric.L2, 5
+    )
+    # +1.6 survives an astype(int32) truncation (+1), so a guard-less
+    # implementation produces distances off by one integer unit
+    bad_norms = jnp.asarray(
+        (codes.astype(np.int64) ** 2).sum(-1).astype(np.float32) + 1.6
+    )
+    got_v, got_i = pallas_scan_topk(
+        jnp.asarray(q), jnp.asarray(codes), DistanceMetric.L2, 5,
+        base_sq_norms=bad_norms,
+    )
+    np.testing.assert_array_equal(np.asarray(got_i), np.asarray(want_i))
+    np.testing.assert_array_equal(np.asarray(got_v), np.asarray(want_v))
