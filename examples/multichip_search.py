@@ -58,12 +58,14 @@ def main() -> None:
           f"{ds.memory_bytes() / 1e6:.0f} MB across {n_dev} chips "
           f"(~{ds.memory_bytes() / n_dev / 1e6:.0f} MB/chip)")
 
-    queries = data[rng.integers(0, args.n, 8)]
+    qidx = rng.integers(0, args.n, 8)
+    queries = data[qidx]
     t0 = time.time()
     got, dist = ds.search(queries, args.k)
     print(f"batched exact search (first call, incl. compile): "
           f"{time.time() - t0:.2f}s")
-    assert (got[:, 0] == ids[rng.integers(0, args.n, 8) * 0]).shape  # shape ok
+    # each query is a database row: it must come back first at distance 0
+    assert (got[:, 0] == ids[qidx]).all() and (dist[:, 0] == 0.0).all()
     t0 = time.time()
     got, dist = ds.search(queries, args.k)
     print(f"warm: {(time.time() - t0) * 1000:.1f} ms for 8 queries")

@@ -32,9 +32,15 @@ from tests import test_fuzz_api, test_fuzz_differential
 def main() -> int:
     p = argparse.ArgumentParser()
     p.add_argument("--api-seeds", type=int, default=140,
-                   help="API-fuzzer seeds, starting after the CI range (10)")
+                   help="API-fuzzer seeds, starting at --api-start")
     p.add_argument("--diff-seeds", type=int, default=40,
-                   help="differential seeds, starting after the CI range (8)")
+                   help="differential seeds, starting at --diff-start")
+    p.add_argument("--api-start", type=int, default=10,
+                   help="first API seed (CI covers 0-9; past campaigns "
+                   "covered 10-590 — raise this to explore fresh seeds)")
+    p.add_argument("--diff-start", type=int, default=8,
+                   help="first differential seed (CI covers 0-7; past "
+                   "campaigns covered 8-168)")
     p.add_argument("--progress-every", type=int, default=20)
     args = p.parse_args()
 
@@ -48,14 +54,17 @@ def main() -> int:
                 fails.append((kind, seed, traceback.format_exc()))
                 print(f"FAIL {kind} seed={seed}", flush=True)
 
-    for seed in range(10, 10 + args.api_seeds):
+    for seed in range(args.api_start, args.api_start + args.api_seeds):
         run("api", test_fuzz_api.test_api_op_sequences, seed)
         if seed % args.progress_every == 0:
             print(f"api seed {seed} done", flush=True)
 
     have_ref = os.path.exists("/tmp/refbuild/vector.so")
     if have_ref:
-        for seed in list(range(8, 8 + args.diff_seeds)) + ["mesh"]:
+        for seed in (
+            list(range(args.diff_start, args.diff_start + args.diff_seeds))
+            + ["mesh"]
+        ):
             run(
                 "diff",
                 test_fuzz_differential.test_differential_op_sequences,
