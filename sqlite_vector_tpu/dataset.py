@@ -124,6 +124,23 @@ def _npy_rows(path: str) -> int:
         return -1
 
 
+def _atomic_npy_save(path: str, arr) -> None:
+    """np.save through a temp file + os.replace.
+
+    Saving a dataset back onto its own directory can source `arr` from a
+    memmap OF THE DESTINATION FILE (load(storage="host") keeps qcodes.npy
+    mmap'd; mmap=True keeps the vector shards mmap'd). A plain np.save
+    truncates the file first and then reads the source through the dying
+    mapping — silently corrupted rows. Writing beside and replacing keeps
+    the old inode alive for the mapping until the write completes, and a crash
+    mid-save never leaves a half-written .npy behind. The file object
+    form keeps np.save from appending ".npy" to the temp name."""
+    tmp = path + ".tmp"
+    with open(tmp, "wb") as f:
+        np.save(f, arr)
+    os.replace(tmp, path)
+
+
 def _next_capacity(n: int, multiple_of: int = 1) -> int:
     cap = MIN_CAPACITY
     while cap < n:
@@ -2162,12 +2179,12 @@ class Dataset:
             "quant": None,
         }
         if live is not None:
-            np.save(
+            _atomic_npy_save(
                 os.path.join(directory, "ids.npy"),
                 ids_arr[:count][live[:count]],
             )
         else:
-            np.save(os.path.join(directory, "ids.npy"), ids_arr[:count])
+            _atomic_npy_save(os.path.join(directory, "ids.npy"), ids_arr[:count])
         # bfloat16 isn't a numpy-native dtype: store the raw uint16 bits
         if self.options.type is VectorType.BF16:
             vecs = vecs.view(np.uint16)
@@ -2188,14 +2205,16 @@ class Dataset:
                     and os.path.exists(path)
                     and _npy_rows(path) == len(part)
                 ):
-                    np.save(path, part)
+                    # atomic: `part` may be a view of THIS file's mmap when
+                    # a host/mmap-loaded dataset saves onto its own directory
+                    _atomic_npy_save(path, part)
                 shards.append({"file": name, "rows": len(part)})
             manifest["vector_shards"] = shards
         else:
             full = np.asarray(vecs[:count])
             if live is not None:
                 full = full[live[:count]]
-            np.save(os.path.join(directory, "vectors.npy"), full)
+            _atomic_npy_save(os.path.join(directory, "vectors.npy"), full)
         quant = self._quant  # one snapshot vs a concurrent drop_quantization
         if quant is not None:
             manifest["quant"] = {
@@ -2207,17 +2226,25 @@ class Dataset:
             }
             if quant.codes is not None:
                 # slice off 2-D-mesh dim padding: load() rebuilds its own
-                # padded layout from the true dimension
-                np.save(
+                # padded layout from the true dimension. Atomic: host-storage
+                # loads keep quant.codes as a memmap of THIS qcodes.npy —
+                # plain np.save truncated the file while reading through the
+                # mapping (all-garbage codes on the second save/load cycle,
+                # caught by fuzz seed 642)
+                _atomic_npy_save(
                     os.path.join(directory, "qcodes.npy"),
                     np.asarray(quant.codes)[
                         : quant.count, : self.options.dimension
                     ],
                 )
             if quant.ids is not None:
-                np.save(os.path.join(directory, "qids.npy"), quant.ids)
-        with open(os.path.join(directory, "manifest.json"), "w") as f:
+                _atomic_npy_save(
+                    os.path.join(directory, "qids.npy"), quant.ids
+                )
+        mpath = os.path.join(directory, "manifest.json")
+        with open(mpath + ".tmp", "w") as f:
             json.dump(manifest, f, indent=2)
+        os.replace(mpath + ".tmp", mpath)
 
     @classmethod
     def save_stream(

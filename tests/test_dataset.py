@@ -121,6 +121,47 @@ def test_save_load_roundtrip(rng, tmp_path):
     )
 
 
+def test_resave_onto_own_directory_mmap_sources(rng, tmp_path):
+    """save() onto the directory a dataset was loaded FROM must not corrupt
+    files it is still reading through a memmap. load(storage='host') keeps
+    qcodes.npy mmap'd (and mmap=True keeps the vector shards mmap'd); a
+    plain np.save truncates the destination before reading the source —
+    the second save/load cycle served garbage codes where every row tied
+    at one distance (fuzz seed 642). The atomic temp+replace save keeps
+    the old inode alive for the mapping."""
+    import sqlite_vector_tpu as svt
+
+    d = str(tmp_path / "self")
+    data = (rng.standard_normal((40, 12)) * 2).astype(np.float32)
+    ds = Dataset(
+        "s", VectorOptions(dimension=12, type=VectorType.BF16),
+        storage="host",
+    )
+    ids = ds.add(data)
+    ds.quantize()
+    ds.remove([int(ids[3])])
+    ds.quantize()
+    want_exact = ds.search(data[5], 4)[0].tolist()
+    want_quant = ds.search(data[5], 4, exact=False)[0].tolist()
+    for _ in range(3):  # cycle 2 is the one that read its own dying mmap
+        ds.save(d)
+        ds = Dataset.load(d, storage="host")
+        assert ds.search(data[5], 4)[0].tolist() == want_exact
+        assert ds.search(data[5], 4, exact=False)[0].tolist() == want_quant
+
+    # mmap=True variant: the vector shards themselves are the mmap source
+    d2 = str(tmp_path / "self2")
+    ds2 = svt.Dataset.from_arrays(
+        "s2", data, options="dimension=12,type=FLOAT32,distance=L2"
+    )
+    ds2.save(d2, shard_rows=16)
+    for _ in range(3):
+        ds2 = Dataset.load(d2, storage="host", mmap=True)
+        np.testing.assert_array_equal(np.asarray(ds2._host_vectors), data)
+        assert int(ds2.search(data[5], 1)[0][0]) == 6
+        ds2.save(d2, shard_rows=16)  # writes FROM the mmap of these shards
+
+
 def test_save_load_bf16(rng, tmp_path):
     ds = Dataset("t", VectorOptions(dimension=8, type=VectorType.BF16))
     ds.add(rng.standard_normal((10, 8)).astype(np.float32))
