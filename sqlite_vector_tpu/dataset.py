@@ -1999,6 +1999,14 @@ class Dataset:
             )
             done = 0
             if checkpoint:
+                if os.path.exists(codes_path):
+                    # a completed earlier build in THIS process may still be
+                    # serving searches through a mapping of this file (the
+                    # lock-free snapshot contract): unlink first so w+
+                    # creates a fresh inode instead of truncating the mapped
+                    # one mid-read (torn codes, or SIGBUS when the live row
+                    # count shrank)
+                    os.unlink(codes_path)
                 codes = np.lib.format.open_memmap(
                     codes_path, mode="w+", dtype=rqtype.np_dtype,
                     shape=(out_count, dim),

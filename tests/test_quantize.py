@@ -331,6 +331,34 @@ def test_quantize_checkpoint_mismatch_restarts(tmp_path, rng, monkeypatch):
     np.testing.assert_array_equal(got, np.asarray(ds._quant.codes))
 
 
+def test_quantize_checkpoint_rebuild_preserves_old_snapshot(
+    tmp_path, rng, monkeypatch
+):
+    """A fresh checkpointed rebuild must not truncate the qcodes.npy inode a
+    previous _QuantState still maps: the lock-free search contract lets an
+    in-flight query keep reading the OLD codes mid-rebuild. Pre-fix,
+    open_memmap(mode='w+') truncated the mapped file in place — torn codes,
+    or SIGBUS when the live row count shrank."""
+    import sqlite_vector_tpu.dataset as dsmod
+
+    monkeypatch.setattr(dsmod, "HOST_CHUNK_ELEMS", 16 * 64)
+    ds, data = _host_ds(rng)
+    ck = str(tmp_path / "ck")
+    ds.quantize(checkpoint=ck)
+    old_state = ds._quant
+    old_copy = np.asarray(old_state.codes).copy()
+
+    # shrink the live set AND shift the quant range so the rebuild writes
+    # different bytes (and a smaller file) at the same path
+    ds.remove(ds.ids[:8])
+    ds.update(ds.ids[0], (data[8] * 10).astype(np.float32))
+    ds.quantize(checkpoint=ck)
+    assert ds._quant.count == len(data) - 8
+
+    # the old snapshot's mapping still reads exactly what it read before
+    np.testing.assert_array_equal(np.asarray(old_state.codes), old_copy)
+
+
 def test_resolve_params_nonfinite_match_oracle():
     """Non-finite-only inputs: the device minmax + resolve_quant_params must
     produce the oracle's (C-init-clamped) params, never a NaN scale — a NaN
