@@ -121,7 +121,14 @@ def test_api_op_sequences(tmp_path, seed):
         nonlocal qsnap
         if not state:
             return
-        assert ds.quantize() == len(state)
+        # host-storage seeds alternate the checkpointed build (one shared
+        # dir across the sequence: exercises the mismatch-restart and the
+        # fresh-inode rebuild while older _QuantState mappings are live)
+        if storage == "host" and rng.random() < 0.5:
+            kw = {"checkpoint": str(tmp_path / f"ck{seed}")}
+        else:
+            kw = {}
+        assert ds.quantize(**kw) == len(state)
         qsnap = dict(state)
 
     def do_roundtrip():
