@@ -43,7 +43,12 @@ python tools/soak_serving.py --cpu --n 10000 --dim 32 --seconds 3 \
     --mutate-period 0.3 --http --fallback
 
 echo "== Multi-chip dryrun (8 virtual devices)"
-python -c "import __graft_entry__ as g; g.dryrun_multichip(8)"
+# pre-select the CPU backend BEFORE the first device touch: dryrun's own
+# fallback initializes the default backend first, and on this container
+# that is the tunneled TPU plugin — a compile-service wedge would hang the
+# whole CI sequence on a step that is defined to run on virtual CPU
+python -c "import jax; jax.config.update('jax_platforms', 'cpu'); \
+import __graft_entry__ as g; g.dryrun_multichip(8)"
 
 echo "== Editable-install job (package import from outside the repo)"
 # --no-build-isolation: this container has zero egress; build with the
