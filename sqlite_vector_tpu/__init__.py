@@ -33,7 +33,12 @@ from sqlite_vector_tpu.types import (
     human_to_number,
     DEFAULT_MAX_MEMORY,
 )
-from sqlite_vector_tpu.errors import VectorError
+from sqlite_vector_tpu.errors import (
+    VectorError,
+    VectorConfigError,
+    VectorCodecError,
+    VectorStateError,
+)
 from sqlite_vector_tpu.codec import (
     vector_from_json,
     vector_as_blob,
@@ -54,6 +59,9 @@ __all__ = [
     "human_to_number",
     "DEFAULT_MAX_MEMORY",
     "VectorError",
+    "VectorConfigError",
+    "VectorCodecError",
+    "VectorStateError",
     "vector_from_json",
     "vector_as_blob",
     "blob_to_array",
