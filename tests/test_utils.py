@@ -128,3 +128,19 @@ def test_persistent_compile_cache_config(tmp_path, monkeypatch):
     # restore the default for other tests in this process
     monkeypatch.setenv("SVT_COMPILE_CACHE", cache_dir)
     enable_persistent_cache()
+
+
+def test_package_version_consistent_with_pyproject():
+    """pyproject.toml's version must track sqlite_vector_tpu.__version__ —
+    an editable/wheel install otherwise reports a different version than
+    the running package (found at 0.2.0 vs 0.3.0)."""
+    import os
+    import re
+
+    import sqlite_vector_tpu as svt
+
+    root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    with open(os.path.join(root, "pyproject.toml")) as f:
+        m = re.search(r'^version\s*=\s*"([^"]+)"', f.read(), re.M)
+    assert m, "pyproject.toml has no version field"
+    assert m.group(1) == svt.__version__
