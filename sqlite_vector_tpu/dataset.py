@@ -339,6 +339,13 @@ class Dataset:
         # it so a mutation landing during the lock-free code build marks the
         # fresh codes stale (see quantize)
         self._mutation_gen = 0
+        # opaque content token, regenerated on every mutation and persisted
+        # through save()/load(): the checkpointed-quantize resume must prove
+        # the rows are the SAME build it left off, not merely the same
+        # count/dim (an update() changes neither; add+remove can net to the
+        # same counts — fuzz seed 2202 resumed a finished checkpoint of the
+        # OLD rows and served garbage codes)
+        self._data_token = os.urandom(16).hex()
         # bumped only when row POSITIONS move (compaction): search() re-runs
         # if it raced one, so scan positions never map through a different
         # layout's id array (see search)
@@ -468,6 +475,7 @@ class Dataset:
         self._sync_device(start, count=self._count + n_new)
         self._count += n_new
         self._mutation_gen += 1
+        self._data_token = os.urandom(16).hex()
         if self._quant is not None:
             self._quant.stale = True
         return new_ids
@@ -707,6 +715,7 @@ class Dataset:
         self._live_np = None
         self._live_dev = None
         self._mutation_gen += 1
+        self._data_token = os.urandom(16).hex()
         if self._quant is not None:
             self._quant.stale = True
         # compact (one full re-upload) only when tombstones hog capacity.
@@ -773,6 +782,7 @@ class Dataset:
         self._live_dev = None
         self._count = len(kept)
         self._mutation_gen += 1
+        self._data_token = os.urandom(16).hex()
         self._layout_gen += 1  # positions moved
         if (
             self._storage == "hbm"
@@ -862,6 +872,7 @@ class Dataset:
             # mesh-sharded / host-storage matrices take the uniform path
             self._sync_device(full=True)
         self._mutation_gen += 1
+        self._data_token = os.urandom(16).hex()
         if self._quant is not None:
             self._quant.stale = True
         return int(ids.size)
@@ -1863,9 +1874,11 @@ class Dataset:
         up at the first unfinished chunk on the next call with the same
         directory (the >RAM analogue of the reference's transactional
         rebuild, src/sqlite-vector.c:1418-1452 — its ROLLBACK restarts from
-        scratch, ours restarts from the last completed chunk). Rows must not
-        mutate between resume attempts; a mismatch (count/dim/dtype/qtype
-        options) discards the checkpoint and starts over.
+        scratch, ours restarts from the last completed chunk). Any row
+        mutation since the checkpoint was written — including an update()
+        that changes no counts — discards it and starts over (detected via
+        the persisted data token, not just count/dim/qtype), so a stale
+        finished checkpoint can never serve codes of older rows.
         """
         with self._mutate_lock:
             if self._n_dead and self._can_compact():
@@ -1948,6 +1961,7 @@ class Dataset:
         # build: a concurrent compaction swaps self._host_vectors and a
         # re-read mid-build would mix generations / short-read a chunk
         host = self._host_vectors
+        data_token = self._data_token
         dim = self.dimension
         chunk_rows = max(1, HOST_CHUNK_ELEMS // max(dim, 1))
         starts = range(0, count, chunk_rows)
@@ -1988,7 +2002,8 @@ class Dataset:
             meta_path = os.path.join(checkpoint, "quant_checkpoint.json")
             codes_path = os.path.join(checkpoint, "qcodes.npy")
             meta = self._load_quant_checkpoint(
-                meta_path, codes_path, opts, count, chunk_rows, out_count
+                meta_path, codes_path, opts, count, chunk_rows, out_count,
+                data_token,
             )
 
         if meta is None:
@@ -2020,6 +2035,7 @@ class Dataset:
                     "dim": dim,
                     "chunk_rows": chunk_rows,
                     "requested_qtype": opts.qtype.value,
+                    "data_token": data_token,
                     "done": 0,
                 }
                 self._write_quant_checkpoint(meta_path, meta)
@@ -2075,6 +2091,7 @@ class Dataset:
         count: int,
         chunk_rows: int,
         live_count: int,
+        data_token: str,
     ) -> dict | None:
         """Return the checkpoint meta if it matches this build, else None
         (start over). A finished checkpoint (done == nchunks) is still
@@ -2088,6 +2105,13 @@ class Dataset:
                 # removals between resume attempts change the live row set
                 # the stored code offsets were computed for
                 and meta.get("live_count", meta["count"]) == live_count
+                # counts alone cannot prove the rows are unchanged: an
+                # update() keeps every count identical, and add()+remove()
+                # can net out — only the mutation-regenerated content token
+                # ties this checkpoint to the exact row state it was built
+                # from (fuzz seed 2202: a finished checkpoint of OLD rows
+                # was resumed and served wrong codes)
+                and meta.get("data_token") == data_token
                 and meta["dim"] == self.dimension
                 and meta["chunk_rows"] == chunk_rows
                 and meta["requested_qtype"] == opts.qtype.value
@@ -2172,6 +2196,7 @@ class Dataset:
             ids_arr = self._ids
             live = self._live_row_mask()
             vecs = self._host_vectors
+            data_token = self._data_token
         os.makedirs(directory, exist_ok=True)
         manifest = {
             "name": self.name,
@@ -2184,6 +2209,7 @@ class Dataset:
             "count": count - n_dead,
             "next_rowid": self._next_rowid,
             "has_nonfinite": self._has_nonfinite,
+            "data_token": data_token,
             "quant": None,
         }
         if live is not None:
@@ -2336,6 +2362,7 @@ class Dataset:
             "count": count,
             "next_rowid": ids_start + count,
             "has_nonfinite": has_nonfinite,
+            "data_token": os.urandom(16).hex(),
             "quant": None,
             "vector_shards": shards,
         }
@@ -2419,6 +2446,11 @@ class Dataset:
                 finally:
                     ds._trust_nonfinite_flag = False
         ds._next_rowid = manifest.get("next_rowid", ds._next_rowid)
+        # restore AFTER the attach/add above (add() regenerates the token):
+        # the loaded rows ARE the saved content, so a checkpointed quantize
+        # of that content stays resumable across the round trip. Absent from
+        # older manifests -> keep the fresh token (worst case: one rebuild)
+        ds._data_token = manifest.get("data_token", ds._data_token)
         # mmap/attach loads skip the per-add scan; restore the saved flag
         # (sticky, so OR with anything the add() path already detected)
         ds._has_nonfinite = ds._has_nonfinite or manifest.get(

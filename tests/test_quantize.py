@@ -359,6 +359,79 @@ def test_quantize_checkpoint_rebuild_preserves_old_snapshot(
     np.testing.assert_array_equal(np.asarray(old_state.codes), old_copy)
 
 
+def test_quantize_checkpoint_detects_same_count_mutations(
+    tmp_path, rng, monkeypatch
+):
+    """Counts alone cannot prove the rows are unchanged: update() keeps
+    every count identical, and add()+remove() can net out. Pre-fix the
+    loader matched on count/live_count/dim/chunk_rows only, so a FINISHED
+    checkpoint of the OLD rows was resumed verbatim and served wrong codes
+    (fuzz seed 2202: returned ids at oracle distance 210.77 past a 0.0
+    boundary). The mutation-regenerated data token must invalidate it."""
+    import sqlite_vector_tpu as svt
+    import sqlite_vector_tpu.dataset as dsmod
+    from sqlite_vector_tpu import oracle
+
+    monkeypatch.setattr(dsmod, "HOST_CHUNK_ELEMS", 16 * 64)
+    ds, data = _host_ds(rng)
+    ck = str(tmp_path / "ck")
+    ds.quantize(checkpoint=ck)
+
+    # (a) update(): same count, same live count — codes MUST rebuild
+    new_row = (data[0] * 50).astype(np.float32)  # widens the quant range
+    ds.update(ds.ids[0], new_row)
+    ds.quantize(checkpoint=ck)
+    want = oracle.quantize(
+        new_row[None], ds._quant.scale, ds._quant.offset, ds._quant.qtype
+    )[0]
+    pos = int(np.flatnonzero(ds._quant.ids == int(ds.ids[0]))[0])
+    np.testing.assert_array_equal(np.asarray(ds._quant.codes)[pos], want)
+
+    # (b) add + remove netting to identical counts — also a rebuild
+    kept_id = int(ds.ids[1])
+    ds.remove([kept_id])
+    added = (rng.standard_normal((1, 16)) * 5).astype(np.float32)
+    (new_id,) = ds.add(added)
+    ds.quantize(checkpoint=ck)
+    assert int(new_id) in set(int(i) for i in ds._quant.ids)
+    assert kept_id not in set(int(i) for i in ds._quant.ids)
+    got = np.asarray(
+        ds._quant.codes[
+            int(np.flatnonzero(ds._quant.ids == int(new_id))[0])
+        ]
+    )
+    np.testing.assert_array_equal(
+        got,
+        oracle.quantize(
+            added, ds._quant.scale, ds._quant.offset, ds._quant.qtype
+        )[0],
+    )
+
+    # (c) the legitimate cache is preserved: a save/load round trip of the
+    # SAME rows still resumes the finished checkpoint without re-quantizing
+    d = str(tmp_path / "rt")
+    ds.save(d)
+    ds2 = svt.Dataset.load(d, storage="host", mmap=True)
+    calls = {"n": 0}
+    real = oracle.quantize_fast
+
+    def counting(*a, **kw):  # pragma: no cover - a call fails the assert
+        calls["n"] += 1
+        return real(*a, **kw)
+
+    monkeypatch.setattr(oracle, "quantize_fast", counting)
+    ck2 = str(tmp_path / "ck2")
+    monkeypatch.setattr(oracle, "quantize_fast", real)
+    ds2.quantize(checkpoint=ck2)  # build once on the loaded rows
+    ds3 = svt.Dataset.load(d, storage="host", mmap=True)
+    monkeypatch.setattr(oracle, "quantize_fast", counting)
+    ds3.quantize(checkpoint=ck2)
+    assert calls["n"] == 0  # resumed: same data token across save/load
+    np.testing.assert_array_equal(
+        np.asarray(ds3._quant.codes), np.asarray(ds2._quant.codes)
+    )
+
+
 def test_resolve_params_nonfinite_match_oracle():
     """Non-finite-only inputs: the device minmax + resolve_quant_params must
     produce the oracle's (C-init-clamped) params, never a NaN scale — a NaN
