@@ -2180,9 +2180,14 @@ class Dataset:
         The analogue of the `_sqliteai_vector` metadata table plus the
         vector0_* shadow tables (src/sqlite-vector.c:114, 1000-1026).
         `shard_rows` splits the matrix into multiple files. `resume=True`
-        skips shards already on disk with the right row count — use ONLY to
-        restart an interrupted save of append-only data (rows that changed
-        via update()/remove() since the failed save would NOT be rewritten).
+        skips shards already on disk ONLY when their provenance is proven:
+        the directory's save-in-progress marker (an interrupted save) or its
+        completed manifest carries this dataset's current data token. Any
+        mutation since those shards were written — including a same-count
+        update() — regenerates the token, so the save falls back to a full
+        rewrite instead of silently keeping stale bytes (the counts-only
+        skip heuristic this replaces had the same failure shape as the
+        checkpointed-quantize bug at fuzz seed 2202).
         """
         with self._mutate_lock:
             if self._n_dead and self._can_compact():
@@ -2198,6 +2203,29 @@ class Dataset:
             vecs = self._host_vectors
             data_token = self._data_token
         os.makedirs(directory, exist_ok=True)
+        marker_path = os.path.join(directory, "save_in_progress.json")
+        if resume:
+            # prove the on-disk shards were written from THIS row state:
+            # either an interrupted save of the same content (marker) or a
+            # completed save of it (manifest). Tokens from other content —
+            # or legacy directories without one — force a full rewrite.
+            resume = False
+            for p, key in (
+                (marker_path, "data_token"),
+                (os.path.join(directory, "manifest.json"), "data_token"),
+            ):
+                try:
+                    with open(p) as f:
+                        if json.load(f).get(key) == data_token:
+                            resume = True
+                            break
+                except (OSError, ValueError):
+                    continue
+        # marker lands BEFORE any shard so a crash mid-save leaves proof of
+        # what the partial shards contain; removed after the manifest commits
+        with open(marker_path + ".tmp", "w") as f:
+            json.dump({"data_token": data_token}, f)
+        os.replace(marker_path + ".tmp", marker_path)
         manifest = {
             "name": self.name,
             "version": 2,
@@ -2279,6 +2307,10 @@ class Dataset:
         with open(mpath + ".tmp", "w") as f:
             json.dump(manifest, f, indent=2)
         os.replace(mpath + ".tmp", mpath)
+        try:
+            os.unlink(marker_path)  # the manifest is now the provenance
+        except OSError:
+            pass
 
     @classmethod
     def save_stream(

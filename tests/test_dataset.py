@@ -162,6 +162,83 @@ def test_resave_onto_own_directory_mmap_sources(rng, tmp_path):
         ds2.save(d2, shard_rows=16)  # writes FROM the mmap of these shards
 
 
+def test_save_resume_provenance(rng, tmp_path):
+    """save(resume=True) skips shards only with PROVEN provenance: the
+    directory's interrupted-save marker or completed manifest must carry
+    this dataset's current data token. A same-count update() between saves
+    regenerates the token, so resume falls back to a full rewrite instead
+    of keeping stale shard bytes (the counts-only heuristic it replaces
+    shared the checkpointed-quantize failure shape of fuzz seed 2202)."""
+    import os
+
+    import sqlite_vector_tpu.dataset as dsmod
+
+    data = rng.standard_normal((64, 8)).astype(np.float32)
+    ds = Dataset("r", VectorOptions(dimension=8, type=VectorType.F32))
+    ds.add(data)
+    d = str(tmp_path / "r")
+    real = dsmod._atomic_npy_save
+
+    # (a) crash mid-save, retry with resume=True: completed shards skip.
+    # Write order: ids.npy first, then 4 shards of 16 rows — die on shard 3
+    calls = {"n": 0}
+
+    def dying(path, arr):
+        calls["n"] += 1
+        if calls["n"] >= 4:  # ids + 2 shards land, the 3rd dies
+            raise OSError("simulated disk failure")
+        real(path, arr)
+
+    monkeypatch_ctx = pytest.MonkeyPatch()
+    try:
+        monkeypatch_ctx.setattr(dsmod, "_atomic_npy_save", dying)
+        with pytest.raises(OSError, match="simulated"):
+            ds.save(d, shard_rows=16)
+        written = {"n": 0}
+
+        def counting(path, arr):
+            written["n"] += 1
+            real(path, arr)
+
+        monkeypatch_ctx.setattr(dsmod, "_atomic_npy_save", counting)
+        ds.save(d, shard_rows=16, resume=True)
+        # ids rewritten + only the 2 missing shards (2 skipped with proof)
+        assert written["n"] == 3
+    finally:
+        monkeypatch_ctx.undo()
+    back = Dataset.load(d)
+    np.testing.assert_array_equal(
+        np.asarray(back._host_vectors)[: len(data)], data
+    )
+    assert not os.path.exists(os.path.join(d, "save_in_progress.json"))
+
+    # (b) a same-count update between saves MUST rewrite its shard even
+    # under resume=True (every shard still holds its old row count)
+    new_row = (data[0] * 7 + 1).astype(np.float32)
+    ds.update(ds.ids[0], new_row)
+    ds.save(d, shard_rows=16, resume=True)
+    back = Dataset.load(d)
+    np.testing.assert_array_equal(
+        np.asarray(back._host_vectors)[0], new_row
+    )
+
+    # (c) an idempotent re-save of UNCHANGED rows skips every shard (the
+    # completed manifest proves the content)
+    skipped = {"n": 0}
+
+    def counting2(path, arr):
+        skipped["n"] += 1
+        real(path, arr)
+
+    monkeypatch_ctx2 = pytest.MonkeyPatch()
+    try:
+        monkeypatch_ctx2.setattr(dsmod, "_atomic_npy_save", counting2)
+        ds.save(d, shard_rows=16, resume=True)
+        assert skipped["n"] == 1  # only ids.npy rewrites
+    finally:
+        monkeypatch_ctx2.undo()
+
+
 def test_save_load_bf16(rng, tmp_path):
     ds = Dataset("t", VectorOptions(dimension=8, type=VectorType.BF16))
     ds.add(rng.standard_normal((10, 8)).astype(np.float32))
