@@ -113,17 +113,6 @@ def _scan_nonfinite(vectors: Any, dtype: VectorType, count: int) -> bool:
     return False
 
 
-def _npy_rows(path: str) -> int:
-    """Row count of a .npy file from its header (no data read)."""
-    try:
-        with open(path, "rb") as f:
-            version = np.lib.format.read_magic(f)
-            shape, _, _ = np.lib.format._read_array_header(f, version)
-        return shape[0] if shape else 0
-    except Exception:
-        return -1
-
-
 def _atomic_npy_save(path: str, arr) -> None:
     """np.save through a temp file + os.replace.
 
@@ -2180,11 +2169,18 @@ class Dataset:
         The analogue of the `_sqliteai_vector` metadata table plus the
         vector0_* shadow tables (src/sqlite-vector.c:114, 1000-1026).
         `shard_rows` splits the matrix into multiple files. `resume=True`
-        skips shards already on disk ONLY when their provenance is proven:
-        the directory's save-in-progress marker (an interrupted save) or its
-        completed manifest carries this dataset's current data token. Any
-        mutation since those shards were written — including a same-count
-        update() — regenerates the token, so the save falls back to a full
+        skips shards already on disk ONLY when their provenance is proven,
+        shard by shard: an interrupted save's marker proves exactly the
+        shards it recorded as completed under this dataset's current data
+        token, and a completed manifest with the token proves every shard
+        it lists. Mere existence of a file is never proof — a full rewrite
+        that crashed early leaves the PREVIOUS generation's shard files
+        behind under this attempt's marker token, and trusting existence
+        would re-commit those stale bytes on retry. A marker carrying a
+        DIFFERENT token is active disproof (some other attempt partially
+        overwrote the directory): nothing on disk is trusted even when the
+        old manifest token matches. Any mutation — including a same-count
+        update() — regenerates the token, so resume falls back to a full
         rewrite instead of silently keeping stale bytes (the counts-only
         skip heuristic this replaces had the same failure shape as the
         checkpointed-quantize bug at fuzz seed 2202).
@@ -2204,28 +2200,57 @@ class Dataset:
             data_token = self._data_token
         os.makedirs(directory, exist_ok=True)
         marker_path = os.path.join(directory, "save_in_progress.json")
+        # which shard files are PROVEN to hold this row state's bytes
+        # (file name -> row count); shards outside this map always rewrite
+        proven_shards: dict[str, int] = {}
+        marker_state = None
+        try:
+            with open(marker_path) as f:
+                marker_state = json.load(f)
+        except (OSError, ValueError):
+            marker_state = None
         if resume:
-            # prove the on-disk shards were written from THIS row state:
-            # either an interrupted save of the same content (marker) or a
-            # completed save of it (manifest). Tokens from other content —
-            # or legacy directories without one — force a full rewrite.
-            resume = False
-            for p, key in (
-                (marker_path, "data_token"),
-                (os.path.join(directory, "manifest.json"), "data_token"),
-            ):
+            if marker_state is not None:
+                # an interrupted save proves ONLY the shards its marker
+                # recorded as done; a mismatched token is disproof and
+                # deliberately does NOT fall through to the manifest check
+                # (that save may have already overwritten manifest-proven
+                # shards with foreign content)
+                if marker_state.get("data_token") == data_token:
+                    proven_shards = {
+                        str(k): int(v)
+                        for k, v in (
+                            marker_state.get("done_shards") or {}
+                        ).items()
+                    }
+            else:
                 try:
-                    with open(p) as f:
-                        if json.load(f).get(key) == data_token:
-                            resume = True
-                            break
-                except (OSError, ValueError):
-                    continue
+                    with open(
+                        os.path.join(directory, "manifest.json")
+                    ) as f:
+                        m = json.load(f)
+                    if m.get("data_token") == data_token:
+                        proven_shards = {
+                            str(sh["file"]): int(sh["rows"])
+                            for sh in m.get("vector_shards") or []
+                        }
+                except (OSError, ValueError, KeyError, TypeError):
+                    pass
+        resume = bool(proven_shards)
         # marker lands BEFORE any shard so a crash mid-save leaves proof of
-        # what the partial shards contain; removed after the manifest commits
-        with open(marker_path + ".tmp", "w") as f:
-            json.dump({"data_token": data_token}, f)
-        os.replace(marker_path + ".tmp", marker_path)
+        # what the partial shards contain; per-shard completion is appended
+        # as each shard commits; removed after the manifest commits
+        done_shards: dict[str, int] = {}
+
+        def _commit_marker() -> None:
+            with open(marker_path + ".tmp", "w") as f:
+                json.dump(
+                    {"data_token": data_token, "done_shards": done_shards},
+                    f,
+                )
+            os.replace(marker_path + ".tmp", marker_path)
+
+        _commit_marker()
         manifest = {
             "name": self.name,
             "version": 2,
@@ -2261,15 +2286,18 @@ class Dataset:
                 if live is not None:
                     part = part[live[start:end]]
                 path = os.path.join(directory, name)
-                # resume mode: skip shards already on disk (append-only data)
+                # resume mode: skip only shards with recorded provenance
+                # (proven for this exact data token — never bare existence)
                 if not (
                     resume
+                    and proven_shards.get(name) == len(part)
                     and os.path.exists(path)
-                    and _npy_rows(path) == len(part)
                 ):
                     # atomic: `part` may be a view of THIS file's mmap when
                     # a host/mmap-loaded dataset saves onto its own directory
                     _atomic_npy_save(path, part)
+                done_shards[name] = len(part)
+                _commit_marker()  # crash after this point proves the shard
                 shards.append({"file": name, "rows": len(part)})
             manifest["vector_shards"] = shards
         else:
@@ -2415,6 +2443,27 @@ class Dataset:
     ) -> "Dataset":
         with open(os.path.join(directory, "manifest.json")) as f:
             manifest = json.load(f)
+        marker_path = os.path.join(directory, "save_in_progress.json")
+        if os.path.exists(marker_path):
+            # a save crashed before committing its manifest. If it was
+            # saving DIFFERENT content than the manifest describes, some
+            # shard files may already hold the newer generation's bytes —
+            # the manifest would stitch mixed-generation rows together.
+            # A matching token means the interrupted save was re-writing
+            # the same content the manifest already proves: safe to load.
+            try:
+                with open(marker_path) as f:
+                    marker_token = json.load(f).get("data_token")
+            except (OSError, ValueError):
+                marker_token = None
+            if marker_token != manifest.get("data_token"):
+                raise ValueError(
+                    f"{directory!r} holds an interrupted save of different "
+                    "content than its manifest describes (shard files may "
+                    "be mixed-generation). Re-run Dataset.save() from the "
+                    "source data, or delete save_in_progress.json only if "
+                    "the directory is known consistent."
+                )
         options = VectorOptions(
             type=VectorType.from_name(manifest["type"]),
             dimension=manifest["dimension"],

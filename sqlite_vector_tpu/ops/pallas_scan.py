@@ -109,6 +109,15 @@ def _row_tile(d_pad: int, itemsize: int) -> int:
 # ([ntiles, b_pad, g_tile] f32 = b_pad * ceil(n/BLOCK) * 4 bytes; v5e VMEM
 # is ~128 MB shared with nbuf staged tiles + the query block).
 _MINIMA_VMEM_BOUND = 64 * 1024 * 1024
+# EMPIRICAL Mosaic-compile fence (STATUS.md round-3 routing table, real
+# v5e): the analytic minima bound above models the minima array but NOT
+# the register-allocator spill that actually kills the compile ("Ran out
+# of memory in memory space vmem. Used 132.40M of 128.00M"). Measured
+# envelope at dim 384 / k=20 / f32: b_pad*n = 64*1M COMPILES (262 s);
+# 256*1M, 64*4M and 256*4M all CRASH the Mosaic compiler. The spill
+# tracks the batch*rows product, so fence on it directly: admit nothing
+# beyond the largest configuration measured to compile.
+_COMPILE_PAIR_BOUND = 64 * 1_000_000  # b_pad * n, largest measured-good
 # Bound on the finish step's candidate gather ([b, kg*BLOCK, d_pad] f32 in
 # HBM) — without it, allowed (b, k, d) combinations materialize tens of GB.
 _FINISH_HBM_BOUND = 2 * 1024 * 1024 * 1024
@@ -148,6 +157,12 @@ def supports(
         return False
     if n is not None:
         b_pad = _round_up(max(batch, 8), 8)
+        # measured Mosaic failure envelope first (register-allocator spill
+        # — see _COMPILE_PAIR_BOUND): every config in STATUS.md's routing
+        # table that failed to compile is rejected here, so
+        # SVT_FORCE_PALLAS=1 can never route into a known compiler crash
+        if b_pad * n > _COMPILE_PAIR_BOUND:
+            return False
         groups = -(-n // BLOCK)
         if b_pad * groups * 4 > _MINIMA_VMEM_BOUND:
             return False

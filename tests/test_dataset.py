@@ -238,6 +238,63 @@ def test_save_resume_provenance(rng, tmp_path):
     finally:
         monkeypatch_ctx2.undo()
 
+    # (d) crash during a REWRITE over a prior completed save of same-count
+    # different content: the retry's marker proves only the shards the
+    # crashed attempt actually completed — pre-existing same-count files
+    # from the old generation MUST rewrite, not skip (the marker records
+    # the attempt's content, never the stale files' provenance)
+    data2 = (data * 3 + 2).astype(np.float32)  # same count, new bytes
+    for rid, row in zip(list(ds.ids), data2):
+        ds.update(rid, row)
+    calls2 = {"n": 0}
+
+    def dying2(path, arr):
+        calls2["n"] += 1
+        if calls2["n"] >= 3:  # ids + shard 0 land, shard 1 dies
+            raise OSError("simulated disk failure")
+        real(path, arr)
+
+    monkeypatch_ctx3 = pytest.MonkeyPatch()
+    try:
+        monkeypatch_ctx3.setattr(dsmod, "_atomic_npy_save", dying2)
+        with pytest.raises(OSError, match="simulated"):
+            ds.save(d, shard_rows=16)
+        # (also ADVICE low: a crashed rewrite over a completed save leaves
+        # mixed-generation shards — load() must refuse, not stitch them)
+        with pytest.raises(ValueError, match="interrupted save"):
+            Dataset.load(d)
+        monkeypatch_ctx3.setattr(dsmod, "_atomic_npy_save", counting2)
+        before = skipped["n"]
+        ds.save(d, shard_rows=16, resume=True)
+        # ids + shards 1..3 rewrite; only crash-proven shard 0 skips
+        assert skipped["n"] - before == 4
+    finally:
+        monkeypatch_ctx3.undo()
+    back = Dataset.load(d)
+    np.testing.assert_array_equal(
+        np.asarray(back._host_vectors)[: len(data2)], data2
+    )
+
+    # (e) a foreign interrupted save (mismatched marker token) is disproof:
+    # resume must NOT fall through to the still-matching old manifest
+    import json
+
+    with open(os.path.join(d, "save_in_progress.json"), "w") as f:
+        json.dump({"data_token": "foreign", "done_shards": {}}, f)
+    rewrote = {"n": 0}
+
+    def counting3(path, arr):
+        rewrote["n"] += 1
+        real(path, arr)
+
+    monkeypatch_ctx4 = pytest.MonkeyPatch()
+    try:
+        monkeypatch_ctx4.setattr(dsmod, "_atomic_npy_save", counting3)
+        ds.save(d, shard_rows=16, resume=True)
+        assert rewrote["n"] == 5  # ids + all 4 shards: full rewrite
+    finally:
+        monkeypatch_ctx4.undo()
+
 
 def test_save_load_bf16(rng, tmp_path):
     ds = Dataset("t", VectorOptions(dimension=8, type=VectorType.BF16))

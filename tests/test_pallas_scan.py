@@ -204,6 +204,30 @@ def test_supports_memory_bounds():
     assert not supports(DistanceMetric.L2, np.float32, 768, 256, 256, 4_000_000)
 
 
+def test_supports_rejects_measured_mosaic_crashes():
+    """The static fence must reject EVERY config in STATUS.md's round-3
+    routing table that crashed the Mosaic compiler (VMEM exhaustion,
+    "132.40M of 128.00M" — register-allocator spill the analytic minima
+    bound does not model), and keep admitting the one that compiled. A
+    user forcing SVT_FORCE_PALLAS=1 on a mainstream shape must never get
+    a 262 s compile attempt ending in a compiler crash."""
+    # measured envelope: dim 384, k=20, f32 (tools/probe_bn.py, real v5e)
+    crash_configs = [
+        (256, 1_000_000),  # "Ran out of memory in memory space vmem"
+        (64, 4_000_000),
+        (256, 4_000_000),
+    ]
+    for b, n in crash_configs:
+        assert not supports(DistanceMetric.L2, np.float32, 384, 20, b, n), (
+            f"supports() admits B={b}xN={n}, measured to crash Mosaic"
+        )
+    # the largest configuration measured to compile stays admitted
+    assert supports(DistanceMetric.L2, np.float32, 384, 20, 64, 1_000_000)
+    # (the fused-scan router gates SVT_FORCE_PALLAS through this same
+    # supports() predicate — ops/scan.py fused_scan_topk — so rejection
+    # here IS the routing guarantee)
+
+
 def test_l2_snap_in_squared_domain(rng):
     """The pre-ranking nearly-zero snap must use NEARLY_ZERO^2 for L2 (the
     kernel carries squared distances until the final sqrt): snapping squared
