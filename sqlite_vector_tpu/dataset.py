@@ -209,13 +209,17 @@ class _QuantState:
     qtype: QuantType
     scale: np.float32
     offset: np.float32
-    codes: jnp.ndarray | None  # [cap, dim] u8/i8 on device
+    codes: jnp.ndarray | None  # [cap, dim] u8/i8 on device; for INT4 the
+    # PACKED [cap, ceil(dim/2)] uint8 array (ops/quantize4.py)
     count: int  # rows quantized
     ids: np.ndarray | None = None  # row ids AT QUANTIZE TIME (codes may be
     # stale relative to the live table after add/remove — the reference's
     # shadow table keeps its own rowids for exactly this reason)
-    sq_norms: jnp.ndarray | None = None  # cached int32 |b|^2 for L2/cosine
+    sq_norms: jnp.ndarray | None = None  # cached int32 |b|^2 for L2/cosine;
+    # for INT4 the int32 code square-sums (csq), set at build time
     stale: bool = False  # set when rows are added/changed after quantize
+    row_scale: jnp.ndarray | np.ndarray | None = None  # INT4 only: per-row
+    # dequant scale alpha_i (f32 [cap]); scale/offset stay 1.0/0.0
 
 
 class Dataset:
@@ -964,6 +968,18 @@ class Dataset:
             )
         return out
 
+    def _put_aux_rows(self, vec: np.ndarray, count: int, cap: int) -> jnp.ndarray:
+        """Place a per-row sidecar vector ([count] -> zero-padded [cap]),
+        sharded over the rows axis on a mesh (the INT4 scale/csq layout the
+        shard_map scan consumes alongside the packed codes)."""
+        padded = np.zeros((cap,), vec.dtype)
+        padded[:count] = vec[:count]
+        if self._mask_sharding is not None:
+            return jax.device_put(padded, self._mask_sharding)
+        if self._device is not None:
+            return jax.device_put(padded, self._device)
+        return jnp.asarray(padded)
+
     def _put_query(self, arr: np.ndarray) -> jnp.ndarray:
         """Place a query batch (replicated over rows; dim-sharded on a 2-D
         mesh). NOTE: on 2-D meshes the zero dim-padding happens here, so
@@ -1073,6 +1089,10 @@ class Dataset:
         On a 2-D mesh the cache is rows-sharded/dim-replicated so the scan
         skips its per-query base-norm pass (round-2 VERDICT: the 2-D path
         recomputed b_sq on every scan)."""
+        if quant.qtype is QuantType.I4:
+            # csq is built with the codes (quantize4 needs it for L2 AND
+            # cosine); never recompute from the PACKED array
+            return quant.sq_norms
         if self.metric not in (
             DistanceMetric.L2,
             DistanceMetric.SQUARED_L2,
@@ -1493,6 +1513,8 @@ class Dataset:
         quant: _QuantState | None = None,
     ):
         quant = self._require_quant("vector_quantize_scan", quant)
+        if quant.qtype is QuantType.I4:
+            return self._search_quantized_i4(q, k, mask, quant)
         # host-mode codes stream per query UNLESS preload() pinned them in
         # HBM — the reference's preloaded-vs-disk split (4-5x speedup,
         # QUANTIZATION.md:15,23)
@@ -1571,6 +1593,65 @@ class Dataset:
             has_mask=dmask is not None,
         )
 
+    def _search_quantized_i4(
+        self,
+        q: np.ndarray,
+        k: int,
+        mask: np.ndarray | None,
+        quant: _QuantState,
+    ):
+        """INT4 scan dispatch (ops/quantize4.py): approximate
+        original-domain distances from packed codes + per-row scales.
+        Query quantization (per-query symmetric int8) happens in-graph —
+        one device dispatch per search, like the int8 fused path."""
+        from sqlite_vector_tpu.ops.quantize4 import (
+            int4_scan_topk,
+            int4_streaming_scan_topk,
+        )
+
+        if self._storage == "host" and not isinstance(quant.codes, jnp.ndarray):
+            return int4_streaming_scan_topk(
+                q.astype(np.float32),
+                quant.codes,
+                quant.row_scale,
+                quant.sq_norms,
+                self.metric,
+                k,
+                dim=self.dimension,
+                valid_count=quant.count,
+                row_mask=mask,
+                device=self._device,
+                mesh=self._mesh,
+            )
+        dmask = self._pad_mask(mask, quant.codes.shape[0], quant.count)
+        qd = self._put_query(q.astype(np.float32))
+        if self._mesh is not None:
+            from sqlite_vector_tpu.parallel.ops import sharded_int4_scan_topk
+
+            return sharded_int4_scan_topk(
+                qd,
+                quant.codes,
+                quant.row_scale,
+                quant.sq_norms,
+                self.metric,
+                k,
+                self._mesh,
+                dim=self.dimension,
+                valid_count=quant.count,
+                row_mask=dmask,
+            )
+        return int4_scan_topk(
+            qd,
+            quant.codes,
+            quant.row_scale,
+            quant.sq_norms,
+            self.metric,
+            k,
+            dim=self.dimension,
+            valid_count=quant.count,
+            row_mask=dmask,
+        )
+
     def _search_approx(
         self,
         q: np.ndarray,
@@ -1632,6 +1713,9 @@ class Dataset:
             and self._storage == "hbm"
             and self._mesh is None
             and mask is None
+            # INT4 uses the generic stage-1 + host-rescore path below (the
+            # fused kernel's query-code/base-code matmul is int8-specific)
+            and quant.qtype is not QuantType.I4
             and isinstance(quant.codes, jnp.ndarray)
             # under concurrent mutation the matrix may already be a newer
             # generation than the codes (stale flips only after the swap);
@@ -1726,6 +1810,9 @@ class Dataset:
                 )
             else:
                 quant = self._require_quant("vector_quantize_scan_stream")
+                if quant.qtype is QuantType.I4:
+                    d = self._distances_i4(q, quant)
+                    return d[0] if single else d
                 if isinstance(quant.codes, jnp.ndarray):
                     # preload() pinned the codes in HBM: scan them on device
                     # instead of streaming them back through host RAM per
@@ -1790,6 +1877,9 @@ class Dataset:
                 d = d[:, live]  # drop tombstoned columns
         else:
             quant = self._require_quant("vector_quantize_scan_stream")
+            if quant.qtype is QuantType.I4:
+                d = self._distances_i4(q, quant)
+                return d[0] if single else d
             if self._mesh_2d:
                 from sqlite_vector_tpu import oracle
                 from sqlite_vector_tpu.parallel import sharded_scan_distances_2d
@@ -1815,6 +1905,38 @@ class Dataset:
                     d = scan_distances(qq, quant.codes, self.metric)
             d = np.asarray(d)[:, : quant.count]
         return d[0] if single else d
+
+    def _distances_i4(self, q: np.ndarray, quant: _QuantState) -> np.ndarray:
+        """Full [B, N] INT4 distances (approximate, original-domain) — the
+        quantize_scan_stream analogue for the 4-bit path."""
+        from sqlite_vector_tpu.ops.quantize4 import int4_scan_distances
+
+        dim = self.dimension
+        qf = q.astype(np.float32)
+        if isinstance(quant.codes, jnp.ndarray):
+            d = int4_scan_distances(
+                self._put_query(qf), quant.codes, quant.row_scale,
+                quant.sq_norms, self.metric, dim=dim,
+            )
+            return np.asarray(d)[:, : quant.count]
+        # host-resident packed codes: tile through HBM
+        n = quant.count
+        b = qf.shape[0]
+        out = np.empty((b, n), np.float32)
+        tile = 262144
+        qd = self._put_query(qf)
+        for s in range(0, n, tile):
+            e = min(s + tile, n)
+            d = int4_scan_distances(
+                qd,
+                jnp.asarray(np.ascontiguousarray(quant.codes[s:e])),
+                jnp.asarray(np.ascontiguousarray(quant.row_scale[s:e])),
+                jnp.asarray(np.ascontiguousarray(quant.sq_norms[s:e])),
+                self.metric,
+                dim=dim,
+            )
+            out[:, s:e] = np.asarray(d)
+        return out
 
     # -- quantization ----------------------------------------------------------
 
@@ -1899,6 +2021,15 @@ class Dataset:
             opts.qtype = (
                 QuantType.from_name(qtype) if isinstance(qtype, str) else qtype
             )
+        if opts.qtype is QuantType.I4 and self._mesh_2d:
+            # the 4-bit pack runs along the dim axis; a dim-sharded layout
+            # would pack each feature slice separately and change the code
+            # stream per mesh shape. Rows-only meshes cover the scale story
+            # (docs/ARCHITECTURE.md); int8 remains available on 2-D meshes.
+            raise VectorConfigError(
+                "qtype=INT4 is not supported on a 2-D (rows x dim) mesh — "
+                "use a 1-D rows mesh, or qtype=INT8."
+            )
         if self._count == 0:
             # reference: zero rows still records resolved params (:1170-1178)
             resolved = (
@@ -1918,6 +2049,22 @@ class Dataset:
         count = self._count
         ids = self._ids
         count = min(count, len(ids))  # torn snapshot mid-swap: clamp (stale)
+        if opts.qtype is QuantType.I4:
+            from sqlite_vector_tpu.ops.quantize4 import quantize4_device
+
+            packed, alpha, csq = quantize4_device(vecs)
+            if self._mesh is not None:
+                # explicit layouts for the shard_map consumers: packed rows
+                # shard like the matrix; the per-row scale/csq vectors shard
+                # over the same rows axis
+                packed = jax.device_put(packed, self._row_sharding)
+                alpha = jax.device_put(alpha, self._mask_sharding)
+                csq = jax.device_put(csq, self._mask_sharding)
+            self._quant = _QuantState(
+                QuantType.I4, np.float32(1.0), np.float32(0.0), packed,
+                count, ids=ids[:count].copy(), sq_norms=csq, row_scale=alpha,
+            )
+            return count
         # on a 2-D mesh the device matrix carries zero dim-padding that
         # would poison the global min/max: reduce over the unpadded column
         # slice (still on device), and re-zero the padded code columns after
@@ -1983,6 +2130,13 @@ class Dataset:
             e = min(s + chunk_rows, count)
             c = np.asarray(host[s:e])
             return c[live[s:e]] if live is not None else c
+
+        if opts.qtype is QuantType.I4:
+            return self._quantize_host_i4(
+                opts, checkpoint, _chunk, starts, live,
+                offs if live is not None else None,
+                count, chunk_rows, out_count, ids_out, data_token, dim,
+            )
 
         meta = None
         meta_path = codes_path = None
@@ -2065,6 +2219,118 @@ class Dataset:
         )
         return out_count
 
+    def _quantize_host_i4(
+        self, opts, checkpoint, _chunk, starts, live, offs,
+        count, chunk_rows, out_count, ids_out, data_token, dim,
+    ) -> int:
+        """Host-resident INT4 build: chunked numpy pipeline writing packed
+        codes + per-row scales + code square-sums. Per-row params make the
+        build single-pass (no global min/max pass — unlike the int8 path,
+        each row's scale depends only on that row), so a checkpoint resumes
+        at the first unfinished chunk with no parameter state to replay."""
+        from sqlite_vector_tpu.ops.quantize4 import packed_width, quantize4_np
+
+        p = packed_width(dim)
+        meta = None
+        meta_path = codes_path = scale_path = csq_path = None
+        if checkpoint:
+            os.makedirs(checkpoint, exist_ok=True)
+            meta_path = os.path.join(checkpoint, "quant_checkpoint.json")
+            codes_path = os.path.join(checkpoint, "qcodes.npy")
+            scale_path = os.path.join(checkpoint, "qrow_scale.npy")
+            csq_path = os.path.join(checkpoint, "qcsq.npy")
+            try:
+                with open(meta_path) as f:
+                    m = json.load(f)
+                if (
+                    m.get("qtype") == QuantType.I4.value
+                    and m["count"] == count
+                    and m.get("live_count", m["count"]) == out_count
+                    # content token, not just counts (see the int8 loader)
+                    and m.get("data_token") == data_token
+                    and m["dim"] == dim
+                    and m["chunk_rows"] == chunk_rows
+                    and m["requested_qtype"] == opts.qtype.value
+                    and all(
+                        os.path.exists(pth)
+                        for pth in (codes_path, scale_path, csq_path)
+                    )
+                ):
+                    probe = np.lib.format.open_memmap(codes_path, mode="r")
+                    ok = probe.shape == (out_count, p)
+                    del probe
+                    if ok:
+                        meta = m
+            except Exception:
+                meta = None
+
+        if meta is None:
+            done = 0
+            if checkpoint:
+                for pth in (codes_path, scale_path, csq_path):
+                    if os.path.exists(pth):
+                        # unlink before w+: an earlier completed build may
+                        # still serve searches through a mapping of this
+                        # file (see the int8 path's comment)
+                        os.unlink(pth)
+                codes = np.lib.format.open_memmap(
+                    codes_path, mode="w+", dtype=np.uint8, shape=(out_count, p)
+                )
+                rscale = np.lib.format.open_memmap(
+                    scale_path, mode="w+", dtype=np.float32, shape=(out_count,)
+                )
+                csq = np.lib.format.open_memmap(
+                    csq_path, mode="w+", dtype=np.int32, shape=(out_count,)
+                )
+                meta = {
+                    "qtype": QuantType.I4.value,
+                    "scale": 1.0,
+                    "offset": 0.0,
+                    "count": count,
+                    "live_count": out_count,
+                    "dim": dim,
+                    "chunk_rows": chunk_rows,
+                    "requested_qtype": opts.qtype.value,
+                    "data_token": data_token,
+                    "done": 0,
+                }
+                self._write_quant_checkpoint(meta_path, meta)
+            else:
+                codes = np.empty((out_count, p), np.uint8)
+                rscale = np.empty((out_count,), np.float32)
+                csq = np.empty((out_count,), np.int32)
+        else:
+            done = int(meta["done"])
+            codes = np.lib.format.open_memmap(codes_path, mode="r+")
+            rscale = np.lib.format.open_memmap(scale_path, mode="r+")
+            csq = np.lib.format.open_memmap(csq_path, mode="r+")
+
+        for ci, s in enumerate(starts):
+            if ci < done:
+                continue
+            e = min(s + chunk_rows, count)
+            chunk = _chunk(s).astype(np.float32, copy=False)
+            ws, we = (
+                (int(offs[s]), int(offs[e])) if live is not None else (s, e)
+            )
+            if len(chunk):
+                pk, al, cs = quantize4_np(chunk)
+                codes[ws:we] = pk
+                rscale[ws:we] = al
+                csq[ws:we] = cs
+            if checkpoint:
+                codes.flush()
+                rscale.flush()
+                csq.flush()
+                meta["done"] = ci + 1
+                self._write_quant_checkpoint(meta_path, meta)
+
+        self._quant = _QuantState(
+            QuantType.I4, np.float32(1.0), np.float32(0.0), codes, out_count,
+            ids=ids_out, sq_norms=csq, row_scale=rscale,
+        )
+        return out_count
+
     @staticmethod
     def _write_quant_checkpoint(meta_path: str, meta: dict) -> None:
         tmp = meta_path + ".tmp"
@@ -2124,6 +2390,12 @@ class Dataset:
         stores ids separately.
         """
         quant = self._require_quant("vector_quantize_memory")
+        if quant.qtype is QuantType.I4:
+            from sqlite_vector_tpu.ops.quantize4 import packed_width
+
+            # no reference formula to mirror at 4 bits: report the honest
+            # layout — packed codes + 8-byte rowid + 4-byte per-row scale
+            return quant.count * (8 + packed_width(self.dimension) + 4)
         return quant.count * (8 + self.dimension)
 
     def preload(self) -> None:
@@ -2139,6 +2411,18 @@ class Dataset:
         if quant.codes is not None and not isinstance(quant.codes, jnp.ndarray):
             codes = quant.codes  # may be an on-disk memmap — stream chunks
             cap = _next_capacity(quant.count, self._mesh_size)
+            if quant.qtype is QuantType.I4:
+                # packed codes + the per-row scale/csq sidecars
+                quant.codes = self._upload_rows_padded(
+                    codes, quant.count, cap
+                )
+                quant.row_scale = self._put_aux_rows(
+                    np.asarray(quant.row_scale, np.float32), quant.count, cap
+                )
+                quant.sq_norms = self._put_aux_rows(
+                    np.asarray(quant.sq_norms, np.int32), quant.count, cap
+                )
+                return
             quant.codes = self._upload_rows_padded(codes, quant.count, cap)
             quant.sq_norms = None
 
@@ -2321,11 +2605,22 @@ class Dataset:
                 # plain np.save truncated the file while reading through the
                 # mapping (all-garbage codes on the second save/load cycle,
                 # caught by fuzz seed 642)
+                codes_np = np.asarray(quant.codes)[: quant.count]
+                if quant.qtype is not QuantType.I4:
+                    codes_np = codes_np[:, : self.options.dimension]
+                # (INT4 columns are the packed width, never dim-padded —
+                # 2-D meshes reject the 4-bit path at quantize time)
                 _atomic_npy_save(
-                    os.path.join(directory, "qcodes.npy"),
-                    np.asarray(quant.codes)[
-                        : quant.count, : self.options.dimension
-                    ],
+                    os.path.join(directory, "qcodes.npy"), codes_np
+                )
+            if quant.qtype is QuantType.I4 and quant.row_scale is not None:
+                _atomic_npy_save(
+                    os.path.join(directory, "qrow_scale.npy"),
+                    np.asarray(quant.row_scale)[: quant.count],
+                )
+                _atomic_npy_save(
+                    os.path.join(directory, "qcsq.npy"),
+                    np.asarray(quant.sq_norms)[: quant.count],
                 )
             if quant.ids is not None:
                 _atomic_npy_save(
@@ -2542,9 +2837,15 @@ class Dataset:
             qtype = QuantType.from_name(q["qtype"])
             codes_path = os.path.join(directory, "qcodes.npy")
             codes = None
+            row_scale = csq = None
             count = q["count"]
             if os.path.exists(codes_path) and count:
                 host_codes = np.load(codes_path, mmap_mode="r")
+                if qtype is QuantType.I4:
+                    row_scale = np.load(
+                        os.path.join(directory, "qrow_scale.npy")
+                    )
+                    csq = np.load(os.path.join(directory, "qcsq.npy"))
                 if ds._storage == "host":
                     # host storage streams codes per query until an explicit
                     # preload(); uploading here would pin codes that may not
@@ -2553,6 +2854,13 @@ class Dataset:
                 else:
                     cap = _next_capacity(count, ds._mesh_size)
                     codes = ds._upload_rows_padded(host_codes, count, cap)
+                    if qtype is QuantType.I4:
+                        row_scale = ds._put_aux_rows(
+                            row_scale.astype(np.float32), count, cap
+                        )
+                        csq = ds._put_aux_rows(
+                            csq.astype(np.int32), count, cap
+                        )
             qids_path = os.path.join(directory, "qids.npy")
             qids = np.load(qids_path) if os.path.exists(qids_path) else None
             ds._quant = _QuantState(
@@ -2563,6 +2871,8 @@ class Dataset:
                 count,
                 ids=qids,
                 stale=q.get("stale", False),
+                sq_norms=csq,
+                row_scale=row_scale,
             )
         return ds
 

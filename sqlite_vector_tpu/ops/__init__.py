@@ -24,8 +24,18 @@ from sqlite_vector_tpu.ops.quantize import (
     quantize_device,
     resolve_quant_params,
 )
+from sqlite_vector_tpu.ops.quantize4 import (
+    int4_scan_distances,
+    int4_scan_topk,
+    quantize4_device,
+    quantize4_np,
+)
 
 __all__ = [
+    "int4_scan_distances",
+    "int4_scan_topk",
+    "quantize4_device",
+    "quantize4_np",
     "pairwise_distance",
     "METRIC_IS_FLOAT_ONLY",
     "topk_ascending",

@@ -1,0 +1,373 @@
+"""Pallas packed-int4 scan kernel: unpack in VMEM, HBM reads stay 4-bit.
+
+Why Pallas here when the f32/int8 scans route to XLA (measured, STATUS.md
+round-3 routing table): XLA must MATERIALIZE a dot operand, so the XLA int4
+path writes each unpacked int8 tile back to HBM and re-reads it — per
+element that is 0.5 B (packed read) + 1 B (write) + 1 B (read) = 2.5 B,
+strictly worse than the 1 B/elem int8 scan. Only a kernel that unpacks
+HBM->VMEM and feeds the MXU from VMEM realizes the 4-bit bandwidth win.
+
+Structure mirrors ops/pallas_scan.py's two-stage split:
+
+  stage 1 (Pallas): stream packed [TILE_N, P] tiles; unpack to int8 in
+    VMEM; one int8->int32 MXU matmul against the (pre-permuted, padded)
+    int8 query codes; compose a per-query-row MONOTONE surrogate of the
+    int4 distance; emit per-128-row block minima. Per-query-row monotone
+    transforms preserve each row's group ranking, so dropping the per-row
+    constants (||q||^2, 1/sqrt(||qc||^2)) from the surrogate is exact.
+
+  stage 2 (XLA): top-k groups by minima, gather the k winning 128-row
+    blocks of PACKED codes (+ alpha, csq), exact int4 rescore
+    (ops.quantize4._int4_tile_distance), final top-k.
+
+Column layout: the packed array is padded to P_pad = roundup(P, 64) with
+0x88 bytes (both nibbles == code 0) so the unpacked width 2*P_pad is a
+lane multiple; the query is permuted to match the padded column-split
+order (original col h+j lands at P_pad+j). Dots and square-sums are
+permutation-invariant, so the composition is unchanged.
+
+L1 has no matmul form and stays on the XLA int4 path (supports() rejects).
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from sqlite_vector_tpu.ops.quantize4 import (
+    _int4_tile_distance,
+    packed_width,
+    quantize_query_int8,
+)
+from sqlite_vector_tpu.types import DistanceMetric
+
+BLOCK = 128  # rows per minima group (VPU lane count)
+
+# VMEM budget for the staged packed tiles.
+_TILE_VMEM_BUDGET = 8 * 1024 * 1024
+
+MAX_B = 256
+MAX_K = 1024
+# Mosaic compile fence, measured on the real v5e (round 4, tools/
+# probe_int4.py): b_pad * n envelope for THIS kernel — recalibrated from
+# measurement like pallas_scan's (_COMPILE_PAIR_BOUND there). The int4
+# kernel's minima residency is half pallas_scan's at equal rows (packed
+# tiles are half the bytes), so start from the same measured bound and
+# let the probe raise it only with compile evidence.
+_COMPILE_PAIR_BOUND = 128 * 1_000_000
+_MINIMA_VMEM_BOUND = 64 * 1024 * 1024
+_FINISH_HBM_BOUND = 2 * 1024 * 1024 * 1024
+
+
+def _round_up(x: int, m: int) -> int:
+    return -(-x // m) * m
+
+
+def enabled() -> bool:
+    """On for real TPU backends; SVT_FORCE_PALLAS_INT4=1 forces the (slow)
+    interpreter path elsewhere, SVT_DISABLE_PALLAS_INT4=1 forces the XLA
+    int4 tile loop everywhere."""
+    import os
+
+    if os.environ.get("SVT_DISABLE_PALLAS_INT4") == "1":
+        return False
+    if os.environ.get("SVT_FORCE_PALLAS_INT4") == "1":
+        return True
+    return jax.default_backend() == "tpu"
+
+
+def _tile_rows(p_pad: int, nbuf: int) -> int:
+    import os
+
+    override = os.environ.get("SVT_PALLAS_INT4_TILE_ROWS")
+    if override:
+        t = int(override)
+        return max(256, min(8192, (t // BLOCK) * BLOCK))
+    budget = int(
+        os.environ.get("SVT_PALLAS_INT4_VMEM_BUDGET", _TILE_VMEM_BUDGET)
+    )
+    # staged packed tile (1 B/byte) + its unpacked int8 image (2 bytes per
+    # packed byte) share VMEM per slot
+    tile = budget // (nbuf * p_pad * 3)
+    tile = 1 << int(np.log2(max(tile, 256)))
+    return int(min(tile, 8192))
+
+
+def supports(
+    metric: DistanceMetric,
+    dim: int,
+    k: int,
+    batch: int,
+    n: int | None = None,
+) -> bool:
+    """Static predicate mirroring pallas_scan.supports: False routes to the
+    XLA int4 tile loop."""
+    if metric is DistanceMetric.L1:
+        return False
+    if k <= 0 or k > MAX_K:
+        return False
+    if batch > MAX_B:
+        return False
+    p_pad = _round_up(packed_width(dim), 64)
+    if _tile_rows(p_pad, 2) < 256:
+        return False
+    if n is not None:
+        b_pad = _round_up(max(batch, 8), 8)
+        if b_pad * n > _COMPILE_PAIR_BOUND:
+            return False
+        groups = -(-n // BLOCK)
+        if b_pad * groups * 4 > _MINIMA_VMEM_BOUND:
+            return False
+        kg = min(k, groups)
+        # finish gathers packed candidates: [b, kg*BLOCK, P] u8 + the
+        # unpacked int8 image
+        if batch * kg * BLOCK * p_pad * 3 > _FINISH_HBM_BOUND:
+            return False
+    return True
+
+
+def _unpack_block(packed: jnp.ndarray, p_pad: int) -> jnp.ndarray:
+    """[T, P_pad] uint8 -> [T, 2*P_pad] int8 in padded column-split order."""
+    lo = (packed & jnp.uint8(0x0F)).astype(jnp.int8) - jnp.int8(8)
+    hi = (packed >> 4).astype(jnp.int8) - jnp.int8(8)
+    return jnp.concatenate([lo, hi], axis=-1)
+
+
+def _surrogate_block(
+    qc, qscale_col, dot, alpha_row, csq_row, metric: DistanceMetric
+):
+    """Per-query-row monotone surrogate of the int4 distance for a
+    [B, TILE_N] block (see module docstring). qscale_col: [B, 1] f32;
+    alpha_row/csq_row: [1, TILE_N]."""
+    dotf = dot.astype(jnp.float32)
+    if metric is DistanceMetric.DOT:
+        return -(qscale_col * alpha_row) * dotf
+    if metric is DistanceMetric.COSINE:
+        csqf = csq_row.astype(jnp.float32)
+        inv = jnp.where(csqf > 0.0, jax.lax.rsqrt(jnp.maximum(csqf, 1.0)), 0.0)
+        # csq >= 1 when nonzero (integer codes), so the max() guard only
+        # shields the rsqrt from the masked-out zero lanes
+        return jnp.where(csqf > 0.0, -dotf * inv, 0.0)
+    # L2 / SQUARED_L2 (identical ranking): alpha^2 csq - 2 qscale alpha dot
+    af = alpha_row.astype(jnp.float32)
+    return af * af * csq_row.astype(jnp.float32) - 2.0 * (
+        qscale_col * af
+    ) * dotf
+
+
+def _make_kernel(metric: DistanceMetric, tile_n: int, p_pad: int):
+    def kernel(valid_ref, qc_ref, qs_ref, alpha_ref, csq_ref, tile_ref,
+               mins_ref):
+        i = pl.program_id(0)
+        qc = qc_ref[:]
+        b_pad = qc.shape[0]
+        codes = _unpack_block(tile_ref[:], p_pad)  # [TILE_N, 2*P_pad] int8
+        dot = jax.lax.dot_general(
+            qc,
+            codes,
+            dimension_numbers=(((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.int32,
+        )
+        s = _surrogate_block(
+            qc, qs_ref[:], dot, alpha_ref[:], csq_ref[:], metric
+        )
+        # padding rows (>= valid_count) out of the running
+        start = i * tile_n
+        iota_n = jax.lax.broadcasted_iota(jnp.int32, (b_pad, tile_n), 1)
+        s = jnp.where(start + iota_n < valid_ref[0, 0], s, jnp.inf)
+        mins_ref[0] = jnp.min(
+            s.reshape(b_pad, tile_n // BLOCK, BLOCK), axis=-1
+        )
+
+    return kernel
+
+
+def _permute_query(qf: jnp.ndarray, dim: int, p_pad: int) -> jnp.ndarray:
+    """[B, dim] -> [B, 2*P_pad] in the padded column-split order: original
+    col j < h stays at j; col h+j moves to P_pad+j; the rest are zeros."""
+    h = packed_width(dim)
+    b = qf.shape[0]
+    out_lo = jnp.zeros((b, p_pad), qf.dtype).at[:, :h].set(qf[:, :h])
+    out_hi = (
+        jnp.zeros((b, p_pad), qf.dtype).at[:, : dim - h].set(qf[:, h:])
+    )
+    return jnp.concatenate([out_lo, out_hi], axis=-1)
+
+
+@functools.partial(
+    jax.jit, static_argnames=("metric", "dim", "interpret")
+)
+def _int4_block_minima(
+    queries: jnp.ndarray,
+    packed: jnp.ndarray,
+    alpha: jnp.ndarray,
+    csq: jnp.ndarray,
+    valid: jnp.ndarray,
+    *,
+    metric: DistanceMetric,
+    dim: int,
+    interpret: bool = False,
+):
+    """One streaming pass over the packed codes: per-128-row surrogate
+    minima [B_pad, N_pad/128], plus the (permuted) query codes/scales the
+    finish stage reuses."""
+    b = queries.shape[0]
+    n, p = packed.shape
+    p_pad = _round_up(p, 64)
+    b_pad = _round_up(max(b, 8), 8)
+    tile_n = _tile_rows(p_pad, 2)
+    n_pad = _round_up(max(n, tile_n), tile_n)
+    ntiles = n_pad // tile_n
+    g_tile = tile_n // BLOCK
+
+    qf = jnp.where(
+        jnp.isfinite(queries.astype(jnp.float32)),
+        queries.astype(jnp.float32),
+        0.0,
+    )
+    qperm = _permute_query(qf, dim, p_pad)  # [B, 2*P_pad]
+    qc, qscale, _ = quantize_query_int8(qperm)
+    if b_pad != b:
+        qc = jnp.pad(qc, ((0, b_pad - b), (0, 0)))
+        qscale = jnp.pad(qscale, (0, b_pad - b))
+    if p_pad != p or n_pad != n:
+        packed = jnp.pad(
+            packed, ((0, n_pad - n), (0, p_pad - p)), constant_values=0x88
+        )
+    if n_pad != n:
+        alpha = jnp.pad(alpha, (0, n_pad - n))
+        csq = jnp.pad(csq, (0, n_pad - n))
+    valid_arr = jnp.asarray(valid, jnp.int32).reshape(1, 1)
+    qs_col = qscale.reshape(b_pad, 1)
+    alpha2 = alpha.reshape(1, n_pad)
+    csq2 = csq.reshape(1, n_pad)
+
+    kernel = _make_kernel(metric, tile_n, p_pad)
+    flops = 2 * b_pad * n_pad * (2 * p_pad)
+    bytes_accessed = (
+        n_pad * p_pad + n_pad * 8 + b_pad * 2 * p_pad
+        + ntiles * b_pad * g_tile * 4
+    )
+    minima = pl.pallas_call(
+        kernel,
+        grid=(ntiles,),
+        in_specs=[
+            pl.BlockSpec((1, 1), lambda i: (0, 0), memory_space=pltpu.SMEM),
+            pl.BlockSpec(
+                (b_pad, 2 * p_pad), lambda i: (0, 0), memory_space=pltpu.VMEM
+            ),
+            pl.BlockSpec(
+                (b_pad, 1), lambda i: (0, 0), memory_space=pltpu.VMEM
+            ),
+            pl.BlockSpec((1, tile_n), lambda i: (0, i), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, tile_n), lambda i: (0, i), memory_space=pltpu.VMEM),
+            pl.BlockSpec(
+                (tile_n, p_pad), lambda i: (i, 0), memory_space=pltpu.VMEM
+            ),
+        ],
+        out_specs=pl.BlockSpec(
+            (1, b_pad, g_tile), lambda i: (i, 0, 0), memory_space=pltpu.VMEM
+        ),
+        out_shape=jax.ShapeDtypeStruct((ntiles, b_pad, g_tile), jnp.float32),
+        cost_estimate=pl.CostEstimate(
+            flops=flops, bytes_accessed=bytes_accessed, transcendentals=0
+        ),
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("arbitrary",)
+        ),
+        interpret=interpret,
+    )(valid_arr, qc, qs_col, alpha2, csq2, packed)
+    return jnp.moveaxis(minima, 0, 1).reshape(b_pad, ntiles * g_tile)
+
+
+@functools.partial(jax.jit, static_argnames=("metric", "k", "b", "dim"))
+def _finish_from_minima(
+    minima, queries, packed, alpha, csq, valid,
+    *, metric: DistanceMetric, k: int, b: int, dim: int,
+):
+    """Exact int4 top-k from surrogate block minima: select k groups per
+    query, gather the k*128 packed candidate rows, rescore with the exact
+    int4 composition, final top-k (same contract as int4_scan_topk)."""
+    n = packed.shape[0]
+    g_total = minima.shape[1]
+    m = minima[:b]
+    kg = min(k, g_total)
+    _, gidx = jax.lax.top_k(-m, kg)
+    gidx = jnp.sort(gidx, axis=-1)  # ascending row order for tie parity
+
+    pos = (
+        gidx[:, :, None] * BLOCK + jnp.arange(BLOCK, dtype=jnp.int32)
+    ).reshape(b, kg * BLOCK)
+    safe_pos = jnp.clip(pos, 0, n - 1)
+    flat = safe_pos.reshape(-1)
+    cand_packed = jnp.take(packed, flat, axis=0).reshape(
+        b, kg * BLOCK, packed.shape[1]
+    )
+    cand_alpha = jnp.take(alpha, flat, axis=0).reshape(b, kg * BLOCK)
+    cand_csq = jnp.take(csq, flat, axis=0).reshape(b, kg * BLOCK)
+
+    qc, qscale, qsq = quantize_query_int8(queries)
+    qf = jnp.where(
+        jnp.isfinite(queries.astype(jnp.float32)),
+        queries.astype(jnp.float32),
+        0.0,
+    )
+
+    def per_query(qc1, qs1, qq1, qf1, pk, al, cs):
+        d = _int4_tile_distance(
+            qc1[None], qs1[None], qq1[None], qf1[None],
+            pk, al, cs, metric, dim,
+        )
+        return d[0]
+
+    d = jax.vmap(per_query)(
+        qc, qscale, qsq, qf, cand_packed, cand_alpha, cand_csq
+    )  # [b, kg*BLOCK]
+    d = jnp.where(jnp.isnan(d), jnp.inf, d)
+    d = jnp.where((pos < valid) & (pos < n), d, jnp.inf)
+
+    kk = min(k, d.shape[-1])
+    neg_vals, cpos = jax.lax.top_k(-d, kk)
+    out_vals = -neg_vals
+    out_idx = jnp.take_along_axis(pos, cpos, axis=-1)
+    if kk < k:
+        padw = ((0, 0), (0, k - kk))
+        out_vals = jnp.pad(out_vals, padw, constant_values=jnp.inf)
+        out_idx = jnp.pad(out_idx, padw, constant_values=-1)
+    out_idx = jnp.where(jnp.isposinf(out_vals), -1, out_idx)
+    return out_vals, out_idx.astype(jnp.int32)
+
+
+def pallas_int4_scan_topk(
+    queries: jnp.ndarray,
+    packed: jnp.ndarray,
+    alpha: jnp.ndarray,
+    csq: jnp.ndarray,
+    metric: DistanceMetric,
+    k: int,
+    *,
+    dim: int,
+    valid_count: jnp.ndarray | int | None = None,
+    interpret: bool | None = None,
+) -> tuple[jnp.ndarray, jnp.ndarray]:
+    """Fused int4 top-k via the packed block-minima kernel + exact finish.
+    Same contract as ops.quantize4.int4_scan_topk (no row_mask — callers
+    with masks route to the XLA path)."""
+    b = queries.shape[0]
+    n = packed.shape[0]
+    if interpret is None:
+        interpret = jax.default_backend() != "tpu"
+    valid = jnp.asarray(n if valid_count is None else valid_count, jnp.int32)
+    minima = _int4_block_minima(
+        queries, packed, alpha, csq, valid,
+        metric=metric, dim=dim, interpret=interpret,
+    )
+    return _finish_from_minima(
+        minima, queries, packed, alpha, csq, valid,
+        metric=metric, k=k, b=b, dim=dim,
+    )

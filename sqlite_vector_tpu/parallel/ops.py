@@ -247,6 +247,76 @@ def _sharded_scan_distances_impl(
     return fn(queries, base)
 
 
+@functools.partial(
+    jax.jit,
+    static_argnames=("metric", "k", "mesh", "axis", "dim", "has_mask"),
+)
+def _sharded_int4_scan_topk_impl(
+    queries, packed, alpha, csq, valid, row_mask,
+    *, metric, k, mesh, axis, dim, has_mask,
+):
+    from sqlite_vector_tpu.ops.quantize4 import int4_scan_topk
+
+    def body(q, pk, al, cs, v, m):
+        ax = jax.lax.axis_index(axis)
+        shard_rows = pk.shape[0]
+        start = (ax * shard_rows).astype(jnp.int32)
+        local_valid = jnp.clip(v - start, 0, shard_rows)
+        vals, idx = int4_scan_topk(
+            q, pk, al, cs, metric, k,
+            dim=dim, valid_count=local_valid, row_mask=m,
+        )
+        gidx = jnp.where(idx >= 0, idx + start, jnp.int32(-1))
+        return _merge_candidates_over_axis(vals, gidx, k, axis)
+
+    specs = [P(), P(axis), P(axis), P(axis), P()]
+    args = [queries, packed, alpha, csq, valid]
+    if has_mask:
+        specs.append(P(axis))
+        args.append(row_mask)
+
+    def wrapper(q, pk, al, cs, v, *rest):
+        return body(q, pk, al, cs, v, rest[0] if has_mask else None)
+
+    fn = shard_map(wrapper, mesh, in_specs=tuple(specs), out_specs=(P(), P()))
+    return fn(*args)
+
+
+def sharded_int4_scan_topk(
+    queries: jnp.ndarray,
+    packed: jnp.ndarray,
+    alpha: jnp.ndarray,
+    csq: jnp.ndarray,
+    metric: DistanceMetric,
+    k: int,
+    mesh: Mesh,
+    *,
+    dim: int,
+    valid_count: jnp.ndarray | int | None = None,
+    row_mask: jnp.ndarray | None = None,
+    axis: str = ROWS_AXIS,
+) -> tuple[jnp.ndarray, jnp.ndarray]:
+    """Multi-chip INT4 fused top-k scan (ops/quantize4.py semantics).
+
+    packed [Npad, ceil(dim/2)] uint8 + per-row alpha/csq, all row-sharded
+    over `axis`; queries replicated. The merge is the SAME
+    all_gather(B*k)-candidates collective as the exact path — the packed
+    codes never cross the ICI."""
+    n = packed.shape[0]
+    d = mesh.shape[axis]
+    if n % d != 0:
+        raise ValueError(
+            f"sharded_int4_scan_topk: code rows ({n}) must be a multiple of "
+            f"the mesh size ({d}); pad before sharding"
+        )
+    valid = jnp.asarray(n if valid_count is None else valid_count, jnp.int32)
+    return _sharded_int4_scan_topk_impl(
+        queries, packed, alpha, csq, valid, row_mask,
+        metric=metric, k=k, mesh=mesh, axis=axis, dim=dim,
+        has_mask=row_mask is not None,
+    )
+
+
 # ---------------------------------------------------------------------------
 # 2-D mesh: rows x dim (very large feature dimensions)
 # ---------------------------------------------------------------------------

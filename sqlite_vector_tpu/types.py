@@ -106,12 +106,15 @@ class QuantType(enum.Enum):
     """Quantization target type (reference: vector_qtype).
 
     AUTO resolves to INT8 iff any stored value is negative, else UINT8
-    (reference: src/sqlite-vector.c:1258-1261).
+    (reference: src/sqlite-vector.c:1258-1261). AUTO never resolves to
+    INT4 — the 4-bit path is explicit opt-in (beyond the reference; see
+    ops/quantize4.py), packed two codes per byte with per-row scales.
     """
 
     AUTO = "AUTO"
     U8 = "UINT8"
     I8 = "INT8"
+    I4 = "INT4"
 
     @property
     def np_dtype(self) -> np.dtype:
@@ -119,6 +122,10 @@ class QuantType(enum.Enum):
             return np.dtype(np.uint8)
         if self is QuantType.I8:
             return np.dtype(np.int8)
+        if self is QuantType.I4:
+            # STORAGE dtype of the packed code array (two 4-bit codes per
+            # byte; row width is packed_width(dim), not dim)
+            return np.dtype(np.uint8)
         raise VectorConfigError("AUTO has no storage dtype until resolved")
 
     @classmethod
@@ -128,6 +135,8 @@ class QuantType(enum.Enum):
             return cls.U8
         if up == "INT8":
             return cls.I8
+        if up == "INT4":
+            return cls.I4
         raise VectorConfigError(
             f"Invalid quantization type: '{name}' is not a recognized or supported quantization type."
         )

@@ -78,8 +78,11 @@ def test_invalid_distance_raises():
 def test_qtype():
     assert parse_options("qtype=INT8").qtype is QuantType.I8
     assert parse_options("qtype=uint8").qtype is QuantType.U8
+    # INT4 is valid HERE (beyond the reference, ops/quantize4.py) — the C
+    # extension rejects it; MIGRATION.md documents the divergence
+    assert parse_options("qtype=int4").qtype is QuantType.I4
     with pytest.raises(VectorConfigError):
-        parse_options("qtype=int4")
+        parse_options("qtype=int2")
 
 
 def test_max_memory_suffixes():
