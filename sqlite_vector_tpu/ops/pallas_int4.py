@@ -132,10 +132,18 @@ def supports(
 
 
 def _unpack_block(packed: jnp.ndarray, p_pad: int) -> jnp.ndarray:
-    """[T, P_pad] uint8 -> [T, 2*P_pad] int8 in padded column-split order."""
-    lo = (packed & jnp.uint8(0x0F)).astype(jnp.int8) - jnp.int8(8)
-    hi = (packed >> 4).astype(jnp.int8) - jnp.int8(8)
-    return jnp.concatenate([lo, hi], axis=-1)
+    """[T, P_pad] uint8 -> [T, 2*P_pad] bf16 codes in padded column-split
+    order. Unpacks through int32 and emits bf16 — measured Mosaic
+    legalization envelope on v5e: int8 vector subtraction
+    ('arith.subi' on vector<...xi8>) and uint8->bf16 casts both FAIL to
+    legalize; the i32 bitwise route + i32->bf16 cast compiles. bf16 is
+    exact for codes in [-8, 7], and the bf16 MXU dot with f32 accumulation
+    reproduces the int32 dot bit-exactly for our ranges (products <= 127*8,
+    sums < 2^24 — verified on hardware, round 4)."""
+    p = packed.astype(jnp.int32)
+    lo = (p & 15) - 8
+    hi = (p >> 4) - 8
+    return jnp.concatenate([lo, hi], axis=-1).astype(jnp.bfloat16)
 
 
 def _surrogate_block(
@@ -164,15 +172,15 @@ def _make_kernel(metric: DistanceMetric, tile_n: int, p_pad: int):
     def kernel(valid_ref, qc_ref, qs_ref, alpha_ref, csq_ref, tile_ref,
                mins_ref):
         i = pl.program_id(0)
-        qc = qc_ref[:]
+        qc = qc_ref[:].astype(jnp.bfloat16)  # int8 codes, exact in bf16
         b_pad = qc.shape[0]
-        codes = _unpack_block(tile_ref[:], p_pad)  # [TILE_N, 2*P_pad] int8
+        codes = _unpack_block(tile_ref[:], p_pad)  # [TILE_N, 2*P_pad] bf16
         dot = jax.lax.dot_general(
             qc,
             codes,
             dimension_numbers=(((1,), (1,)), ((), ())),
-            preferred_element_type=jnp.int32,
-        )
+            preferred_element_type=jnp.float32,
+        )  # integer-exact (see _unpack_block)
         s = _surrogate_block(
             qc, qs_ref[:], dot, alpha_ref[:], csq_ref[:], metric
         )

@@ -32,11 +32,21 @@ from sqlite_vector_tpu.parallel.mesh import (
 from sqlite_vector_tpu.parallel.ops import (
     sharded_scan_topk,
     sharded_scan_topk_2d,
+    sharded_int4_scan_topk,
     sharded_scan_distances,
     sharded_scan_distances_2d,
 )
+from sqlite_vector_tpu.parallel.audit import (
+    audit_sharded_scan,
+    collective_bytes_per_query,
+    parse_collectives,
+)
 
 __all__ = [
+    "audit_sharded_scan",
+    "collective_bytes_per_query",
+    "parse_collectives",
+    "sharded_int4_scan_topk",
     "DIM_AXIS",
     "ROWS_AXIS",
     "block_sharding_2d",

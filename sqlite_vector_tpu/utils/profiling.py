@@ -23,6 +23,11 @@ class QueryStats:
     k: int
     exact: bool
     bytes_scanned: int
+    # ICI bytes of the candidate merge on a mesh (0 single-chip): the 1-D
+    # serving path's ONLY collective is two all-gathers of [B, k] — proven
+    # from the compiled HLO by parallel.audit; this field surfaces the
+    # analytic volume per query (8 * devices * B * k bytes)
+    collective_bytes: int = 0
 
     @property
     def qps(self) -> float:
@@ -103,6 +108,15 @@ def timed_search(dataset, queries, k: int, *, exact: bool = True):
     ids, dist = dataset.search(queries, k, exact=exact)
     wall = time.perf_counter() - t0
     itemsize = 1 if not exact else dataset.dtype.itemsize
+    coll = 0
+    if getattr(dataset, "_mesh", None) is not None:
+        from sqlite_vector_tpu.parallel.audit import (
+            collective_bytes_per_query,
+        )
+
+        coll = collective_bytes_per_query(
+            dataset._mesh_size, q.shape[0], k
+        )
     stats = QueryStats(
         wall_s=wall,
         n_rows=len(dataset),
@@ -110,6 +124,7 @@ def timed_search(dataset, queries, k: int, *, exact: bool = True):
         k=k,
         exact=exact,
         bytes_scanned=len(dataset) * dataset.dimension * itemsize,
+        collective_bytes=coll,
     )
     if getattr(dataset, "stats_recorder", None) is not None:
         dataset.stats_recorder.add(stats)
