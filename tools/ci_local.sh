@@ -72,4 +72,7 @@ print("packaged install OK")
 EOF
 )
 
+echo "== Wheel job (sdist + wheel + clean-venv smoke)"
+bash tools/wheel_smoke.sh /tmp/ci_wheel_smoke
+
 echo "CI-local sequence: ALL GREEN"
