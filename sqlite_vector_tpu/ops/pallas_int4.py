@@ -195,6 +195,161 @@ def _make_kernel(metric: DistanceMetric, tile_n: int, p_pad: int):
     return kernel
 
 
+def _make_manual_kernel(
+    metric: DistanceMetric, tile_n: int, ntiles: int, p_pad: int, nbuf: int
+):
+    """Manual multi-buffered DMA variant (pallas guide double-buffering
+    pattern; same rationale as pallas_scan's: Mosaic's automatic grid
+    pipeline leaves ~half the streaming bandwidth on the table — measured
+    again for THIS kernel in round 4, tools/probe_int4.py: grid 7.6 ms vs
+    int8's 6.6 ms at 1M x 384/B=1 in the same run). One invocation loops
+    over all row tiles; packed tiles and their [2, TILE_N] aux slices
+    (row 0 = alpha, row 1 = csq as f32 — exact below 2^24) stream through
+    nbuf VMEM slots."""
+
+    def kernel(valid_ref, qc_ref, qs_ref, base_hbm, aux_hbm, mins_ref):
+        qc = qc_ref[:].astype(jnp.bfloat16)
+        b_pad = qc.shape[0]
+        qs_col = qs_ref[:]
+
+        def body(scratch, aux_scratch, sems, aux_sems):
+            def tile_dma(slot, idx):
+                return pltpu.make_async_copy(
+                    base_hbm.at[pl.ds(idx * tile_n, tile_n), :],
+                    scratch.at[slot],
+                    sems.at[slot],
+                )
+
+            def aux_dma(slot, idx):
+                return pltpu.make_async_copy(
+                    aux_hbm.at[:, pl.ds(idx * tile_n, tile_n)],
+                    aux_scratch.at[slot],
+                    aux_sems.at[slot],
+                )
+
+            for i in range(min(nbuf - 1, ntiles)):
+                tile_dma(i, i).start()
+                aux_dma(i, i).start()
+
+            def loop(i, carry):
+                slot = jax.lax.rem(i, nbuf)
+
+                @pl.when(i + nbuf - 1 < ntiles)
+                def _():
+                    nxt = jax.lax.rem(i + nbuf - 1, nbuf)
+                    tile_dma(nxt, i + nbuf - 1).start()
+                    aux_dma(nxt, i + nbuf - 1).start()
+
+                tile_dma(slot, i).wait()
+                aux_dma(slot, i).wait()
+                codes = _unpack_block(scratch[slot], p_pad)
+                aux = aux_scratch[slot]  # [2, TILE_N] f32
+                dot = jax.lax.dot_general(
+                    qc,
+                    codes,
+                    dimension_numbers=(((1,), (1,)), ((), ())),
+                    preferred_element_type=jnp.float32,
+                )
+                s = _surrogate_block(
+                    qc, qs_col, dot, aux[0:1, :], aux[1:2, :], metric
+                )
+                start = i * tile_n
+                iota_n = jax.lax.broadcasted_iota(
+                    jnp.int32, (b_pad, tile_n), 1
+                )
+                s = jnp.where(start + iota_n < valid_ref[0, 0], s, jnp.inf)
+                mins_ref[i] = jnp.min(
+                    s.reshape(b_pad, tile_n // BLOCK, BLOCK), axis=-1
+                )
+                return carry
+
+            jax.lax.fori_loop(0, ntiles, loop, 0)
+
+        pl.run_scoped(
+            body,
+            scratch=pltpu.VMEM((nbuf, tile_n, p_pad), jnp.uint8),
+            aux_scratch=pltpu.VMEM((nbuf, 2, tile_n), jnp.float32),
+            sems=pltpu.SemaphoreType.DMA((nbuf,)),
+            aux_sems=pltpu.SemaphoreType.DMA((nbuf,)),
+        )
+
+    return kernel
+
+
+@functools.partial(
+    jax.jit, static_argnames=("metric", "dim", "interpret")
+)
+def _int4_block_minima_manual(
+    queries: jnp.ndarray,
+    packed: jnp.ndarray,
+    alpha: jnp.ndarray,
+    csq: jnp.ndarray,
+    valid: jnp.ndarray,
+    *,
+    metric: DistanceMetric,
+    dim: int,
+    interpret: bool = False,
+):
+    import os
+
+    b = queries.shape[0]
+    n, p = packed.shape
+    # the manual kernel slices its [nbuf, T, P_pad] VMEM scratch per slot;
+    # Mosaic requires the sliced lane width 128-aligned (measured on v5e:
+    # "Slice shape along dimension 1 must be aligned to tiling (128), but
+    # is 192"). Rounding to 128 costs pad traffic for P % 128 != 0 (dim
+    # 384: 256/192 = 1.33x the minimum — still 0.67x the int8 bytes); a
+    # row-pair packing layout would remove it at the cost of a second
+    # device-side code layout (STATUS.md round-4 notes).
+    p_pad = _round_up(p, 128)
+    b_pad = _round_up(max(b, 8), 8)
+    nbuf = int(os.environ.get("SVT_PALLAS_INT4_NBUF", "4"))
+    tile_n = _tile_rows(p_pad, nbuf)
+    n_pad = _round_up(max(n, tile_n), tile_n)
+    ntiles = n_pad // tile_n
+    g_tile = tile_n // BLOCK
+
+    qf = jnp.where(
+        jnp.isfinite(queries.astype(jnp.float32)),
+        queries.astype(jnp.float32),
+        0.0,
+    )
+    qperm = _permute_query(qf, dim, p_pad)
+    qc, qscale, _ = quantize_query_int8(qperm)
+    if b_pad != b:
+        qc = jnp.pad(qc, ((0, b_pad - b), (0, 0)))
+        qscale = jnp.pad(qscale, (0, b_pad - b))
+    if p_pad != p or n_pad != n:
+        packed = jnp.pad(
+            packed, ((0, n_pad - n), (0, p_pad - p)), constant_values=0x88
+        )
+    if n_pad != n:
+        alpha = jnp.pad(alpha, (0, n_pad - n))
+        csq = jnp.pad(csq, (0, n_pad - n))
+    # aux rows: [2, N_pad] f32 — one strided DMA per tile instead of two
+    # 1-D ones; csq is exact in f32 below 2^24 (dim <= ~342k at code^2<=49)
+    aux = jnp.stack([alpha, csq.astype(jnp.float32)], axis=0)
+    valid_arr = jnp.asarray(valid, jnp.int32).reshape(1, 1)
+    qs_col = qscale.reshape(b_pad, 1)
+
+    kernel = _make_manual_kernel(metric, tile_n, ntiles, p_pad, nbuf)
+    minima = pl.pallas_call(
+        kernel,
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pl.ANY),  # packed stays in HBM
+            pl.BlockSpec(memory_space=pl.ANY),  # aux stays in HBM
+        ],
+        out_specs=pl.BlockSpec(memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((ntiles, b_pad, g_tile), jnp.float32),
+        compiler_params=pltpu.CompilerParams(has_side_effects=True),
+        interpret=interpret,
+    )(valid_arr, qc, qs_col, packed, aux)
+    return jnp.moveaxis(minima, 0, 1).reshape(b_pad, ntiles * g_tile)
+
+
 def _permute_query(qf: jnp.ndarray, dim: int, p_pad: int) -> jnp.ndarray:
     """[B, dim] -> [B, 2*P_pad] in the padded column-split order: original
     col j < h stays at j; col h+j moves to P_pad+j; the rest are zeros."""
@@ -366,15 +521,23 @@ def pallas_int4_scan_topk(
     """Fused int4 top-k via the packed block-minima kernel + exact finish.
     Same contract as ops.quantize4.int4_scan_topk (no row_mask — callers
     with masks route to the XLA path)."""
+    import os
+
     b = queries.shape[0]
     n = packed.shape[0]
     if interpret is None:
         interpret = jax.default_backend() != "tpu"
     valid = jnp.asarray(n if valid_count is None else valid_count, jnp.int32)
-    minima = _int4_block_minima(
-        queries, packed, alpha, csq, valid,
-        metric=metric, dim=dim, interpret=interpret,
-    )
+    if os.environ.get("SVT_PALLAS_INT4_MANUAL", "1") == "1":
+        minima = _int4_block_minima_manual(
+            queries, packed, alpha, csq, valid,
+            metric=metric, dim=dim, interpret=interpret,
+        )
+    else:
+        minima = _int4_block_minima(
+            queries, packed, alpha, csq, valid,
+            metric=metric, dim=dim, interpret=interpret,
+        )
     return _finish_from_minima(
         minima, queries, packed, alpha, csq, valid,
         metric=metric, k=k, b=b, dim=dim,
