@@ -1139,7 +1139,15 @@ class Dataset:
                       reference; see ops/rerank.py);
           "approx"    full-precision distances + hardware-accelerated
                       approximate selection (lax.approx_min_k) at
-                      `recall_target` — maximum selection throughput.
+                      `recall_target`. MEASURED CAVEAT (r1, re-checked
+                      r3): on this engine's shapes the exact
+                      hierarchical selection (ops/topk.py) is already
+                      selection-bound-free, so approx gives NO speedup
+                      over mode="exact" — it exists for API
+                      completeness and for workloads whose k/N ratio
+                      might someday shift that balance. Prefer "exact"
+                      (same cost, recall 1.0) or "rerank"/"quantized"
+                      (the modes with measured wins).
         """
         if k < 0:
             raise VectorConfigError("k must be >= 0")

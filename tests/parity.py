@@ -84,6 +84,51 @@ def assert_topk_parity(
     np.testing.assert_array_equal(gv[~finite], ref[~finite])
 
 
+def expected_int4_distances(q, packed, alpha, csq, metric, dim):
+    """Recompute the documented int4 distance composition in numpy (f64
+    accumulation — the device path is f32, tolerance covers the gap).
+
+    Shared by test_quantize4 (kernel-level) and test_fuzz_api (through the
+    Dataset API): the int4 path has no C-reference ground truth
+    (/root/reference stops at 8-bit), so this pinned recomputation of
+    ops/quantize4.py's spec IS the oracle."""
+    from sqlite_vector_tpu.ops import quantize4 as q4
+    from sqlite_vector_tpu.types import DistanceMetric
+
+    qf = np.where(np.isfinite(q), q, 0.0).astype(np.float32)
+    codes = q4.unpack4_np(packed, dim).astype(np.float64)
+    if metric is DistanceMetric.L1:
+        rows = codes * np.asarray(alpha, np.float64)[:, None]
+        return np.abs(qf[:, None, :] - rows[None, :, :]).sum(-1)
+    # per-query symmetric int8 codes
+    am = np.max(np.abs(qf), axis=1)
+    s = np.where(am > 0, np.float32(127.0) / am.astype(np.float32), 0.0)
+    v = qf * s[:, None]
+    r = v + np.float32(0.5) * (1.0 - 2.0 * (v < 0))
+    qc = np.clip(np.trunc(r), -127, 127)
+    qscale = am.astype(np.float32) / np.float32(127.0)
+    dot = qc @ codes.T
+    if metric is DistanceMetric.COSINE:
+        qcsq = (qc * qc).sum(1)
+        denom = (
+            np.sqrt(qcsq)[:, None]
+            * np.sqrt(np.asarray(csq, np.float64))[None, :]
+        )
+        with np.errstate(divide="ignore", invalid="ignore"):
+            cos = np.where(denom > 0, dot / np.where(denom > 0, denom, 1), 0.0)
+        d = 1.0 - cos
+        return np.where(
+            (qcsq[:, None] == 0) | (np.asarray(csq)[None, :] == 0), 1.0, d
+        )
+    cross = (qscale[:, None] * np.asarray(alpha, np.float64)[None, :]) * dot
+    if metric is DistanceMetric.DOT:
+        return -cross
+    qsq = (qf.astype(np.float64) ** 2).sum(1)
+    bsq = (np.asarray(alpha, np.float64) ** 2) * np.asarray(csq, np.float64)
+    d = np.maximum(qsq[:, None] + bsq[None, :] - 2 * cross, 0.0)
+    return np.sqrt(d) if metric is DistanceMetric.L2 else d
+
+
 # justified per-dtype bounds (see module docstring):
 #   int codes: exact integer arithmetic on both sides -> 0 (cosine: one f32
 #     divide/sqrt each, 1-ulp headroom)

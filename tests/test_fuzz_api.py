@@ -20,7 +20,11 @@ import sqlite_vector_tpu as svt
 from sqlite_vector_tpu import oracle
 from sqlite_vector_tpu.types import DistanceMetric, VectorType
 
-from tests.parity import REL_TOL_BY_TYPE, assert_topk_parity
+from tests.parity import (
+    REL_TOL_BY_TYPE,
+    assert_topk_parity,
+    expected_int4_distances,
+)
 
 TYPES = [VectorType.F32, VectorType.F16, VectorType.BF16, VectorType.U8]
 METRICS = list(DistanceMetric)
@@ -82,6 +86,9 @@ def test_api_op_sequences(tmp_path, seed):
     # pipeline, its clamped masks, and the chunked host quantize go through
     # the same op sequences; 2-D mesh + host is a rejected config (skip)
     storage = "host" if (seed % 5 == 2 and seed % 3 != 1) else "hbm"
+    # int4 seeds: the 4-bit pipeline (r4, beyond the reference) rides the
+    # same mutation/persistence churn; rejected on 2-D meshes by contract
+    use_int4 = seed % 4 == 3 and seed % 3 != 1
     ds = svt.Dataset(
         f"api{seed}",
         svt.parse_options(
@@ -128,6 +135,8 @@ def test_api_op_sequences(tmp_path, seed):
             kw = {"checkpoint": str(tmp_path / f"ck{seed}")}
         else:
             kw = {}
+        if use_int4:
+            kw["qtype"] = "int4"
         assert ds.quantize(**kw) == len(state)
         qsnap = dict(state)
 
@@ -176,32 +185,81 @@ def test_api_op_sequences(tmp_path, seed):
         if qsnap:
             q_ids = np.array(sorted(qsnap), np.int64)
             qbase = np.stack([qsnap[i] for i in q_ids])
-            _, qscale, qoffset = (
-                ds.quant_params[0], ds.quant_params[1], ds.quant_params[2]
-            )
-            qt = ds.quant_params[0]
-            qc = oracle.quantize(
-                qbase.astype(np.float32), np.float32(qscale),
-                np.float32(qoffset), qt,
-            )
-            qq = oracle.quantize(
-                np.asarray(q, np.float32)[None], np.float32(qscale),
-                np.float32(qoffset), qt,
-            )
-            qd = oracle.distance(
-                qq, qc, metric,
-                VectorType.I8 if qt is svt.QuantType.I8 else VectorType.U8,
-            )[0]
+            if use_int4:
+                # int4 has no reference ground truth: the pinned numpy spec
+                # (quantize4_np + the documented distance composition) IS
+                # the oracle — device scans are f32, the spec f64
+                from sqlite_vector_tpu.ops.quantize4 import quantize4_np
+
+                packed, alpha, csq = quantize4_np(qbase.astype(np.float32))
+                qd = expected_int4_distances(
+                    np.asarray(q, np.float32)[None], packed, alpha, csq,
+                    metric, dim,
+                )[0]
+                qtol = 2e-4
+            else:
+                _, qscale, qoffset = (
+                    ds.quant_params[0], ds.quant_params[1], ds.quant_params[2]
+                )
+                qt = ds.quant_params[0]
+                qc = oracle.quantize(
+                    qbase.astype(np.float32), np.float32(qscale),
+                    np.float32(qoffset), qt,
+                )
+                qq = oracle.quantize(
+                    np.asarray(q, np.float32)[None], np.float32(qscale),
+                    np.float32(qoffset), qt,
+                )
+                qd = oracle.distance(
+                    qq, qc, metric,
+                    VectorType.I8 if qt is svt.QuantType.I8 else VectorType.U8,
+                )[0]
+                qtol = 1e-6
             a_ids, a_vals = ds.search(q, k, exact=False)
-            kq = min(k, len(q_ids))
             assert_topk_parity(
                 q_ids, qd,
                 np.pad(np.asarray(a_ids, np.int64), (0, k - len(a_ids)),
                        constant_values=-1),
                 np.pad(np.asarray(a_vals, np.float64), (0, k - len(a_vals)),
                        constant_values=np.inf),
-                k, rel_tol=1e-6, label=f"api-quant seed={seed}",
+                k, rel_tol=qtol, label=f"api-quant seed={seed}",
             )
+
+        # rerank: stage-2 rescoring is EXACT by contract — whatever ids come
+        # back must carry their true (f32-cast) exact distance, sorted
+        # ascending, and reference only live rows. (Recall through the
+        # prefilter is a statistical property, not an invariant — not
+        # asserted here.) Non-finite seeds skip: rerank routes to the
+        # policy/exact fallback there, already covered by the exact check.
+        if qsnap and not inject:
+            r_ids, r_vals = ds.search(q, k, mode="rerank")
+            assert len(r_ids) == len(r_vals) <= k
+            rtol_r = max(rel_tol, 1e-5)
+            prev = -np.inf
+            for rid, rv in zip(r_ids, r_vals):
+                assert int(rid) in state, (
+                    f"api-rerank seed={seed}: dead/unknown id {rid}"
+                )
+                want = float(
+                    oracle.snap_zero(
+                        oracle.distance(
+                            np.asarray(q, np.float32)[None],
+                            np.asarray(
+                                state[int(rid)], np.float32
+                            )[None],
+                            metric, VectorType.F32,
+                        )[0]
+                    )[0]
+                )
+                np.testing.assert_allclose(
+                    float(rv), want, rtol=rtol_r,
+                    atol=rtol_r * max(1.0, abs(want)),
+                    err_msg=f"api-rerank seed={seed}: id {rid} rescore",
+                )
+                assert rv >= prev - 1e-6, (
+                    f"api-rerank seed={seed}: unsorted values"
+                )
+                prev = rv
 
         # filtered search stays within the filter and finds the best member
         if len(ids_all) >= 4:

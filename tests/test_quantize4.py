@@ -15,6 +15,8 @@ import jax.numpy as jnp
 from sqlite_vector_tpu.ops import quantize4 as q4
 from sqlite_vector_tpu.types import DistanceMetric, QuantType
 
+from tests.parity import expected_int4_distances as _expected_int4
+
 METRICS = list(DistanceMetric)
 MM = [m for m in METRICS if m is not DistanceMetric.L1] + [DistanceMetric.L1]
 
@@ -104,38 +106,6 @@ def test_device_quantize_bit_parity_with_numpy(rng, dim):
 # ---------------------------------------------------------------------------
 
 
-def _expected_int4(q, packed, alpha, csq, metric, dim):
-    """Recompute the documented int4 distance composition in numpy (f64
-    accumulation — the device path is f32, tolerance covers the gap)."""
-    qf = np.where(np.isfinite(q), q, 0.0).astype(np.float32)
-    codes = q4.unpack4_np(packed, dim).astype(np.float64)
-    if metric is DistanceMetric.L1:
-        rows = codes * np.asarray(alpha, np.float64)[:, None]
-        return np.abs(qf[:, None, :] - rows[None, :, :]).sum(-1)
-    # per-query symmetric int8 codes
-    am = np.max(np.abs(qf), axis=1)
-    s = np.where(am > 0, np.float32(127.0) / am.astype(np.float32), 0.0)
-    v = qf * s[:, None]
-    r = v + np.float32(0.5) * (1.0 - 2.0 * (v < 0))
-    qc = np.clip(np.trunc(r), -127, 127)
-    qscale = am.astype(np.float32) / np.float32(127.0)
-    dot = qc @ codes.T
-    if metric is DistanceMetric.COSINE:
-        qcsq = (qc * qc).sum(1)
-        denom = np.sqrt(qcsq)[:, None] * np.sqrt(np.asarray(csq, np.float64))[None, :]
-        with np.errstate(divide="ignore", invalid="ignore"):
-            cos = np.where(denom > 0, dot / np.where(denom > 0, denom, 1), 0.0)
-        d = 1.0 - cos
-        return np.where(
-            (qcsq[:, None] == 0) | (np.asarray(csq)[None, :] == 0), 1.0, d
-        )
-    cross = (qscale[:, None] * np.asarray(alpha, np.float64)[None, :]) * dot
-    if metric is DistanceMetric.DOT:
-        return -cross
-    qsq = (qf.astype(np.float64) ** 2).sum(1)
-    bsq = (np.asarray(alpha, np.float64) ** 2) * np.asarray(csq, np.float64)
-    d = np.maximum(qsq[:, None] + bsq[None, :] - 2 * cross, 0.0)
-    return np.sqrt(d) if metric is DistanceMetric.L2 else d
 
 
 @pytest.mark.parametrize("metric", MM)
