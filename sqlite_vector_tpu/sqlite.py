@@ -65,8 +65,15 @@ from sqlite_vector_tpu.version import backend as _backend
 from sqlite_vector_tpu.version import version as _version
 
 # reference enum values (src/distance-cpu.h:46-48)
-_QTYPE_TO_INT = {QuantType.AUTO: 0, QuantType.U8: 1, QuantType.I8: 2}
-_INT_TO_QTYPE = {1: QuantType.U8, 2: QuantType.I8}
+# 0-2 mirror the reference's enum; 3 is this engine's packed-int4
+# extension. The C extension does NOT validate the stored code
+# (src/sqlite-vector.c:472 casts blindly) and assumes stride 8+dim, so an
+# int4-quantized table must not be preloaded by the C side — documented
+# interop caveat in docs/API.md (re-quantize 8-bit first for C reads).
+_QTYPE_TO_INT = {
+    QuantType.AUTO: 0, QuantType.U8: 1, QuantType.I8: 2, QuantType.I4: 3,
+}
+_INT_TO_QTYPE = {1: QuantType.U8, 2: QuantType.I8, 3: QuantType.I4}
 
 _INTERNAL_TABLE_SQL = (
     "CREATE TABLE IF NOT EXISTS _sqliteai_vector (tblname TEXT, colname TEXT, "
@@ -88,10 +95,12 @@ class _QuantCache:
     qtype: QuantType
     scale: float
     offset: float
-    codes: Any  # [cap, dim] device u8/i8 (padded) or None until preloaded
+    codes: Any  # [cap, dim] device u8/i8 (padded), [count, P] packed u8
+    # for INT4, or None until preloaded
     ids: np.ndarray | None  # rowids aligned with code rows
     count: int
-    sq_norms: Any = None
+    sq_norms: Any = None  # INT4: per-row csq (i32); int8: lazy norm cache
+    row_scale: Any = None  # INT4 only: per-row alpha (f32)
 
 
 @dataclasses.dataclass
@@ -566,23 +575,44 @@ class VectorConnection:
                 )
                 codes = np.asarray(qsnap.codes)[:count]
                 rowids = qsnap.ids
-                q_size = 8 + ctx.options.dimension
+                if qtype is QuantType.I4:
+                    # packed-int4 record (this engine's extension — no
+                    # reference format exists at 4 bits):
+                    # [int64-LE rowid][f32-LE alpha][i32-LE csq][P packed]
+                    p_width = codes.shape[1]
+                    q_size = 16 + p_width
+                    alpha = np.asarray(qsnap.row_scale)[:count]
+                    csq = np.asarray(qsnap.sq_norms)[:count]
+                else:
+                    q_size = 8 + ctx.options.dimension
                 max_vectors = max(int(opts.max_memory) // q_size, 1)
                 for start in range(0, count, max_vectors):
                     end = min(start + max_vectors, count)
                     chunk_ids = rowids[start:end]
-                    # vectorized record packing: [int64-LE rowid][dim codes]
-                    recs = np.empty((end - start, 8 + ctx.options.dimension), np.uint8)
+                    # vectorized record packing: [int64-LE rowid][payload]
+                    recs = np.empty((end - start, q_size), np.uint8)
                     recs[:, :8] = (
                         np.ascontiguousarray(chunk_ids.astype("<i8"))
                         .view(np.uint8)
                         .reshape(-1, 8)
                     )
-                    # slice off any 2-D-mesh dim padding: shadow records are
-                    # sized to the TRUE dimension (reference stride 8+dim)
-                    recs[:, 8:] = codes[
-                        start:end, : ctx.options.dimension
-                    ].view(np.uint8)
+                    if qtype is QuantType.I4:
+                        recs[:, 8:12] = (
+                            np.ascontiguousarray(alpha[start:end], "<f4")
+                            .view(np.uint8).reshape(-1, 4)
+                        )
+                        recs[:, 12:16] = (
+                            np.ascontiguousarray(csq[start:end], "<i4")
+                            .view(np.uint8).reshape(-1, 4)
+                        )
+                        recs[:, 16:] = codes[start:end]
+                    else:
+                        # slice off any 2-D-mesh dim padding: shadow records
+                        # are sized to the TRUE dimension (reference stride
+                        # 8+dim)
+                        recs[:, 8:] = codes[
+                            start:end, : ctx.options.dimension
+                        ].view(np.uint8)
                     cur.execute(
                         f"INSERT INTO {_quote(shadow)} "
                         "(rowid1, rowid2, counter, data) VALUES (?, ?, ?, ?)",
@@ -634,7 +664,10 @@ class VectorConnection:
                 codes=qsnap.codes,
                 ids=np.array(rowids, np.int64),
                 count=count,
-                sq_norms=None,
+                sq_norms=qsnap.sq_norms if qtype is QuantType.I4 else None,
+                row_scale=(
+                    qsnap.row_scale if qtype is QuantType.I4 else None
+                ),
             )
         else:
             ctx.quant = _QuantCache(qtype, float(scale), float(offset), None, None, 0)
@@ -691,30 +724,66 @@ class VectorConnection:
                 "_sqliteai_vector — run vector_quantize first."
             )
         dim = ctx.options.dimension
-        q_size = 8 + dim
+        if ctx.stored_qtype is QuantType.I4:
+            # packed-int4 extension records (see vector_quantize):
+            # [int64-LE rowid][f32-LE alpha][i32-LE csq][P packed]
+            from sqlite_vector_tpu.ops.quantize4 import packed_width
+
+            p_width = packed_width(dim)
+            q_size = 16 + p_width
+        else:
+            q_size = 8 + dim
         all_ids: list[np.ndarray] = []
         all_codes: list[np.ndarray] = []
+        all_alpha: list[np.ndarray] = []
+        all_csq: list[np.ndarray] = []
         for counter, data in self._conn.execute(
             f"SELECT counter, data FROM "
             f"{_quote(_shadow_name(ctx.table, ctx.column))}"
         ):
             rec = np.frombuffer(data, np.uint8).reshape(counter, q_size)
             all_ids.append(rec[:, :8].copy().view("<i8").reshape(-1))
-            codes = rec[:, 8:]
-            all_codes.append(codes)
+            if ctx.stored_qtype is QuantType.I4:
+                all_alpha.append(rec[:, 8:12].copy().view("<f4").reshape(-1))
+                all_csq.append(rec[:, 12:16].copy().view("<i4").reshape(-1))
+                all_codes.append(rec[:, 16:])
+            else:
+                all_codes.append(rec[:, 8:])
         if all_codes:
             ids = np.concatenate(all_ids)
             codes = np.concatenate(all_codes)
         else:
             ids = np.zeros((0,), np.int64)
-            codes = np.zeros((0, dim), np.uint8)
+            codes = np.zeros(
+                (0, p_width if ctx.stored_qtype is QuantType.I4 else dim),
+                np.uint8,
+            )
+        count = len(ids)
+        ctx.quant_schema_ver = schema_ver
+        if ctx.stored_qtype is QuantType.I4:
+            alpha = (
+                np.concatenate(all_alpha) if all_alpha
+                else np.zeros((0,), np.float32)
+            )
+            csq = (
+                np.concatenate(all_csq) if all_csq
+                else np.zeros((0,), np.int32)
+            )
+            return _QuantCache(
+                qtype=QuantType.I4,
+                scale=1.0,
+                offset=0.0,
+                codes=jnp.asarray(np.ascontiguousarray(codes)),
+                ids=ids,
+                count=count,
+                sq_norms=jnp.asarray(csq),
+                row_scale=jnp.asarray(alpha),
+            )
         if ctx.stored_qtype is QuantType.I8:
             codes = codes.view(np.int8)
-        count = len(ids)
         cap = max(1 << max(count - 1, 1).bit_length(), 1024)
         padded = np.zeros((cap, dim), codes.dtype)
         padded[:count] = codes
-        ctx.quant_schema_ver = schema_ver
         return _QuantCache(
             qtype=ctx.stored_qtype,
             scale=float(ctx.stored_scale),
@@ -857,6 +926,28 @@ class VectorConnection:
             return [
                 (int(i), float(v)) for i, v in zip(ids_arr, vals_arr)
             ]
+        if quant.qtype is QuantType.I4:
+            # packed-int4 extension: original-domain approximate distances
+            # (per-row scales compose in the epilogue — ops/quantize4.py)
+            from sqlite_vector_tpu.ops.quantize4 import int4_scan_topk
+
+            vals, idx = int4_scan_topk(
+                jnp.asarray(q[None, :].astype(np.float32)),
+                quant.codes,
+                quant.row_scale,
+                quant.sq_norms,
+                ctx.options.distance,
+                k,
+                dim=ctx.options.dimension,
+                valid_count=quant.count,
+            )
+            vals = np.asarray(vals)[0]
+            idx = np.asarray(idx)[0]
+            keep = idx >= 0
+            return [
+                (int(quant.ids[i]), float(v))
+                for i, v in zip(idx[keep], vals[keep])
+            ]
         qq = quantize_device(
             jnp.asarray(q[None, :].astype(np.float32)),
             quant.scale,
@@ -915,6 +1006,22 @@ class VectorConnection:
             # own-connection quantize: the Dataset path carries the mesh
             # handling (see vector_quantize_scan)
             dist = np.asarray(ds.distances(q, exact=False))
+            for rid, d in zip(quant.ids, dist):
+                yield (int(rid), float(d))
+            return
+        if quant.qtype is QuantType.I4:
+            from sqlite_vector_tpu.ops.quantize4 import int4_scan_distances
+
+            dist = np.asarray(
+                int4_scan_distances(
+                    jnp.asarray(q[None, :].astype(np.float32)),
+                    quant.codes,
+                    quant.row_scale,
+                    quant.sq_norms,
+                    ctx.options.distance,
+                    dim=ctx.options.dimension,
+                )
+            )[0, : quant.count]
             for rid, d in zip(quant.ids, dist):
                 yield (int(rid), float(d))
             return

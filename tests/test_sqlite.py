@@ -173,6 +173,86 @@ def test_quantized_recall(conn, data):
     assert hits / total > 0.9  # QUANTIZATION.md target: > 0.95 on real data
 
 
+def test_quantize_int4_sql_surface(conn, data):
+    """qtype=INT4 through SQL (round 4, beyond the reference): original
+    packed record format [rowid i64][alpha f32][csq i32][P packed], qtype
+    code 3 in _sqliteai_vector, scans checked against the pinned numpy
+    spec (the reference has no 4-bit path to mirror)."""
+    from sqlite_vector_tpu.ops.quantize4 import packed_width, quantize4_np
+
+    from tests.parity import expected_int4_distances
+
+    count = conn.execute(
+        "SELECT vector_quantize('docs', 'v', 'qtype=INT4')"
+    ).fetchone()[0]
+    assert count == N
+    meta = dict(
+        conn.execute(
+            "SELECT key, value FROM _sqliteai_vector WHERE tblname='docs'"
+        )
+    )
+    assert meta["qtype"] == 3  # the packed-int4 extension code
+    p = packed_width(DIM)
+    counter, blob = conn.execute(
+        "SELECT counter, data FROM vector0_docs_v"
+    ).fetchone()
+    assert counter == N and len(blob) == N * (16 + p)
+    packed, alpha, csq = quantize4_np(data)
+    rec0 = np.frombuffer(blob[: 16 + p], np.uint8)
+    assert struct.unpack("<q", rec0[:8].tobytes())[0] == 1
+    assert struct.unpack("<f", rec0[8:12].tobytes())[0] == alpha[0]
+    assert struct.unpack("<i", rec0[12:16].tobytes())[0] == csq[0]
+    np.testing.assert_array_equal(rec0[16:], packed[0])
+    assert conn.vector_quantize_memory("docs", "v") == N * (16 + p)
+    # scan parity vs the spec (original-domain approximate distances)
+    want = expected_int4_distances(
+        data[42][None], packed, alpha, csq, DistanceMetric.L2, DIM
+    )[0]
+    order = np.argsort(want, kind="stable")[:5]
+    rows = conn.vector_quantize_scan("docs", "v", data[42].tobytes(), 5)
+    assert [r[0] for r in rows] == [int(i) + 1 for i in order]
+    np.testing.assert_allclose(
+        [r[1] for r in rows], want[order], rtol=2e-4, atol=1e-4
+    )
+    # streaming TVF covers every row in the same domain
+    srows = dict(
+        conn.vector_quantize_scan_stream("docs", "v", data[42].tobytes())
+    )
+    assert len(srows) == N
+    np.testing.assert_allclose(
+        [srows[i + 1] for i in range(N)], want, rtol=2e-4, atol=1e-4
+    )
+    # cleanup drops the shadow like int8
+    conn.vector_quantize_cleanup("docs", "v")
+    with pytest.raises(VectorStateError):
+        conn.vector_quantize_scan("docs", "v", data[0].tobytes(), 5)
+
+
+def test_quantize_int4_cross_connection_restore(tmp_path, data):
+    """A fresh connection rebuilds the int4 quant state purely from the
+    shadow records (per-row alpha/csq included) — same results as the
+    quantizing connection, no re-quantize."""
+    path = str(tmp_path / "p4.db")
+    c1 = svs.connect(path)
+    c1.execute("CREATE TABLE t (v BLOB)")
+    c1.executemany(
+        "INSERT INTO t(v) VALUES (?)", ((r.tobytes(),) for r in data)
+    )
+    c1.commit()
+    c1.vector_init("t", "v", f"type=FLOAT32,dimension={DIM}")
+    c1.vector_quantize("t", "v", "qtype=INT4")
+    expected = c1.vector_quantize_scan("t", "v", data[7].tobytes(), 5)
+    c1.close()
+    c2 = svs.connect(path)
+    c2.vector_init("t", "v", f"type=FLOAT32,dimension={DIM}")
+    got = c2.vector_quantize_scan("t", "v", data[7].tobytes(), 5)
+    assert [r[0] for r in got] == [r[0] for r in expected]
+    np.testing.assert_allclose(
+        [r[1] for r in got], [r[1] for r in expected], rtol=1e-6
+    )
+    c2.close()
+
+
 def test_fresh_connection_restores_quant(tmp_path, data):
     path = str(tmp_path / "p.db")
     c1 = svs.connect(path)
