@@ -2669,6 +2669,18 @@ class Dataset:
         else:
             opts = parse_options(options)
         os.makedirs(directory, exist_ok=True)
+        # same crash discipline as save(): an in-progress marker lands
+        # before any shard (a crash mid-stream over a previously completed
+        # directory leaves DISPROOF — load() refuses the mixed-generation
+        # state instead of stitching old manifest + new shards), every file
+        # commits via temp+rename (a truncated shard can never appear under
+        # its final name, and live mappings of an older generation keep
+        # their inodes), and the marker is removed only after the manifest.
+        data_token = os.urandom(16).hex()
+        marker_path = os.path.join(directory, "save_in_progress.json")
+        with open(marker_path + ".tmp", "w") as f:
+            json.dump({"data_token": data_token, "done_shards": {}}, f)
+        os.replace(marker_path + ".tmp", marker_path)
         np_dtype = opts.type.np_dtype
         shards = []
         count = 0
@@ -2693,7 +2705,7 @@ class Dataset:
                 has_nonfinite = _scan_nonfinite(arr, opts.type, len(arr))
             fname = f"vectors-{i:05d}.npy"
             out = arr.view(np.uint16) if opts.type is VectorType.BF16 else arr
-            np.save(os.path.join(directory, fname), out)
+            _atomic_npy_save(os.path.join(directory, fname), out)
             shards.append({"file": fname, "rows": int(len(arr))})
             count += len(arr)
         if dim <= 0:
@@ -2708,9 +2720,11 @@ class Dataset:
             out = np.zeros((0, dim), np_dtype)
             if opts.type is VectorType.BF16:
                 out = out.view(np.uint16)
-            np.save(os.path.join(directory, "vectors-00000.npy"), out)
+            _atomic_npy_save(
+                os.path.join(directory, "vectors-00000.npy"), out
+            )
             shards.append({"file": "vectors-00000.npy", "rows": 0})
-        np.save(
+        _atomic_npy_save(
             os.path.join(directory, "ids.npy"),
             np.arange(ids_start, ids_start + count, dtype=np.int64),
         )
@@ -2725,12 +2739,19 @@ class Dataset:
             "count": count,
             "next_rowid": ids_start + count,
             "has_nonfinite": has_nonfinite,
-            "data_token": os.urandom(16).hex(),
+            "data_token": data_token,  # matches the marker: a matching
+            # leftover marker is provably this same completed stream
             "quant": None,
             "vector_shards": shards,
         }
-        with open(os.path.join(directory, "manifest.json"), "w") as f:
+        mpath = os.path.join(directory, "manifest.json")
+        with open(mpath + ".tmp", "w") as f:
             json.dump(manifest, f, indent=2)
+        os.replace(mpath + ".tmp", mpath)
+        try:
+            os.remove(marker_path)
+        except OSError:
+            pass
         return count
 
     @classmethod

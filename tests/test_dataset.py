@@ -1,5 +1,7 @@
 """Dataset / VectorStore end-to-end behavior."""
 
+import os
+
 import numpy as np
 import pytest
 
@@ -330,6 +332,66 @@ def test_save_stream_out_of_core(rng, tmp_path):
     ds2 = Dataset.load(d, storage="host", mmap=True)
     assert ds2.quantize(checkpoint=qdir) == 1000  # all chunks done: no work
     assert ds2.quant_params == p1
+
+
+def test_save_stream_crash_leaves_disproof(rng, tmp_path):
+    """A save_stream that dies mid-stream OVER A COMPLETED DIRECTORY must
+    not leave a loadable mixed-generation state (old manifest + some new
+    shards): the in-progress marker is disproof and load() refuses.
+    A successful re-stream clears the marker and loads fine (r4; the
+    10M bench regeneration hit exactly this crash shape)."""
+    d = str(tmp_path / "cs")
+    data = rng.standard_normal((600, 16)).astype(np.float32)
+    Dataset.save_stream(
+        d,
+        (data[s : s + 200] for s in range(0, 600, 200)),
+        options="dimension=16,type=FLOAT32",
+    )
+    assert Dataset.load(d, storage="host").search(data[5], 1)[1][0] == 0.0
+
+    newer = data + 1.0
+
+    def dying_chunks():
+        yield newer[:200]  # overwrites shard 0 with generation-2 bytes
+        raise RuntimeError("simulated crash mid-stream")
+
+    with pytest.raises(RuntimeError):
+        Dataset.save_stream(d, dying_chunks(), options="dimension=16,type=FLOAT32")
+    # marker present + token != manifest's -> refuse, never stitch
+    with pytest.raises(ValueError, match="interrupted save"):
+        Dataset.load(d, storage="host")
+    # a completed re-stream recovers the directory
+    n = Dataset.save_stream(
+        d,
+        (newer[s : s + 200] for s in range(0, 600, 200)),
+        options="dimension=16,type=FLOAT32",
+    )
+    assert n == 600
+    ds = Dataset.load(d, storage="host")
+    assert ds.search(newer[7], 1)[1][0] == 0.0
+
+
+def test_save_stream_shard_writes_are_atomic(rng, tmp_path, monkeypatch):
+    """Shard files never appear truncated under their final name: the
+    np.save goes to a temp file first (a crash inside np.save leaves only
+    *.npy.tmp* debris, no final-name shard)."""
+    import sqlite_vector_tpu.dataset as dsm
+
+    d = str(tmp_path / "at")
+    data = rng.standard_normal((100, 8)).astype(np.float32)
+    real_replace = os.replace
+    calls = []
+
+    def spy_replace(src, dst):
+        calls.append((os.path.basename(src), os.path.basename(dst)))
+        return real_replace(src, dst)
+
+    monkeypatch.setattr(dsm.os, "replace", spy_replace)
+    Dataset.save_stream(d, [data], options="dimension=8,type=FLOAT32")
+    renamed_to = {dst for _, dst in calls}
+    assert "vectors-00000.npy" in renamed_to
+    assert "ids.npy" in renamed_to
+    assert "manifest.json" in renamed_to
 
 
 def test_save_stream_bf16_and_dim_infer(rng, tmp_path):
