@@ -847,7 +847,10 @@ def bench_10m(args):
         jax.block_until_ready(mat)
         log(f"[f32res] uploaded {nres*dim*4/1e9:.1f} GB f32 in "
             f"{time.time()-t0:.0f}s")
-        bsq = jnp.sum(mat * mat, axis=-1)
+        # MUST be jitted: the eager form dispatches mat*mat as its own op,
+        # materializing a second matrix-sized buffer (10 GB at this scale —
+        # OOMed the 15.75 GB chip mid-run, r4); the fused reduction streams
+        bsq = jax.jit(lambda m: jnp.sum(m * m, axis=-1))(mat)
         Mf = 8
         qdev = jax.device_put(np.repeat(q[None], Mf, 0)[:, None, :])
         runf = make_chained(DistanceMetric.L2, k, nres, Mf)

@@ -107,14 +107,29 @@ def supports(
 ) -> bool:
     """Static predicate mirroring pallas_scan.supports: False routes to the
     XLA int4 tile loop."""
+    import os
+
     if metric is DistanceMetric.L1:
         return False
     if k <= 0 or k > MAX_K:
         return False
     if batch > MAX_B:
         return False
-    p_pad = _round_up(packed_width(dim), 64)
-    if _tile_rows(p_pad, 2) < 256:
+    # UNCLAMPED tile budget (the _tile_rows helper clamps to >=256, which
+    # would make this check vacuous — found in the r4 review): dims whose
+    # minimum 256-row tile overflows the VMEM budget route to the XLA tile
+    # loop. Evaluated with the DEFAULT manual-kernel parameters (nbuf,
+    # 128-aligned lane width) — the stricter of the two variants.
+    p_pad = _round_up(packed_width(dim), 128)
+    budget = int(
+        os.environ.get("SVT_PALLAS_INT4_VMEM_BUDGET", _TILE_VMEM_BUDGET)
+    )
+    nbuf = (
+        int(os.environ.get("SVT_PALLAS_INT4_NBUF", "4"))
+        if os.environ.get("SVT_PALLAS_INT4_MANUAL", "1") == "1"
+        else 2
+    )
+    if budget // (nbuf * p_pad * 3) < 256:
         return False
     if n is not None:
         b_pad = _round_up(max(batch, 8), 8)
@@ -184,10 +199,13 @@ def _make_kernel(metric: DistanceMetric, tile_n: int, p_pad: int):
         s = _surrogate_block(
             qc, qs_ref[:], dot, alpha_ref[:], csq_ref[:], metric
         )
-        # padding rows (>= valid_count) out of the running
+        # padding rows (>= valid_count) out of the running; NaN surrogates
+        # (inf - inf from overflowed alpha^2*csq vs cross terms) rank like
+        # the XLA path's NaN->inf distances instead of poisoning the min
         start = i * tile_n
         iota_n = jax.lax.broadcasted_iota(jnp.int32, (b_pad, tile_n), 1)
-        s = jnp.where(start + iota_n < valid_ref[0, 0], s, jnp.inf)
+        keep = (start + iota_n < valid_ref[0, 0]) & ~jnp.isnan(s)
+        s = jnp.where(keep, s, jnp.inf)
         mins_ref[0] = jnp.min(
             s.reshape(b_pad, tile_n // BLOCK, BLOCK), axis=-1
         )
@@ -257,7 +275,8 @@ def _make_manual_kernel(
                 iota_n = jax.lax.broadcasted_iota(
                     jnp.int32, (b_pad, tile_n), 1
                 )
-                s = jnp.where(start + iota_n < valid_ref[0, 0], s, jnp.inf)
+                keep = (start + iota_n < valid_ref[0, 0]) & ~jnp.isnan(s)
+                s = jnp.where(keep, s, jnp.inf)
                 mins_ref[i] = jnp.min(
                     s.reshape(b_pad, tile_n // BLOCK, BLOCK), axis=-1
                 )

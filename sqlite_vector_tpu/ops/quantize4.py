@@ -220,7 +220,14 @@ def quantize_query_int8(
     s = jnp.where(absmax > 0, jnp.float32(127.0) / absmax, 0.0)
     v = qf * s[:, None]
     r = v + jnp.float32(0.5) * (jnp.float32(1.0) - jnp.float32(2.0) * (v < 0))
-    qc = jnp.clip(jnp.trunc(r), -127, 127).astype(jnp.int8)
+    qc = jnp.clip(jnp.trunc(r), -127, 127)
+    # denormal absmax (< ~3.7e-37) overflows s to +inf: v becomes inf at
+    # the absmax element and 0*inf = NaN elsewhere — saturate exactly like
+    # _encode_device's nf branch instead of casting NaN to int8 (UB)
+    nf = jnp.where(
+        v > 0, jnp.float32(127.0), jnp.where(v < 0, -127.0, 0.0)
+    )
+    qc = jnp.where(jnp.isfinite(v), qc, nf).astype(jnp.int8)
     qscale = absmax / jnp.float32(127.0)
     qsq = jnp.sum(qf * qf, axis=-1)
     return qc, qscale, qsq

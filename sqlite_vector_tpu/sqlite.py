@@ -769,15 +769,26 @@ class VectorConnection:
                 np.concatenate(all_csq) if all_csq
                 else np.zeros((0,), np.int32)
             )
+            # capacity padding like the int8 branch: the jitted scan's
+            # shapes stabilize at powers of two, so periodic re-quantizes
+            # with drifting row counts reuse one executable (valid_count
+            # masks the pad rows)
+            cap4 = max(1 << max(count - 1, 1).bit_length(), 1024)
+            pk = np.zeros((cap4, codes.shape[1]), np.uint8)
+            pk[:count] = codes
+            pa = np.zeros((cap4,), np.float32)
+            pa[:count] = alpha
+            pc = np.zeros((cap4,), np.int32)
+            pc[:count] = csq
             return _QuantCache(
                 qtype=QuantType.I4,
                 scale=1.0,
                 offset=0.0,
-                codes=jnp.asarray(np.ascontiguousarray(codes)),
+                codes=jnp.asarray(pk),
                 ids=ids,
                 count=count,
-                sq_norms=jnp.asarray(csq),
-                row_scale=jnp.asarray(alpha),
+                sq_norms=jnp.asarray(pc),
+                row_scale=jnp.asarray(pa),
             )
         if ctx.stored_qtype is QuantType.I8:
             codes = codes.view(np.int8)

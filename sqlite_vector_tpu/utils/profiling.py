@@ -117,6 +117,15 @@ def timed_search(dataset, queries, k: int, *, exact: bool = True):
         coll = collective_bytes_per_query(
             dataset._mesh_size, q.shape[0], k
         )
+        if getattr(dataset, "_mesh_2d", False):
+            # 2-D meshes additionally psum the [B, N/rows] f32 partial
+            # distance block across the dim axis per scan (the documented
+            # price of dim-sharded HBM reads — parallel/audit.py's 2-D
+            # accounting; without this term the stat understated real ICI
+            # traffic by orders of magnitude on 2-D layouts)
+            coll += 4 * q.shape[0] * (
+                -(-len(dataset) // dataset._mesh_size)
+            )
     stats = QueryStats(
         wall_s=wall,
         n_rows=len(dataset),

@@ -102,10 +102,13 @@ def expected_int4_distances(q, packed, alpha, csq, metric, dim):
         return np.abs(qf[:, None, :] - rows[None, :, :]).sum(-1)
     # per-query symmetric int8 codes
     am = np.max(np.abs(qf), axis=1)
-    s = np.where(am > 0, np.float32(127.0) / am.astype(np.float32), 0.0)
-    v = qf * s[:, None]
-    r = v + np.float32(0.5) * (1.0 - 2.0 * (v < 0))
-    qc = np.clip(np.trunc(r), -127, 127)
+    with np.errstate(divide="ignore", over="ignore", invalid="ignore"):
+        s = np.where(am > 0, np.float32(127.0) / am.astype(np.float32), 0.0)
+        v = qf * s[:, None]
+        r = v + np.float32(0.5) * (1.0 - 2.0 * (v < 0))
+        qc = np.clip(np.trunc(r), -127, 127)
+    # denormal-absmax saturation, mirroring quantize_query_int8's nf branch
+    qc = np.where(np.isfinite(v), qc, np.where(v > 0, 127.0, np.where(v < 0, -127.0, 0.0)))
     qscale = am.astype(np.float32) / np.float32(127.0)
     dot = qc @ codes.T
     if metric is DistanceMetric.COSINE:

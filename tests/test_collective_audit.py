@@ -136,3 +136,16 @@ def test_querystats_surfaces_collective_bytes():
     solo.add(data)
     _, _, stats = timed_search(solo, data[:2], 5)
     assert stats.collective_bytes == 0
+    # 2-D mesh: the stat must include the per-scan psum of the
+    # [B, N/rows] partial block across the dim axis, not just the merge
+    # (r4 review: the merge-only figure understated 2-D ICI traffic)
+    from sqlite_vector_tpu.parallel import make_mesh_2d
+
+    ds2 = svt.VectorStore(mesh=make_mesh_2d(4, 2)).create(
+        "m2", "dimension=16,type=FLOAT32"
+    )
+    ds2.add(data)
+    _, _, stats2 = timed_search(ds2, data[:2], 5)
+    merge = collective_bytes_per_query(4, 2, 5)  # rows-axis gather only
+    psum = 4 * 2 * (-(-len(ds2) // 4))
+    assert stats2.collective_bytes == merge + psum

@@ -296,6 +296,74 @@ def test_pallas_int4_supports_fences():
     assert not pallas_int4.supports(
         DistanceMetric.L2, 384, 20, 256, 100_000_000
     )  # b_pad * n beyond the measured compile envelope
+    # UNCLAMPED tile budget (r4 review: the clamped helper made this check
+    # vacuous — a dim whose minimum 256-row tile exceeds VMEM must route
+    # to the XLA loop, not crash Mosaic with a ~300 MB scratch)
+    assert not pallas_int4.supports(
+        DistanceMetric.L2, 600_000, 1, 1, 100_000
+    )
+
+
+def test_quantize_query_int8_denormal_absmax_saturates():
+    """absmax below ~3.7e-37 overflows the 127/absmax scale to +inf; the
+    encoder must saturate (127 / -127 / 0) like _encode_device instead of
+    casting NaN to int8 (r4 review). The numpy spec mirrors it."""
+    # smallest-normal territory (denormals get flushed to 0 by the
+    # backend, which degenerates to the s=0 zero-query branch): 2e-38 is
+    # above FLT_MIN = 1.1755e-38, and 127/2e-38 = 6.35e39 overflows f32
+    q = np.zeros((1, 8), np.float32)
+    q[0, 0] = 2e-38
+    q[0, 1] = -2e-38
+    qc, qscale, qsq = q4.quantize_query_int8(jnp.asarray(q))
+    qc = np.asarray(qc)
+    assert qc[0, 0] == 127 and qc[0, 1] == -127
+    assert np.all(qc[0, 2:] == 0)
+    assert np.isfinite(np.asarray(qscale)).all()
+    # the shared spec agrees end-to-end on the same pathological query
+    packed, alpha, csq = q4.quantize4_np(
+        np.ones((4, 8), np.float32)
+    )
+    want = _expected_int4(q, packed, alpha, csq, DistanceMetric.L2, 8)
+    got = np.asarray(
+        q4.int4_scan_distances(
+            jnp.asarray(q), jnp.asarray(packed), jnp.asarray(alpha),
+            jnp.asarray(csq), DistanceMetric.L2, dim=8,
+        )
+    )
+    assert np.isfinite(got).all()
+    np.testing.assert_allclose(got, want, rtol=1e-4, atol=1e-5)
+
+
+def test_pallas_int4_nan_surrogate_ranks_like_xla(rng, monkeypatch):
+    """Rows whose alpha^2*csq overflows to inf yield inf-inf = NaN in the
+    L2 surrogate; the kernel must rank them like the XLA path's NaN->inf
+    distances, not let NaN poison the block minima (r4 review)."""
+    from sqlite_vector_tpu.ops import pallas_int4
+
+    monkeypatch.setenv("SVT_PALLAS_INT4_TILE_ROWS", "256")
+    n, dim, k = 700, 16, 5
+    x = rng.standard_normal((n, dim)).astype(np.float32)
+    x[::3] *= 1e25  # alpha ~ 1.4e24 -> alpha^2 * csq overflows f32
+    q = (rng.standard_normal((2, dim)) * 1e25).astype(np.float32)
+    packed, alpha, csq = q4.quantize4_np(x)
+    pv, pi = pallas_int4.pallas_int4_scan_topk(
+        jnp.asarray(q), jnp.asarray(packed), jnp.asarray(alpha),
+        jnp.asarray(csq), DistanceMetric.L2, k, dim=dim, interpret=True,
+    )
+    xv, xi = q4._int4_scan_topk_impl(
+        jnp.asarray(q), jnp.asarray(packed), jnp.asarray(alpha),
+        jnp.asarray(csq), jnp.int32(n), jnp.zeros((0,), bool),
+        metric=DistanceMetric.L2, k=k, dim=dim,
+        row_tile=q4.INT4_ROW_TILE, has_mask=False,
+    )
+    pv, xv = np.asarray(pv), np.asarray(xv)
+    assert not np.isnan(pv).any()
+    for r in range(2):
+        fin = np.isfinite(xv[r])
+        np.testing.assert_allclose(pv[r][fin], xv[r][fin], rtol=1e-4)
+        assert set(np.asarray(pi)[r][fin].tolist()) == set(
+            np.asarray(xi)[r][fin].tolist()
+        )
 
 
 # ---------------------------------------------------------------------------

@@ -250,6 +250,12 @@ def test_quantize_int4_cross_connection_restore(tmp_path, data):
     np.testing.assert_allclose(
         [r[1] for r in got], [r[1] for r in expected], rtol=1e-6
     )
+    # the restored codes are capacity-padded (power-of-two rows, like the
+    # int8 branch) so re-quantizes with drifting counts reuse one compiled
+    # scan executable (r4 review)
+    quant = c2._contexts[("t", "v")].quant
+    assert quant.codes.shape[0] == 1024 and quant.count == N
+    assert quant.row_scale.shape[0] == 1024
     c2.close()
 
 
