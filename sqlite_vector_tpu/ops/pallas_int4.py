@@ -161,6 +161,27 @@ def _unpack_block(packed: jnp.ndarray, p_pad: int) -> jnp.ndarray:
     return jnp.concatenate([lo, hi], axis=-1).astype(jnp.bfloat16)
 
 
+def _unpack_planes(packed: jnp.ndarray):
+    """[T, P_pad] uint8 -> (lo, hi) bf16 NIBBLE planes in [0, 15] — the
+    minimum-VPU-work unpack (r4 perf pass). Two algebraic cuts vs
+    _unpack_block, which the 10M x 768 measurement showed to be VPU-bound
+    (~9 elementwise ops/byte at ~65% VPU utilization -> 55 ms/scan while
+    the MXU dot itself is ~1 ms):
+
+      1. no -8 bias here: dot(qc, nib - 8) = dot(qc, nib) - 8 * sum(qc),
+         and sum(qc) is a per-query scalar the caller computes once — the
+         two per-element subtracts become one epilogue FMA row;
+      2. no concat: the caller issues one MXU dot per plane against the
+         matching half of the query codes, so the [T, 2*P_pad] bf16
+         intermediate (an extra write+read of every code in VMEM) never
+         exists.
+
+    nib in [0, 15] is exact in bf16; both plane dots stay integer-exact
+    in f32 (products <= 127*15, sums < 2^24)."""
+    p = packed.astype(jnp.int32)
+    return (p & 15).astype(jnp.bfloat16), (p >> 4).astype(jnp.bfloat16)
+
+
 def _surrogate_block(
     qc, qscale_col, dot, alpha_row, csq_row, metric: DistanceMetric
 ):
@@ -183,19 +204,30 @@ def _surrogate_block(
     ) * dotf
 
 
+def _plane_dot(qc, qsum8, lo, hi, p_pad: int):
+    """Corrected integer dot from the nibble planes: one MXU dot per
+    plane against the matching half of the (permuted) query codes, minus
+    the precomputed 8*sum(qc) bias row (see _unpack_planes)."""
+    dn = (((1,), (1,)), ((), ()))
+    dot = jax.lax.dot_general(
+        qc[:, :p_pad], lo, dimension_numbers=dn,
+        preferred_element_type=jnp.float32,
+    )
+    dot = dot + jax.lax.dot_general(
+        qc[:, p_pad:], hi, dimension_numbers=dn,
+        preferred_element_type=jnp.float32,
+    )
+    return dot - qsum8
+
+
 def _make_kernel(metric: DistanceMetric, tile_n: int, p_pad: int):
-    def kernel(valid_ref, qc_ref, qs_ref, alpha_ref, csq_ref, tile_ref,
-               mins_ref):
+    def kernel(valid_ref, qc_ref, qs_ref, qsum_ref, alpha_ref, csq_ref,
+               tile_ref, mins_ref):
         i = pl.program_id(0)
         qc = qc_ref[:].astype(jnp.bfloat16)  # int8 codes, exact in bf16
         b_pad = qc.shape[0]
-        codes = _unpack_block(tile_ref[:], p_pad)  # [TILE_N, 2*P_pad] bf16
-        dot = jax.lax.dot_general(
-            qc,
-            codes,
-            dimension_numbers=(((1,), (1,)), ((), ())),
-            preferred_element_type=jnp.float32,
-        )  # integer-exact (see _unpack_block)
+        lo, hi = _unpack_planes(tile_ref[:])  # [TILE_N, P_pad] bf16 x2
+        dot = _plane_dot(qc, qsum_ref[:], lo, hi, p_pad)
         s = _surrogate_block(
             qc, qs_ref[:], dot, alpha_ref[:], csq_ref[:], metric
         )
@@ -225,10 +257,12 @@ def _make_manual_kernel(
     (row 0 = alpha, row 1 = csq as f32 — exact below 2^24) stream through
     nbuf VMEM slots."""
 
-    def kernel(valid_ref, qc_ref, qs_ref, base_hbm, aux_hbm, mins_ref):
+    def kernel(valid_ref, qc_ref, qs_ref, qsum_ref, base_hbm, aux_hbm,
+               mins_ref):
         qc = qc_ref[:].astype(jnp.bfloat16)
         b_pad = qc.shape[0]
         qs_col = qs_ref[:]
+        qsum8 = qsum_ref[:]
 
         def body(scratch, aux_scratch, sems, aux_sems):
             def tile_dma(slot, idx):
@@ -260,14 +294,9 @@ def _make_manual_kernel(
 
                 tile_dma(slot, i).wait()
                 aux_dma(slot, i).wait()
-                codes = _unpack_block(scratch[slot], p_pad)
+                lo, hi = _unpack_planes(scratch[slot])
                 aux = aux_scratch[slot]  # [2, TILE_N] f32
-                dot = jax.lax.dot_general(
-                    qc,
-                    codes,
-                    dimension_numbers=(((1,), (1,)), ((), ())),
-                    preferred_element_type=jnp.float32,
-                )
+                dot = _plane_dot(qc, qsum8, lo, hi, p_pad)
                 s = _surrogate_block(
                     qc, qs_col, dot, aux[0:1, :], aux[1:2, :], metric
                 )
@@ -350,12 +379,18 @@ def _int4_block_minima_manual(
     aux = jnp.stack([alpha, csq.astype(jnp.float32)], axis=0)
     valid_arr = jnp.asarray(valid, jnp.int32).reshape(1, 1)
     qs_col = qscale.reshape(b_pad, 1)
+    # epilogue bias for the no-subtract unpack (see _unpack_planes):
+    # 8 * sum(qc) per query, exact in f32 (<= 8*127*2*P_pad < 2^24)
+    qsum8 = (
+        8.0 * jnp.sum(qc.astype(jnp.int32), axis=1).astype(jnp.float32)
+    ).reshape(b_pad, 1)
 
     kernel = _make_manual_kernel(metric, tile_n, ntiles, p_pad, nbuf)
     minima = pl.pallas_call(
         kernel,
         in_specs=[
             pl.BlockSpec(memory_space=pltpu.SMEM),
+            pl.BlockSpec(memory_space=pltpu.VMEM),
             pl.BlockSpec(memory_space=pltpu.VMEM),
             pl.BlockSpec(memory_space=pltpu.VMEM),
             pl.BlockSpec(memory_space=pl.ANY),  # packed stays in HBM
@@ -365,7 +400,7 @@ def _int4_block_minima_manual(
         out_shape=jax.ShapeDtypeStruct((ntiles, b_pad, g_tile), jnp.float32),
         compiler_params=pltpu.CompilerParams(has_side_effects=True),
         interpret=interpret,
-    )(valid_arr, qc, qs_col, packed, aux)
+    )(valid_arr, qc, qs_col, qsum8, packed, aux)
     return jnp.moveaxis(minima, 0, 1).reshape(b_pad, ntiles * g_tile)
 
 
@@ -400,7 +435,9 @@ def _int4_block_minima(
     finish stage reuses."""
     b = queries.shape[0]
     n, p = packed.shape
-    p_pad = _round_up(p, 64)
+    # 128-aligned (not 64): the plane dots operate on [T, P_pad] halves,
+    # whose lane width must hit Mosaic's 128 tiling on its own
+    p_pad = _round_up(p, 128)
     b_pad = _round_up(max(b, 8), 8)
     tile_n = _tile_rows(p_pad, 2)
     n_pad = _round_up(max(n, tile_n), tile_n)
@@ -426,6 +463,9 @@ def _int4_block_minima(
         csq = jnp.pad(csq, (0, n_pad - n))
     valid_arr = jnp.asarray(valid, jnp.int32).reshape(1, 1)
     qs_col = qscale.reshape(b_pad, 1)
+    qsum8 = (
+        8.0 * jnp.sum(qc.astype(jnp.int32), axis=1).astype(jnp.float32)
+    ).reshape(b_pad, 1)
     alpha2 = alpha.reshape(1, n_pad)
     csq2 = csq.reshape(1, n_pad)
 
@@ -442,6 +482,9 @@ def _int4_block_minima(
             pl.BlockSpec((1, 1), lambda i: (0, 0), memory_space=pltpu.SMEM),
             pl.BlockSpec(
                 (b_pad, 2 * p_pad), lambda i: (0, 0), memory_space=pltpu.VMEM
+            ),
+            pl.BlockSpec(
+                (b_pad, 1), lambda i: (0, 0), memory_space=pltpu.VMEM
             ),
             pl.BlockSpec(
                 (b_pad, 1), lambda i: (0, 0), memory_space=pltpu.VMEM
@@ -463,7 +506,7 @@ def _int4_block_minima(
             dimension_semantics=("arbitrary",)
         ),
         interpret=interpret,
-    )(valid_arr, qc, qs_col, alpha2, csq2, packed)
+    )(valid_arr, qc, qs_col, qsum8, alpha2, csq2, packed)
     return jnp.moveaxis(minima, 0, 1).reshape(b_pad, ntiles * g_tile)
 
 
