@@ -738,6 +738,7 @@ def bench_10m(args):
     # rerank recall is measured against the full streamed ground truth.
     got = None                        # full streamed-exact ids (full_stream)
     full_est = n * dim * 4 / ceiling  # refined by the streamed section
+    batch_state = {}                  # int8 B=64 ms/q for the int4 compare
 
     def do_stream():
         # ---- streamed-exact: time-boxed slice by default ------------------
@@ -978,6 +979,68 @@ def bench_10m(args):
             "> 1 means the packed scan outpaces what any 1-byte/elem "
             "kernel could stream; packed_gbs is the physical rate",
         )
+
+        # ---- B=64 batched: where the 4-bit bandwidth win physically lives.
+        # B=1 scans pad to 8 MXU rows and are compute-bound (~56 ms at 10M
+        # regardless of implementation or code bytes — STATUS r4); at B=64
+        # the MXU fills, the scan returns to memory-bound, and halved bytes
+        # become halved time (measured 1.46x over int8 this config).
+        if not over_budget("10m int4 batched"):
+            import jax.numpy as jnp
+
+            from sqlite_vector_tpu.ops.quantize4 import int4_scan_topk
+
+            B64, Mb = 64, 4
+            qb_dev = jax.device_put(
+                np.repeat(q[None], B64, 0).astype(np.float32)
+            )
+
+            @jax.jit
+            def chb4(qb, packed, al, cs):
+                def body(c, _):
+                    vals, _i = int4_scan_topk(
+                        qb + c * 0, packed, al, cs, DistanceMetric.L2, k,
+                        dim=dim, valid_count=quant.count,
+                    )
+                    return vals[0, 0], vals[0, 0]
+
+                _, outs = jax.lax.scan(
+                    body, jnp.float32(0), None, length=Mb
+                )
+                return outs
+
+            np.asarray(
+                chb4(qb_dev, quant.codes, quant.row_scale, quant.sq_norms)
+            )  # compile
+            bt4 = 1e9
+            for _ in range(3):
+                t0 = time.perf_counter()
+                np.asarray(
+                    chb4(
+                        qb_dev, quant.codes, quant.row_scale, quant.sq_norms
+                    )
+                )
+                bt4 = min(bt4, (time.perf_counter() - t0) / Mb)
+            i8 = batch_state.get("int8_b64_ms_q")
+            log(f"[10m] int4 batched B={B64}: {bt4*1e3:.1f} ms/scan "
+                f"({bt4/B64*1e3:.3f} ms/q, "
+                f"{packed_bytes/bt4/1e9:.0f} GB/s packed)"
+                + (f"; int8 was {i8:.3f} ms/q -> int4 is "
+                   f"{i8/(bt4/B64*1e3):.2f}x" if i8 else ""))
+            emit(
+                f"int4_batched_ms_per_query_{n//1000000}mx{dim}",
+                bt4 / B64 * 1e3,
+                "ms_per_query_b64",
+                (i8 / (bt4 / B64 * 1e3)) if i8 else 0.0,
+                batch=B64,
+                scan_ms=round(bt4 * 1e3, 2),
+                packed_gbs=round(packed_bytes / bt4 / 1e9, 1),
+                int8_ms_per_query_b64=(round(i8, 3) if i8 else None),
+                baseline="the int8 code scan at the same batch "
+                "(vs_baseline = int4 speedup over int8 per query; the "
+                "B=1 regime is MXU-row-bound and shows no byte win — "
+                "see STATUS r4)",
+            )
         ds.drop_quantization()
         gc.collect()
 
@@ -1032,6 +1095,45 @@ def bench_10m(args):
             baseline="per-chip HBM streaming ceiling measured in this run "
             "(vs_baseline = fraction of roofline; north_star target >= 0.8)",
         )
+        # ---- B=64 batched int8 (comparison base for the int4 batch win) ---
+        # At B=1 every quantized scan is MXU-row-utilization-bound (~56 ms
+        # invariant across four implementations at 10M, STATUS r4); the
+        # memory-bound regime — where code BYTES matter — is batched.
+        if not over_budget("10m int8 batched"):
+            from sqlite_vector_tpu.ops.scan import fused_scan_topk
+
+            B64, Mb = 64, 4
+            qb64 = np.asarray(
+                oracle.quantize(
+                    np.repeat(q[None], B64, 0), quant.scale, quant.offset,
+                    quant.qtype,
+                )
+            )
+
+            @jax.jit
+            def chb8(qb, codes, sq):
+                def body(c, _):
+                    vals, _i = fused_scan_topk(
+                        qb + c * 0, codes, DistanceMetric.L2, k,
+                        valid_count=quant.count, base_sq_norms=sq,
+                    )
+                    return vals[0, 0].astype(qb.dtype), vals[0, 0]
+
+                _, outs = jax.lax.scan(
+                    body, jnp.zeros((), qb64.dtype), None, length=Mb
+                )
+                return outs
+
+            qb_dev = jax.device_put(qb64)
+            np.asarray(chb8(qb_dev, quant.codes, sqn))  # compile
+            bt = 1e9
+            for _ in range(3):
+                t0 = time.perf_counter()
+                np.asarray(chb8(qb_dev, quant.codes, sqn))
+                bt = min(bt, (time.perf_counter() - t0) / Mb)
+            batch_state["int8_b64_ms_q"] = bt / B64 * 1e3
+            log(f"[10m] int8 batched B={B64}: {bt*1e3:.1f} ms/scan "
+                f"({bt/B64*1e3:.3f} ms/q, {n*dim/bt/1e9:.0f} GB/s codes)")
         if over_budget("10m rerank"):
             return
 
