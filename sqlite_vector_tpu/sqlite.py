@@ -90,6 +90,16 @@ def _shadow_name(table: str, column: str) -> str:
     return f"vector0_{table}_{column}"
 
 
+def _shadow_name_i4(table: str, column: str) -> str:
+    """Packed-int4 shadow table name. DELIBERATELY different from the
+    reference's vector0_* so the C extension's preload/scan fails cleanly
+    ('quantization table not found', src/sqlite-vector.c:1352-1359) instead
+    of misparsing: the C side never validates the stored qtype code and
+    assumes stride 8+dim, so int4 records (stride 16+ceil(dim/2)) under the
+    legacy name would read past the blob for dim > 16."""
+    return f"vector0i4_{table}_{column}"
+
+
 @dataclasses.dataclass
 class _QuantCache:
     qtype: QuantType
@@ -556,7 +566,12 @@ class VectorConnection:
         qsnap = ds._quant
         count = qsnap.count if qsnap is not None else 0
 
-        shadow = _shadow_name(ctx.table, ctx.column)
+        is_i4 = count > 0 and qsnap.qtype is QuantType.I4
+        shadow = (
+            _shadow_name_i4(ctx.table, ctx.column)
+            if is_i4
+            else _shadow_name(ctx.table, ctx.column)
+        )
         cur = self._conn.cursor()
         # SAVEPOINT (not BEGIN): works standalone AND inside a caller's open
         # transaction, like the reference's quantize running under SQLite's
@@ -564,7 +579,18 @@ class VectorConnection:
         was_in_txn = self._conn.in_transaction
         cur.execute("SAVEPOINT svt_quantize")
         try:
-            cur.execute(f"DROP TABLE IF EXISTS {_quote(shadow)}")
+            # drop BOTH generations: a re-quantize that flips int4<->int8
+            # must not leave the other format's records behind (a stale
+            # legacy-named table would be exactly what a C-side preload
+            # picks up)
+            cur.execute(
+                f"DROP TABLE IF EXISTS "
+                f"{_quote(_shadow_name(ctx.table, ctx.column))}"
+            )
+            cur.execute(
+                f"DROP TABLE IF EXISTS "
+                f"{_quote(_shadow_name_i4(ctx.table, ctx.column))}"
+            )
             cur.execute(
                 f"CREATE TABLE IF NOT EXISTS {_quote(shadow)} "
                 "(rowid1 INTEGER, rowid2 INTEGER, counter INTEGER, data BLOB)"
@@ -693,12 +719,23 @@ class VectorConnection:
             self._conn.execute("PRAGMA schema_version").fetchone()[0]
         )
 
+    def _find_shadow(self, ctx: _TableContext) -> str | None:
+        """Name of whichever shadow generation exists (legacy reference
+        format or this engine's packed-int4 table), or None."""
+        for name in (
+            _shadow_name(ctx.table, ctx.column),
+            _shadow_name_i4(ctx.table, ctx.column),
+        ):
+            row = self._conn.execute(
+                "SELECT 1 FROM sqlite_master WHERE type='table' AND name=?",
+                (name,),
+            ).fetchone()
+            if row is not None:
+                return name
+        return None
+
     def _shadow_exists(self, ctx: _TableContext) -> bool:
-        row = self._conn.execute(
-            "SELECT 1 FROM sqlite_master WHERE type='table' AND name=?",
-            (_shadow_name(ctx.table, ctx.column),),
-        ).fetchone()
-        return row is not None
+        return self._find_shadow(ctx) is not None
 
     def _load_quant_from_shadow(self, ctx: _TableContext) -> _QuantCache:
         """Read reference-format shadow chunks into device int8 codes —
@@ -726,20 +763,35 @@ class VectorConnection:
         dim = ctx.options.dimension
         if ctx.stored_qtype is QuantType.I4:
             # packed-int4 extension records (see vector_quantize):
-            # [int64-LE rowid][f32-LE alpha][i32-LE csq][P packed]
+            # [int64-LE rowid][f32-LE alpha][i32-LE csq][P packed] — under
+            # the i4-specific shadow name (legacy readers must not find it)
             from sqlite_vector_tpu.ops.quantize4 import packed_width
 
             p_width = packed_width(dim)
             q_size = 16 + p_width
+            shadow = _shadow_name_i4(ctx.table, ctx.column)
         else:
             q_size = 8 + dim
+            shadow = _shadow_name(ctx.table, ctx.column)
+        row = self._conn.execute(
+            "SELECT 1 FROM sqlite_master WHERE type='table' AND name=?",
+            (shadow,),
+        ).fetchone()
+        if row is None:
+            # params and records disagree on the format generation (e.g. a
+            # C-side re-quantize replaced the legacy shadow but an i4 qtype
+            # row survived, or vice versa) — never parse records with the
+            # other format's stride
+            raise VectorStateError(
+                "vector_quantize_scan: quantization table does not match "
+                "the stored qtype — run vector_quantize again."
+            )
         all_ids: list[np.ndarray] = []
         all_codes: list[np.ndarray] = []
         all_alpha: list[np.ndarray] = []
         all_csq: list[np.ndarray] = []
         for counter, data in self._conn.execute(
-            f"SELECT counter, data FROM "
-            f"{_quote(_shadow_name(ctx.table, ctx.column))}"
+            f"SELECT counter, data FROM {_quote(shadow)}"
         ):
             rec = np.frombuffer(data, np.uint8).reshape(counter, q_size)
             all_ids.append(rec[:, :8].copy().view("<i8").reshape(-1))
@@ -846,14 +898,14 @@ class VectorConnection:
     def vector_quantize_memory(self, table: str, column: str) -> int:
         """SUM(LENGTH(data)) over the shadow table (:1486-1499)."""
         ctx = self._lookup(table, column, "vector_quantize_memory")
-        if not self._shadow_exists(ctx):
+        shadow = self._find_shadow(ctx)
+        if shadow is None:
             raise VectorStateError(
                 "vector_quantize_memory: quantization table not found — run "
                 "vector_quantize first."
             )
         row = self._conn.execute(
-            f"SELECT SUM(LENGTH(data)) FROM "
-            f"{_quote(_shadow_name(ctx.table, ctx.column))}"
+            f"SELECT SUM(LENGTH(data)) FROM {_quote(shadow)}"
         ).fetchone()
         return int(row[0] or 0)
 
@@ -876,6 +928,9 @@ class VectorConnection:
         was_in_txn = self._conn.in_transaction
         self._conn.execute(
             f"DROP TABLE IF EXISTS {_quote(_shadow_name(table, column))}"
+        )
+        self._conn.execute(
+            f"DROP TABLE IF EXISTS {_quote(_shadow_name_i4(table, column))}"
         )
         # commit only the transaction this DROP itself started — never the
         # caller's open transaction

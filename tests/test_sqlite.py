@@ -193,8 +193,18 @@ def test_quantize_int4_sql_surface(conn, data):
     )
     assert meta["qtype"] == 3  # the packed-int4 extension code
     p = packed_width(DIM)
+    # int4 records live under a DIFFERENT shadow name than the reference's
+    # vector0_* so a legacy C-side preload fails cleanly ('quantization
+    # table not found') instead of misparsing stride-16+P records as
+    # stride-8+dim (r5, ADVICE item)
+    assert (
+        conn.execute(
+            "SELECT 1 FROM sqlite_master WHERE name='vector0_docs_v'"
+        ).fetchone()
+        is None
+    )
     counter, blob = conn.execute(
-        "SELECT counter, data FROM vector0_docs_v"
+        "SELECT counter, data FROM vector0i4_docs_v"
     ).fetchone()
     assert counter == N and len(blob) == N * (16 + p)
     packed, alpha, csq = quantize4_np(data)
@@ -256,6 +266,69 @@ def test_quantize_int4_cross_connection_restore(tmp_path, data):
     quant = c2._contexts[("t", "v")].quant
     assert quant.codes.shape[0] == 1024 and quant.count == N
     assert quant.row_scale.shape[0] == 1024
+    c2.close()
+
+
+def test_int4_shadow_name_interop_safety(conn, data):
+    """Re-quantize churn between int4 and int8 leaves exactly ONE shadow
+    generation behind, under the name matching the stored qtype — a legacy
+    (C-extension) reader can never find int4-format records under the
+    vector0_* name it parses with stride 8+dim (r5, ADVICE medium)."""
+    from sqlite_vector_tpu.ops.quantize4 import packed_width
+
+    def names():
+        return {
+            r[0]
+            for r in conn.execute(
+                "SELECT name FROM sqlite_master WHERE type='table' "
+                "AND (name = 'vector0_docs_v' OR name = 'vector0i4_docs_v')"
+            )
+        }
+
+    conn.execute("SELECT vector_quantize('docs', 'v', 'qtype=INT4')")
+    assert names() == {"vector0i4_docs_v"}
+    # int4 -> int8 drops the i4 table (a stale one would shadow-read wrong)
+    conn.execute("SELECT vector_quantize('docs', 'v', 'qtype=INT8')")
+    assert names() == {"vector0_docs_v"}
+    assert conn.vector_quantize_memory("docs", "v") == N * (8 + DIM)
+    # int8 -> int4 drops the legacy table (C preload must fail cleanly,
+    # not read stale int8 codes against int4 params)
+    conn.execute("SELECT vector_quantize('docs', 'v', 'qtype=INT4')")
+    assert names() == {"vector0i4_docs_v"}
+    assert conn.vector_quantize_memory("docs", "v") == N * (
+        16 + packed_width(DIM)
+    )
+    # Dataset API agrees byte-for-byte with SUM(LENGTH(data)) (r5 ADVICE:
+    # the csq sidecar was previously omitted from the Dataset figure)
+    ds = conn._contexts[("docs", "v")].dataset
+    assert ds.quantize_memory() == conn.vector_quantize_memory("docs", "v")
+    # cleanup drops whichever generation exists
+    conn.vector_quantize_cleanup("docs", "v")
+    assert names() == set()
+
+
+def test_int4_params_with_legacy_shadow_mismatch_errors(tmp_path, data):
+    """qtype=3 params paired with a legacy-named shadow (e.g. a C-side
+    writer replaced the records but an i4 qtype row survived) must refuse
+    to parse — never apply the 16+P stride to 8+dim records."""
+    path = str(tmp_path / "mm.db")
+    c1 = svs.connect(path)
+    c1.execute("CREATE TABLE t (v BLOB)")
+    c1.executemany(
+        "INSERT INTO t(v) VALUES (?)", ((r.tobytes(),) for r in data)
+    )
+    c1.commit()
+    c1.vector_init("t", "v", f"type=FLOAT32,dimension={DIM}")
+    c1.vector_quantize("t", "v", "qtype=INT4")
+    # simulate the cross-engine mismatch: swap the records to the legacy
+    # name while the qtype=3 metadata row stays
+    c1.execute("ALTER TABLE vector0i4_t_v RENAME TO vector0_t_v")
+    c1.commit()
+    c1.close()
+    c2 = svs.connect(path)
+    c2.vector_init("t", "v", f"type=FLOAT32,dimension={DIM}")
+    with pytest.raises(VectorStateError, match="does not match"):
+        c2.vector_quantize_scan("t", "v", data[0].tobytes(), 5)
     c2.close()
 
 
