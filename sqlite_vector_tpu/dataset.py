@@ -63,6 +63,10 @@ MIN_CAPACITY = 1024
 # elements per chunk for host-side passes over possibly->RAM row views
 # (the non-finite ingest scan and the chunked quantize pipeline)
 HOST_CHUNK_ELEMS = 64 << 20
+# rows per HBM tile for the host-resident int4 *_stream distance path
+# (_distances_i4); partial tails are padded to this shape so one compiled
+# executable serves every tile
+_I4_STREAM_TILE = 262144
 
 _FLOAT_TYPES = (VectorType.F32, VectorType.F16, VectorType.BF16)
 
@@ -220,6 +224,13 @@ class _QuantState:
     stale: bool = False  # set when rows are added/changed after quantize
     row_scale: jnp.ndarray | np.ndarray | None = None  # INT4 only: per-row
     # dequant scale alpha_i (f32 [cap]); scale/offset stay 1.0/0.0
+    # -- int8 refine sidecar (quantize(qtype='int4', refine=True)): int8/u8
+    # codes of the SAME row snapshot, positionally aligned with the packed
+    # int4 rows, for the device-side two-stage search (ops/refine.py)
+    codes8: jnp.ndarray | np.ndarray | None = None
+    qtype8: QuantType | None = None
+    scale8: np.float32 | None = None
+    offset8: np.float32 | None = None
 
 
 class Dataset:
@@ -1137,6 +1148,13 @@ class Dataset:
                       k*expand candidates + exact rescoring — true float
                       distances at near-int8 scan cost (beyond the
                       reference; see ops/rerank.py);
+          "refine"    device-side two-stage: int4 prefilter of k*expand
+                      candidates + int8-sidecar rescore in ONE dispatch —
+                      ~int8-level recall at int4 scan bytes, with NO host
+                      round trip and NO f32 matrix needed (the >HBM
+                      capacity mode; requires quantize(qtype='int4',
+                      refine=True), see ops/refine.py). Positions/ids
+                      follow the quantize-time snapshot like "quantized";
           "approx"    full-precision distances + hardware-accelerated
                       approximate selection (lax.approx_min_k) at
                       `recall_target`. MEASURED CAVEAT (r1, re-checked
@@ -1153,9 +1171,10 @@ class Dataset:
             raise VectorConfigError("k must be >= 0")
         if mode is None:
             mode = "exact" if exact else "quantized"
-        if mode not in ("exact", "quantized", "rerank", "approx"):
+        if mode not in ("exact", "quantized", "rerank", "refine", "approx"):
             raise VectorConfigError(
-                f"mode must be exact|quantized|rerank|approx, got '{mode}'"
+                "mode must be exact|quantized|rerank|refine|approx, "
+                f"got '{mode}'"
             )
         q, single = self._coerce_queries(queries)
         if k == 0 or self._count == 0:
@@ -1174,7 +1193,10 @@ class Dataset:
             # set than exact/approx on the same data — route to exact, which
             # is policy-true (the reference has no rerank mode to mirror)
             mode_eff = mode
-            if mode == "rerank" and self._nonfinite_policy(q) is not None:
+            if (
+                mode in ("rerank", "refine")
+                and self._nonfinite_policy(q) is not None
+            ):
                 mode_eff = "exact"
             # ONE quant snapshot for the whole query: the filter-mask space,
             # the scanned codes, and the final id map must all agree even if
@@ -1243,6 +1265,8 @@ class Dataset:
                     vals, idx = self._search_approx(
                         q, k, mask, recall_target, cosine_fast=cosine_fast
                     )
+            elif mode_eff == "refine":
+                vals, idx = self._search_refine(q, k, mask, expand, quant=quant)
             else:
                 vals, idx = self._search_rerank(q, k, mask, expand, quant=quant)
 
@@ -1262,10 +1286,10 @@ class Dataset:
                 vals = np.where(
                     np.abs(vals) <= _NEARLY_ZERO, 0.0, vals
                 ).astype(np.float32)
-            if mode_eff == "quantized":
-                # quantized positions index the codes AT QUANTIZE TIME — map
-                # through the snapshot ids, not the (possibly compacted)
-                # live ids
+            if mode_eff in ("quantized", "refine"):
+                # quantized/refine positions index the codes AT QUANTIZE
+                # TIME — map through the snapshot ids, not the (possibly
+                # compacted) live ids
                 id_map = self._quant_id_map(quant)
             else:  # exact and rerank positions index the live rows
                 id_map = self._ids
@@ -1790,6 +1814,54 @@ class Dataset:
                 out_idx[bi, : len(order)] = cand_pos[order]
         return out_vals, out_idx
 
+    def _search_refine(
+        self,
+        q: np.ndarray,
+        k: int,
+        mask: np.ndarray | None,
+        expand: int,
+        quant: _QuantState | None = None,
+    ):
+        """Device-side two-stage search: int4 prefilter + int8-sidecar
+        rescore in ONE dispatch (ops/refine.py) — no host round trip, no
+        full-precision matrix required. Positions index the quantize-time
+        snapshot (same contract as mode="quantized"). Requires
+        quantize(qtype='int4', refine=True) and device-resident codes
+        (preload() on host-storage datasets)."""
+        from sqlite_vector_tpu.ops.refine import int4_refine_topk
+
+        quant = self._require_quant("refine", quant)
+        if quant.qtype is not QuantType.I4 or quant.codes8 is None:
+            raise VectorStateError(
+                "refine: requires an int4 quantization with the int8 "
+                "refine sidecar — run quantize(qtype='int4', refine=True) "
+                "first."
+            )
+        if not isinstance(quant.codes, jnp.ndarray) or not isinstance(
+            quant.codes8, jnp.ndarray
+        ):
+            raise VectorStateError(
+                "refine: codes are host-resident — call preload() first "
+                "(refine is a device-side two-stage search; streaming it "
+                "through the host would defeat its no-round-trip contract)."
+            )
+        dmask = self._pad_mask(mask, quant.codes.shape[0], quant.count)
+        return int4_refine_topk(
+            self._put_query(q.astype(np.float32)),
+            quant.codes,
+            quant.row_scale,
+            quant.sq_norms,
+            quant.codes8,
+            quant.scale8,
+            quant.offset8,
+            self.metric,
+            k,
+            dim=self.dimension,
+            expand=expand,
+            valid_count=quant.count,
+            row_mask=dmask,
+        )
+
     def distances(self, queries: Any, *, exact: bool = True) -> np.ndarray:
         """Full distance vector(s) — the *_stream virtual tables.
 
@@ -1931,19 +2003,34 @@ class Dataset:
         n = quant.count
         b = qf.shape[0]
         out = np.empty((b, n), np.float32)
-        tile = 262144
+        tile = _I4_STREAM_TILE
         qd = self._put_query(qf)
         for s in range(0, n, tile):
             e = min(s + tile, n)
+            rows = e - s
+            pk = np.ascontiguousarray(quant.codes[s:e])
+            al = np.ascontiguousarray(quant.row_scale[s:e])
+            cs = np.ascontiguousarray(quant.sq_norms[s:e])
+            if rows < tile and n > tile:
+                # pad the final partial tile to the fixed tile shape so the
+                # jitted executable is reused across tiles AND across calls
+                # with drifting counts (alpha=0/csq=0 pad rows are harmless
+                # — the [:, :rows] slice below drops them). Without this,
+                # every distinct tail shape paid a fresh XLA compile, which
+                # dominated *_stream latency on host storage.
+                pad = tile - rows
+                pk = np.pad(pk, ((0, pad), (0, 0)))
+                al = np.pad(al, (0, pad))
+                cs = np.pad(cs, (0, pad))
             d = int4_scan_distances(
                 qd,
-                jnp.asarray(np.ascontiguousarray(quant.codes[s:e])),
-                jnp.asarray(np.ascontiguousarray(quant.row_scale[s:e])),
-                jnp.asarray(np.ascontiguousarray(quant.sq_norms[s:e])),
+                jnp.asarray(pk),
+                jnp.asarray(al),
+                jnp.asarray(cs),
                 self.metric,
                 dim=dim,
             )
-            out[:, s:e] = np.asarray(d)
+            out[:, s:e] = np.asarray(d)[:, :rows]
         return out
 
     # -- quantization ----------------------------------------------------------
@@ -1974,8 +2061,17 @@ class Dataset:
         *,
         qtype: QuantType | str | None = None,
         checkpoint: str | None = None,
+        refine: bool = False,
     ) -> int:
         """(Re)build int8/uint8 quantized codes; returns the row count.
+
+        refine=True (requires qtype='int4'): additionally builds an int8
+        sidecar of the SAME row snapshot for search(mode="refine") — the
+        device-side two-stage search (int4 prefilter, int8 rescore, no host
+        round trip; ops/refine.py). Costs rows*dim extra bytes on device;
+        both code sets of a 10M x 768 dataset fit one chip where the f32
+        matrix does not. Single-chip only (meshes route refine through
+        rerank instead).
 
         Serialized against add/remove/update (one mutation at a time);
         concurrent searches keep serving the previous codes until the new
@@ -2007,7 +2103,9 @@ class Dataset:
         # >RAM host builds / cold compiles; searches and short mutations
         # must not queue behind it) — it reads one snapshot of the row
         # state and installs the new _QuantState with one reference swap
-        result = self._quantize_build(options, qtype=qtype, checkpoint=checkpoint)
+        result = self._quantize_build(
+            options, qtype=qtype, checkpoint=checkpoint, refine=refine
+        )
         with self._mutate_lock:
             quant = self._quant
             if quant is not None and self._mutation_gen != gen0:
@@ -2023,11 +2121,22 @@ class Dataset:
         *,
         qtype: QuantType | str | None = None,
         checkpoint: str | None = None,
+        refine: bool = False,
     ) -> int:
         opts = parse_options(options, self.options)
         if qtype is not None:
             opts.qtype = (
                 QuantType.from_name(qtype) if isinstance(qtype, str) else qtype
+            )
+        if refine and opts.qtype is not QuantType.I4:
+            raise VectorConfigError(
+                "refine=True requires qtype='int4' — the refine sidecar is "
+                "the int8 rescore stage of the int4 two-stage search."
+            )
+        if refine and self._mesh is not None:
+            raise VectorConfigError(
+                "refine=True is a single-chip device-side path — on meshes "
+                "use mode='rerank' (sharded int4 prefilter + exact rescore)."
             )
         if opts.qtype is QuantType.I4 and self._mesh_2d:
             # the 4-bit pack runs along the dim axis; a dim-sharded layout
@@ -2049,7 +2158,7 @@ class Dataset:
             )
             return 0
         if self._storage == "host":
-            return self._quantize_host(opts, checkpoint)
+            return self._quantize_host(opts, checkpoint, refine=refine)
         # ONE row-state snapshot for the whole build (runs outside the lock;
         # a concurrent mutation is detected by the caller's generation check
         # and marks the installed codes stale)
@@ -2068,10 +2177,24 @@ class Dataset:
                 packed = jax.device_put(packed, self._row_sharding)
                 alpha = jax.device_put(alpha, self._mask_sharding)
                 csq = jax.device_put(csq, self._mask_sharding)
-            self._quant = _QuantState(
+            state = _QuantState(
                 QuantType.I4, np.float32(1.0), np.float32(0.0), packed,
                 count, ids=ids[:count].copy(), sq_norms=csq, row_scale=alpha,
             )
+            if refine:
+                # int8 sidecar of the SAME snapshot (AUTO-resolved params,
+                # the reference's formulas), positionally aligned with the
+                # packed rows — search(mode="refine") gathers its candidate
+                # rows from this array on device
+                mn, mx, neg = minmax_and_negative(
+                    vecs, count, valid_is_full=False
+                )
+                rq8, s8, o8 = resolve_quant_params(
+                    float(mn), float(mx), bool(neg), QuantType.AUTO
+                )
+                state.codes8 = quantize_device(vecs, s8, o8, rq8)
+                state.qtype8, state.scale8, state.offset8 = rq8, s8, o8
+            self._quant = state
             return count
         # on a 2-D mesh the device matrix carries zero dim-padding that
         # would poison the global min/max: reduce over the unpadded column
@@ -2091,7 +2214,12 @@ class Dataset:
         )
         return count
 
-    def _quantize_host(self, opts: VectorOptions, checkpoint: str | None) -> int:
+    def _quantize_host(
+        self,
+        opts: VectorOptions,
+        checkpoint: str | None,
+        refine: bool = False,
+    ) -> int:
         """Host-resident quantize build: chunked numpy pipeline with
         semantics identical to the device path (the oracle mirrors the
         reference's q_round/scale formulas bit-for-bit). Chunking keeps
@@ -2144,6 +2272,7 @@ class Dataset:
                 opts, checkpoint, _chunk, starts, live,
                 offs if live is not None else None,
                 count, chunk_rows, out_count, ids_out, data_token, dim,
+                refine=refine,
             )
 
         meta = None
@@ -2230,6 +2359,7 @@ class Dataset:
     def _quantize_host_i4(
         self, opts, checkpoint, _chunk, starts, live, offs,
         count, chunk_rows, out_count, ids_out, data_token, dim,
+        refine: bool = False,
     ) -> int:
         """Host-resident INT4 build: chunked numpy pipeline writing packed
         codes + per-row scales + code square-sums. Per-row params make the
@@ -2333,11 +2463,109 @@ class Dataset:
                 meta["done"] = ci + 1
                 self._write_quant_checkpoint(meta_path, meta)
 
-        self._quant = _QuantState(
+        state = _QuantState(
             QuantType.I4, np.float32(1.0), np.float32(0.0), codes, out_count,
             ids=ids_out, sq_norms=csq, row_scale=rscale,
         )
+        if refine:
+            self._build_refine_sidecar_host(
+                state, opts, checkpoint, _chunk, starts, live, offs,
+                count, chunk_rows, out_count, data_token, dim,
+            )
+        self._quant = state
         return out_count
+
+    def _build_refine_sidecar_host(
+        self, state, opts, checkpoint, _chunk, starts, live, offs,
+        count, chunk_rows, out_count, data_token, dim,
+    ) -> None:
+        """int8 sidecar for the host-resident int4 build: one more chunked
+        pass writing [out_count, dim] int8/u8 codes, positionally aligned
+        with the packed rows above. With `checkpoint` the sidecar lands in
+        refine8.npy and resumes per chunk like the main builds (same
+        data-token staleness rule)."""
+        from sqlite_vector_tpu import oracle
+
+        meta = None
+        meta_path = codes_path = None
+        if checkpoint:
+            meta_path = os.path.join(checkpoint, "refine8_checkpoint.json")
+            codes_path = os.path.join(checkpoint, "refine8.npy")
+            try:
+                with open(meta_path) as f:
+                    m = json.load(f)
+                if (
+                    m["count"] == count
+                    and m.get("live_count", m["count"]) == out_count
+                    and m.get("data_token") == data_token
+                    and m["dim"] == dim
+                    and m["chunk_rows"] == chunk_rows
+                    and os.path.exists(codes_path)
+                ):
+                    probe = np.lib.format.open_memmap(codes_path, mode="r")
+                    if probe.shape == (out_count, dim):
+                        meta = m
+                    del probe
+            except Exception:
+                meta = None
+
+        if meta is None:
+            # params pass: AUTO-resolved over the same snapshot
+            rq8, s8, o8 = oracle.compute_quant_params_chunked(
+                (c for c in (_chunk(s) for s in starts) if len(c)),
+                QuantType.AUTO,
+            )
+            done = 0
+            if checkpoint:
+                if os.path.exists(codes_path):
+                    os.unlink(codes_path)  # fresh inode (live mappings)
+                codes8 = np.lib.format.open_memmap(
+                    codes_path, mode="w+", dtype=rq8.np_dtype,
+                    shape=(out_count, dim),
+                )
+                meta = {
+                    "qtype": rq8.value,
+                    "scale": float(s8),
+                    "offset": float(o8),
+                    "count": count,
+                    "live_count": out_count,
+                    "dim": dim,
+                    "chunk_rows": chunk_rows,
+                    "data_token": data_token,
+                    "done": 0,
+                }
+                self._write_quant_checkpoint(meta_path, meta)
+            else:
+                codes8 = np.empty((out_count, dim), rq8.np_dtype)
+        else:
+            rq8 = QuantType.from_name(meta["qtype"])
+            s8 = np.float32(meta["scale"])
+            o8 = np.float32(meta["offset"])
+            done = int(meta["done"])
+            codes8 = np.lib.format.open_memmap(codes_path, mode="r+")
+
+        for ci, s in enumerate(starts):
+            if ci < done:
+                continue
+            e = min(s + chunk_rows, count)
+            chunk = _chunk(s).astype(np.float32, copy=False)
+            ws, we = (
+                (int(offs[s]), int(offs[e])) if live is not None else (s, e)
+            )
+            if len(chunk):
+                if self._has_nonfinite:
+                    codes8[ws:we] = oracle.quantize(chunk, s8, o8, rq8)
+                else:
+                    oracle.quantize_fast(chunk, s8, o8, rq8, out=codes8[ws:we])
+            if checkpoint:
+                codes8.flush()
+                meta["done"] = ci + 1
+                self._write_quant_checkpoint(meta_path, meta)
+
+        state.codes8 = codes8
+        state.qtype8 = rq8
+        state.scale8 = np.float32(s8)
+        state.offset8 = np.float32(o8)
 
     @staticmethod
     def _write_quant_checkpoint(meta_path: str, meta: dict) -> None:
@@ -2402,8 +2630,17 @@ class Dataset:
             from sqlite_vector_tpu.ops.quantize4 import packed_width
 
             # no reference formula to mirror at 4 bits: report the honest
-            # layout — packed codes + 8-byte rowid + 4-byte per-row scale
-            return quant.count * (8 + packed_width(self.dimension) + 4)
+            # record layout — 8-byte rowid + 4-byte per-row scale + 4-byte
+            # per-row csq + packed codes. This matches the persisted shadow
+            # record stride (16 + P, sqlite.py vector_quantize), so the
+            # Dataset API and the SQL surface's vector_quantize_memory
+            # (SUM(LENGTH(data))) agree byte-for-byte.
+            base = quant.count * (16 + packed_width(self.dimension))
+            if quant.codes8 is not None:
+                # the refine sidecar's int8 codes (no rowids of their own —
+                # rows are positionally aligned with the packed records)
+                base += quant.count * self.dimension
+            return base
         return quant.count * (8 + self.dimension)
 
     def preload(self) -> None:
@@ -2430,6 +2667,14 @@ class Dataset:
                 quant.sq_norms = self._put_aux_rows(
                     np.asarray(quant.sq_norms, np.int32), quant.count, cap
                 )
+                if quant.codes8 is not None and not isinstance(
+                    quant.codes8, jnp.ndarray
+                ):
+                    # the int8 refine sidecar rides along (mode="refine" is
+                    # device-side only)
+                    quant.codes8 = self._upload_rows_padded(
+                        quant.codes8, quant.count, cap
+                    )
                 return
             quant.codes = self._upload_rows_padded(codes, quant.count, cap)
             quant.sq_norms = None
@@ -2629,6 +2874,18 @@ class Dataset:
                 _atomic_npy_save(
                     os.path.join(directory, "qcsq.npy"),
                     np.asarray(quant.sq_norms)[: quant.count],
+                )
+            if quant.codes8 is not None:
+                # the int8 refine sidecar persists alongside the packed
+                # codes so mode="refine" survives save/load
+                manifest["quant"]["refine"] = {
+                    "qtype8": quant.qtype8.value,
+                    "scale8": float(quant.scale8),
+                    "offset8": float(quant.offset8),
+                }
+                _atomic_npy_save(
+                    os.path.join(directory, "qcodes8.npy"),
+                    np.asarray(quant.codes8)[: quant.count],
                 )
             if quant.ids is not None:
                 _atomic_npy_save(
@@ -2903,6 +3160,20 @@ class Dataset:
                 sq_norms=csq,
                 row_scale=row_scale,
             )
+            r8 = q.get("refine")
+            codes8_path = os.path.join(directory, "qcodes8.npy")
+            if r8 and count and os.path.exists(codes8_path):
+                host8 = np.load(codes8_path, mmap_mode="r")
+                if ds._storage == "host":
+                    ds._quant.codes8 = host8  # preload() uploads on demand
+                else:
+                    cap = _next_capacity(count, ds._mesh_size)
+                    ds._quant.codes8 = ds._upload_rows_padded(
+                        host8, count, cap
+                    )
+                ds._quant.qtype8 = QuantType.from_name(r8["qtype8"])
+                ds._quant.scale8 = np.float32(r8["scale8"])
+                ds._quant.offset8 = np.float32(r8["offset8"])
         return ds
 
 

@@ -26,7 +26,10 @@ class QueryStats:
     # ICI bytes of the candidate merge on a mesh (0 single-chip): the 1-D
     # serving path's ONLY collective is two all-gathers of [B, k] — proven
     # from the compiled HLO by parallel.audit; this field surfaces the
-    # analytic volume per query (8 * devices * B * k bytes)
+    # analytic volume per query (8 * devices * B * k bytes). On 2-D
+    # (rows x dim) meshes the added per-scan psum term
+    # (4 * B * ceil(N / rows_shards) bytes) is ANALYTIC, not HLO-parsed —
+    # see timed_search.
     collective_bytes: int = 0
 
     @property
@@ -114,18 +117,21 @@ def timed_search(dataset, queries, k: int, *, exact: bool = True):
             collective_bytes_per_query,
         )
 
-        coll = collective_bytes_per_query(
-            dataset._mesh_size, q.shape[0], k
-        )
+        # NOTE: Dataset._mesh_size is the ROWS-AXIS extent on 2-D meshes
+        # (dataset.py sets it to mesh.shape[rows_axis] there, and to the
+        # total device count on 1-D meshes) — both uses below want exactly
+        # that: the candidate merge all-gathers across the rows axis (the
+        # dim replicas already agree after the psum), and the psum block is
+        # [B, N/rows_shards].
+        rows_shards = dataset._mesh_size
+        coll = collective_bytes_per_query(rows_shards, q.shape[0], k)
         if getattr(dataset, "_mesh_2d", False):
-            # 2-D meshes additionally psum the [B, N/rows] f32 partial
-            # distance block across the dim axis per scan (the documented
-            # price of dim-sharded HBM reads — parallel/audit.py's 2-D
-            # accounting; without this term the stat understated real ICI
-            # traffic by orders of magnitude on 2-D layouts)
-            coll += 4 * q.shape[0] * (
-                -(-len(dataset) // dataset._mesh_size)
-            )
+            # 2-D meshes additionally psum the [B, N/rows_shards] f32
+            # partial distance block across the dim axis per scan (the
+            # documented price of dim-sharded HBM reads). This term is
+            # ANALYTIC (parallel/audit.py's 2-D accounting), not parsed
+            # from HLO like the 1-D merge proof.
+            coll += 4 * q.shape[0] * (-(-len(dataset) // rows_shards))
     stats = QueryStats(
         wall_s=wall,
         n_rows=len(dataset),

@@ -403,7 +403,10 @@ def test_dataset_int4_quantize_and_search(rng):
 def test_dataset_int4_quantize_memory_and_lifecycle(rng):
     ds, _ = _mk(rng=rng, dim=49)
     ds.quantize(qtype="int4")
-    assert ds.quantize_memory() == 300 * (8 + 25 + 4)
+    # record stride 16 + P: rowid(8) + alpha(4) + csq(4) + packed codes —
+    # matches the persisted shadow record byte-for-byte (r5 ADVICE fix:
+    # the csq sidecar was previously omitted)
+    assert ds.quantize_memory() == 300 * (16 + 25)
     ds.drop_quantization()
     import sqlite_vector_tpu as svt
 
@@ -447,6 +450,37 @@ def test_dataset_int4_distances_stream(rng):
         DistanceMetric.L2, 48,
     )[0]
     np.testing.assert_allclose(d, want, rtol=1e-4, atol=1e-5)
+
+
+def test_dataset_int4_distances_host_storage_padded_tail(
+    rng, tmp_path, monkeypatch
+):
+    """Host-resident int4 *_stream distances tile through HBM at a FIXED
+    tile shape: the partial tail tile is padded (alpha=0/csq=0 rows) so one
+    compiled executable serves every tile and every drifting count (r5,
+    ADVICE item — each distinct tail shape previously paid a fresh XLA
+    compile). Correctness check with a tile small enough to force both a
+    full tile and a padded tail."""
+    import sqlite_vector_tpu as svt
+    from sqlite_vector_tpu import dataset as dsmod
+
+    monkeypatch.setattr(dsmod, "_I4_STREAM_TILE", 64)
+    data = rng.standard_normal((150, 24)).astype(np.float32)
+    d = str(tmp_path / "pt")
+    svt.Dataset.save_stream(
+        d, [data], options="dimension=24,type=FLOAT32,distance=L2"
+    )
+    ds = svt.Dataset.load(d, storage="host", mmap=True)
+    ds.quantize(qtype="int4")
+    got = ds.distances(data[5], exact=False)
+    assert got.shape == (150,)
+    quant = ds._quant
+    want = _expected_int4(
+        data[5:6], np.asarray(quant.codes)[:150],
+        np.asarray(quant.row_scale)[:150], np.asarray(quant.sq_norms)[:150],
+        DistanceMetric.L2, 24,
+    )[0]
+    np.testing.assert_allclose(got, want, rtol=1e-4, atol=1e-5)
 
 
 def test_dataset_int4_save_load_roundtrip(rng, tmp_path):
