@@ -38,12 +38,20 @@ from sqlite_vector_tpu.parallel.ops import (
 )
 from sqlite_vector_tpu.parallel.audit import (
     audit_sharded_scan,
+    audit_sharded_int8_scan,
+    audit_sharded_int4_scan,
+    audit_sharded_quantize_build,
+    audit_sharded_int4_quantize_build,
     collective_bytes_per_query,
     parse_collectives,
 )
 
 __all__ = [
     "audit_sharded_scan",
+    "audit_sharded_int8_scan",
+    "audit_sharded_int4_scan",
+    "audit_sharded_quantize_build",
+    "audit_sharded_int4_quantize_build",
     "collective_bytes_per_query",
     "parse_collectives",
     "sharded_int4_scan_topk",

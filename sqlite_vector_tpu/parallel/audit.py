@@ -147,3 +147,161 @@ def audit_sharded_scan(
         "analytic_merge_bytes": collective_bytes_per_query(d, batch, k),
         "n_devices": d,
     }
+
+
+def _result(mesh, cols, batch, k):
+    d = int(np.prod(list(mesh.shape.values())))
+    return {
+        "collectives": cols,
+        "total_bytes": sum(c["bytes"] for c in cols),
+        "analytic_merge_bytes": collective_bytes_per_query(d, batch, k),
+        "n_devices": d,
+    }
+
+
+def audit_sharded_int8_scan(
+    mesh, *, batch: int, k: int, n: int, dim: int, metric=None
+) -> dict:
+    """HLO collective inventory of the sharded INT8 code scan (the
+    quantized serving path on a 1-D mesh: int8 queries + row-sharded codes
+    + per-row sq-norm cache). Same merge contract as the f32 executor —
+    this proves the int8 path's collective_bytes figure instead of
+    asserting it analytically (r4 weak item 5)."""
+    import jax
+    import jax.numpy as jnp
+
+    from sqlite_vector_tpu.parallel.mesh import ROWS_AXIS
+    from sqlite_vector_tpu.parallel.ops import _sharded_scan_topk_impl
+    from sqlite_vector_tpu.types import DistanceMetric
+
+    metric = metric or DistanceMetric.L2
+    lowered = jax.jit(
+        _sharded_scan_topk_impl,
+        static_argnames=(
+            "metric", "k", "mesh", "axis", "has_sq", "has_mask",
+            "policy_vtype",
+        ),
+    ).lower(
+        jax.ShapeDtypeStruct((batch, dim), jnp.int8),
+        jax.ShapeDtypeStruct((n, dim), jnp.int8),
+        jax.ShapeDtypeStruct((n,), jnp.int32),  # sq-norm cache, row-sharded
+        jax.ShapeDtypeStruct((), jnp.int32),
+        None,
+        metric=metric,
+        k=k,
+        mesh=mesh,
+        axis=ROWS_AXIS,
+        has_sq=True,
+        has_mask=False,
+    )
+    cols = parse_collectives(lowered.compile().as_text())
+    return _result(mesh, cols, batch, k)
+
+
+def audit_sharded_int4_scan(
+    mesh, *, batch: int, k: int, n: int, dim: int, metric=None
+) -> dict:
+    """HLO collective inventory of the sharded packed-int4 scan
+    (parallel/ops.py::_sharded_int4_scan_topk_impl): f32 queries
+    (quantized in-graph per shard), row-sharded packed codes + per-row
+    alpha/csq. The packed codes must never cross the ICI — only the
+    [D, B, k] candidate merge may appear."""
+    import jax
+    import jax.numpy as jnp
+
+    from sqlite_vector_tpu.ops.quantize4 import packed_width
+    from sqlite_vector_tpu.parallel.mesh import ROWS_AXIS
+    from sqlite_vector_tpu.parallel.ops import _sharded_int4_scan_topk_impl
+    from sqlite_vector_tpu.types import DistanceMetric
+
+    metric = metric or DistanceMetric.L2
+    lowered = jax.jit(
+        _sharded_int4_scan_topk_impl,
+        static_argnames=("metric", "k", "mesh", "axis", "dim", "has_mask"),
+    ).lower(
+        jax.ShapeDtypeStruct((batch, dim), jnp.float32),
+        jax.ShapeDtypeStruct((n, packed_width(dim)), jnp.uint8),
+        jax.ShapeDtypeStruct((n,), jnp.float32),
+        jax.ShapeDtypeStruct((n,), jnp.int32),
+        jax.ShapeDtypeStruct((), jnp.int32),
+        None,
+        metric=metric,
+        k=k,
+        mesh=mesh,
+        axis=ROWS_AXIS,
+        dim=dim,
+        has_mask=False,
+    )
+    cols = parse_collectives(lowered.compile().as_text())
+    return _result(mesh, cols, batch, k)
+
+
+def audit_sharded_quantize_build(mesh, *, n: int, dim: int) -> dict:
+    """HLO collective inventory of the INT8 quantize build over a
+    row-sharded matrix: the global (min, max, any-negative) reduction
+    (ops/quantize.py::minmax_and_negative — GSPMD inserts the cross-shard
+    psums) plus the elementwise quantize kernel (which must insert NONE).
+    Expected traffic: O(1) scalars per device, never O(N) or O(N*dim)."""
+    import jax
+    import jax.numpy as jnp
+    from jax.sharding import NamedSharding, PartitionSpec
+
+    from sqlite_vector_tpu.ops.quantize import (
+        minmax_and_negative,
+        quantize_device,
+    )
+    from sqlite_vector_tpu.parallel.mesh import ROWS_AXIS
+    from sqlite_vector_tpu.types import QuantType
+
+    rows = NamedSharding(mesh, PartitionSpec(ROWS_AXIS))
+    mat = jax.ShapeDtypeStruct((n, dim), jnp.float32, sharding=rows)
+    lowered = jax.jit(
+        minmax_and_negative, static_argnames=("valid_is_full",)
+    ).lower(mat, n, valid_is_full=True)
+    cols = parse_collectives(lowered.compile().as_text())
+    lowered_q = jax.jit(
+        lambda x: quantize_device(x, 0.5, 0.0, QuantType.I8)
+    ).lower(mat)
+    cols_q = parse_collectives(lowered_q.compile().as_text())
+    d = int(np.prod(list(mesh.shape.values())))
+    return {
+        "minmax_collectives": cols,
+        "minmax_bytes": sum(c["bytes"] for c in cols),
+        "quantize_collectives": cols_q,
+        "quantize_bytes": sum(c["bytes"] for c in cols_q),
+        "n_devices": d,
+    }
+
+
+def audit_sharded_int4_quantize_build(mesh, *, n: int, dim: int) -> dict:
+    """HLO collective inventory of the INT4 quantize build over a
+    row-sharded matrix: per-row scales make the build row-local, so both
+    device stages (the per-row absmax reduce and the encode/pack pass —
+    quantize4_device's host step between them is a tiny [N] division) must
+    compile to ZERO collectives."""
+    import jax
+    import jax.numpy as jnp
+    from jax.sharding import NamedSharding, PartitionSpec
+
+    from sqlite_vector_tpu.ops.quantize4 import (
+        _absmax_device,
+        _encode_device,
+    )
+    from sqlite_vector_tpu.parallel.mesh import ROWS_AXIS
+
+    rows = NamedSharding(mesh, PartitionSpec(ROWS_AXIS))
+    rows1 = NamedSharding(mesh, PartitionSpec(ROWS_AXIS))
+    mat = jax.ShapeDtypeStruct((n, dim), jnp.float32, sharding=rows)
+    scales = jax.ShapeDtypeStruct((n,), jnp.float32, sharding=rows1)
+    cols = parse_collectives(
+        jax.jit(_absmax_device).lower(mat).compile().as_text()
+    )
+    cols += parse_collectives(
+        jax.jit(_encode_device).lower(mat, scales).compile().as_text()
+    )
+    d = int(np.prod(list(mesh.shape.values())))
+    return {
+        "collectives": cols,
+        "total_bytes": sum(c["bytes"] for c in cols),
+        "n_devices": d,
+    }

@@ -17,6 +17,10 @@ import pytest
 
 from sqlite_vector_tpu.parallel import (
     audit_sharded_scan,
+    audit_sharded_int4_quantize_build,
+    audit_sharded_int4_scan,
+    audit_sharded_int8_scan,
+    audit_sharded_quantize_build,
     collective_bytes_per_query,
     make_mesh,
     make_mesh_2d,
@@ -50,6 +54,52 @@ def test_1d_scan_merge_volume_metric_independent(metric):
     )
     assert r["total_bytes"] == collective_bytes_per_query(8, 4, 10)
     assert all(c["op"] == "all-gather" for c in r["collectives"])
+
+
+@pytest.mark.parametrize(
+    "audit", [audit_sharded_int8_scan, audit_sharded_int4_scan],
+    ids=["int8", "int4"],
+)
+def test_quantized_scan_merge_is_the_only_collective(audit):
+    """r4 weak item 5: the quantized executors' collective traffic was
+    asserted analytically. Proven from the optimized HLO here: the sharded
+    int8 AND packed-int4 scans move exactly the two [D, B, k] candidate
+    all-gathers — the codes never cross the ICI, and the merge volume
+    equals what QueryStats.collective_bytes reports."""
+    mesh = make_mesh()
+    for b, k, n in [(1, 20, 8192), (16, 5, 65536)]:
+        r = audit(mesh, batch=b, k=k, n=n, dim=64)
+        ops = sorted(c["op"] for c in r["collectives"])
+        assert ops == ["all-gather", "all-gather"], r["collectives"]
+        for c in r["collectives"]:
+            for _, dims in c["shapes"]:
+                assert dims == [8, b, k]
+        assert r["total_bytes"] == collective_bytes_per_query(8, b, k)
+
+
+def test_quantize_build_collectives_are_scalar_reductions():
+    """The int8 build's only cross-shard traffic is the global
+    (min, max, any-negative) reduction — O(devices) scalars, never
+    O(N*dim); the elementwise quantize kernel inserts NO collectives."""
+    mesh = make_mesh()
+    r = audit_sharded_quantize_build(mesh, n=65536, dim=64)
+    assert r["quantize_collectives"] == [], r["quantize_collectives"]
+    assert len(r["minmax_collectives"]) >= 1
+    for c in r["minmax_collectives"]:
+        assert c["op"] == "all-reduce"
+        # every reduced operand is scalar-ish: nothing scales with N or dim
+        for _, dims in c["shapes"]:
+            assert int(np.prod(dims)) if dims else 1 <= 8
+    assert r["minmax_bytes"] <= 4 * 8 * 3  # <= 3 f32-ish scalars per device
+
+
+def test_int4_quantize_build_is_collective_free():
+    """Per-row int4 scales are row-local: the sharded build compiles to
+    ZERO collectives (the capability matrix's 'no global pass' claim,
+    proven from the artifact)."""
+    r = audit_sharded_int4_quantize_build(make_mesh(), n=32768, dim=48)
+    assert r["collectives"] == []
+    assert r["total_bytes"] == 0
 
 
 def test_2d_scan_collectives_are_merge_plus_documented_psum():
