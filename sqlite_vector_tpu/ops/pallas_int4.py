@@ -53,14 +53,19 @@ _TILE_VMEM_BUDGET = 8 * 1024 * 1024
 
 MAX_B = 256
 MAX_K = 1024
-# Mosaic compile fence, measured on the real v5e (round 4, tools/
-# probe_int4.py): b_pad * n envelope for THIS kernel — recalibrated from
-# measurement like pallas_scan's (_COMPILE_PAIR_BOUND there). The int4
-# kernel's minima residency is half pallas_scan's at equal rows (packed
-# tiles are half the bytes), so start from the same measured bound and
-# let the probe raise it only with compile evidence.
-_COMPILE_PAIR_BOUND = 128 * 1_000_000
-_MINIMA_VMEM_BOUND = 64 * 1024 * 1024
+# Mosaic compile fences, measured on the real v5e (round 5,
+# `tools/probe_int4.py --dim 768 --envelope`, recorded in STATUS.md):
+# the MANUAL kernel streams its minima out to HBM through nbuf VMEM
+# slots, so its VMEM residency no longer scales with b_pad*n — every
+# probed config COMPILES+RUNS: (b, n) in (8,4M) (8,10M) (64,1M) (64,4M)
+# (64,10M) (128,10M) (256,1M) (256,10M), i.e. b_lane*n up to 2.56e9.
+# The fence is set to that largest MEASURED pair product (not an
+# extrapolation — the r3/r4 rule: every fence constant traceable to a
+# recorded run). The GRID variant (SVT_PALLAS_INT4_MANUAL=0) still keeps
+# the full [ntiles, B, g] minima in VMEM and retains the r4 128M bound.
+_COMPILE_PAIR_BOUND = 2_560_000_000
+_COMPILE_PAIR_BOUND_GRID = 128 * 1_000_000
+_MINIMA_VMEM_BOUND = 64 * 1024 * 1024  # grid variant only (VMEM minima)
 _FINISH_HBM_BOUND = 2 * 1024 * 1024 * 1024
 
 
@@ -124,20 +129,24 @@ def supports(
     budget = int(
         os.environ.get("SVT_PALLAS_INT4_VMEM_BUDGET", _TILE_VMEM_BUDGET)
     )
-    nbuf = (
-        int(os.environ.get("SVT_PALLAS_INT4_NBUF", "4"))
-        if os.environ.get("SVT_PALLAS_INT4_MANUAL", "1") == "1"
-        else 2
-    )
+    manual = os.environ.get("SVT_PALLAS_INT4_MANUAL", "1") == "1"
+    nbuf = int(os.environ.get("SVT_PALLAS_INT4_NBUF", "4")) if manual else 2
     if budget // (nbuf * p_pad * 3) < 256:
         return False
     if n is not None:
-        b_pad = _round_up(max(batch, 8), 8)
-        if b_pad * n > _COMPILE_PAIR_BOUND:
-            return False
         groups = -(-n // BLOCK)
-        if b_pad * groups * 4 > _MINIMA_VMEM_BOUND:
-            return False
+        if manual:
+            # the manual kernel pads queries to the 128-lane vreg width
+            # (queries live on the LANE axis — see _make_manual_kernel)
+            b_pad = _round_up(max(batch, 8), 128)
+            if b_pad * n > _COMPILE_PAIR_BOUND:
+                return False
+        else:
+            b_pad = _round_up(max(batch, 8), 8)
+            if b_pad * n > _COMPILE_PAIR_BOUND_GRID:
+                return False
+            if b_pad * groups * 4 > _MINIMA_VMEM_BOUND:
+                return False
         kg = min(k, groups)
         # finish gathers packed candidates: [b, kg*BLOCK, P] u8 + the
         # unpacked int8 image
@@ -246,7 +255,8 @@ def _make_kernel(metric: DistanceMetric, tile_n: int, p_pad: int):
 
 
 def _make_manual_kernel(
-    metric: DistanceMetric, tile_n: int, ntiles: int, p_pad: int, nbuf: int
+    metric: DistanceMetric, tile_n: int, ntiles: int, p_pad: int, nbuf: int,
+    b_pad_static: int,
 ):
     """Manual multi-buffered DMA variant (pallas guide double-buffering
     pattern; same rationale as pallas_scan's: Mosaic's automatic grid
@@ -255,16 +265,27 @@ def _make_manual_kernel(
     int8's 6.6 ms at 1M x 384/B=1 in the same run). One invocation loops
     over all row tiles; packed tiles and their [2, TILE_N] aux slices
     (row 0 = alpha, row 1 = csq as f32 — exact below 2^24) stream through
-    nbuf VMEM slots."""
+    nbuf VMEM slots; per-tile minima stream OUT to HBM through nbuf
+    [B, g] slots (r5: the VMEM-resident [ntiles, B, g] output bounded the
+    compile envelope at large b_pad*n)."""
 
     def kernel(valid_ref, qc_ref, qs_ref, qsum_ref, base_hbm, aux_hbm,
-               mins_ref):
-        qc = qc_ref[:].astype(jnp.bfloat16)
-        b_pad = qc.shape[0]
-        qs_col = qs_ref[:]
-        qsum8 = qsum_ref[:]
+               mins_hbm):
+        # TRANSPOSED orientation (r5): queries on the LANE axis (b_lane,
+        # a 128 multiple), rows on sublanes. Mosaic requires VMEM slice
+        # lane widths 128-aligned, so the streamed-out minima slot must be
+        # [g_tile, b_lane] — the [B, g_tile] orientation (g_tile = 16 at
+        # tile 2048) cannot be sliced. The dot becomes [T, P] x [b_lane, P]
+        # -> [T, b_lane]: identical MXU passes (the array is 128 lanes wide
+        # either way), and the BLOCK-min is a sublane reduction.
+        qc = qc_ref[:].astype(jnp.bfloat16)  # [b_lane, 2*p_pad] int8 codes
+        b_lane = qc.shape[0]
+        qs_row = qs_ref[:]  # [1, b_lane]
+        qsum8 = qsum_ref[:]  # [1, b_lane]
+        g_tile = tile_n // BLOCK
 
-        def body(scratch, aux_scratch, sems, aux_sems):
+        def body(scratch, aux_scratch, mins_scratch, sems, aux_sems,
+                 out_sems):
             def tile_dma(slot, idx):
                 return pltpu.make_async_copy(
                     base_hbm.at[pl.ds(idx * tile_n, tile_n), :],
@@ -277,6 +298,17 @@ def _make_manual_kernel(
                     aux_hbm.at[:, pl.ds(idx * tile_n, tile_n)],
                     aux_scratch.at[slot],
                     aux_sems.at[slot],
+                )
+
+            def out_dma(slot, idx):
+                # minima stream OUT to HBM through the same nbuf slots —
+                # keeping the full [ntiles, ...] output in VMEM was the
+                # compile-envelope binder at large b_pad*n (r4 VERDICT
+                # item 1: "block the minima output to HBM")
+                return pltpu.make_async_copy(
+                    mins_scratch.at[slot],
+                    mins_hbm.at[idx],
+                    out_sems.at[slot],
                 )
 
             for i in range(min(nbuf - 1, ntiles)):
@@ -296,29 +328,54 @@ def _make_manual_kernel(
                 aux_dma(slot, i).wait()
                 lo, hi = _unpack_planes(scratch[slot])
                 aux = aux_scratch[slot]  # [2, TILE_N] f32
-                dot = _plane_dot(qc, qsum8, lo, hi, p_pad)
-                s = _surrogate_block(
-                    qc, qs_col, dot, aux[0:1, :], aux[1:2, :], metric
+                # [T, b_lane] dot: one MXU pass per nibble plane
+                dn = (((1,), (1,)), ((), ()))
+                dot = jax.lax.dot_general(
+                    lo, qc[:, :p_pad], dimension_numbers=dn,
+                    preferred_element_type=jnp.float32,
                 )
+                dot = dot + jax.lax.dot_general(
+                    hi, qc[:, p_pad:], dimension_numbers=dn,
+                    preferred_element_type=jnp.float32,
+                )
+                dot = dot - qsum8
+                s = _surrogate_block(
+                    qc, qs_row, dot, aux[0, :].reshape(tile_n, 1),
+                    aux[1, :].reshape(tile_n, 1), metric
+                )  # [T, b_lane]
                 start = i * tile_n
                 iota_n = jax.lax.broadcasted_iota(
-                    jnp.int32, (b_pad, tile_n), 1
+                    jnp.int32, (tile_n, b_lane), 0
                 )
                 keep = (start + iota_n < valid_ref[0, 0]) & ~jnp.isnan(s)
                 s = jnp.where(keep, s, jnp.inf)
-                mins_ref[i] = jnp.min(
-                    s.reshape(b_pad, tile_n // BLOCK, BLOCK), axis=-1
+
+                # the copy issued nbuf iterations ago must land before the
+                # slot is overwritten
+                @pl.when(i >= nbuf)
+                def _():
+                    out_dma(slot, i - nbuf).wait()
+
+                mins_scratch[slot] = jnp.min(
+                    s.reshape(g_tile, BLOCK, b_lane), axis=1
                 )
+                out_dma(slot, i).start()
                 return carry
 
             jax.lax.fori_loop(0, ntiles, loop, 0)
+            # drain the last <= nbuf in-flight output copies
+            for j in range(max(0, ntiles - nbuf), ntiles):
+                out_dma(j % nbuf, j).wait()
 
         pl.run_scoped(
             body,
             scratch=pltpu.VMEM((nbuf, tile_n, p_pad), jnp.uint8),
             aux_scratch=pltpu.VMEM((nbuf, 2, tile_n), jnp.float32),
+            mins_scratch=pltpu.VMEM((nbuf, g_tile, b_pad_static),
+                                    jnp.float32),
             sems=pltpu.SemaphoreType.DMA((nbuf,)),
             aux_sems=pltpu.SemaphoreType.DMA((nbuf,)),
+            out_sems=pltpu.SemaphoreType.DMA((nbuf,)),
         )
 
     return kernel
@@ -350,7 +407,11 @@ def _int4_block_minima_manual(
     # row-pair packing layout would remove it at the cost of a second
     # device-side code layout (STATUS.md round-4 notes).
     p_pad = _round_up(p, 128)
-    b_pad = _round_up(max(b, 8), 8)
+    # queries live on the LANE axis in the transposed kernel (see
+    # _make_manual_kernel), so pad to the full 128-lane vreg width: the MXU
+    # and VPU process 128 lanes per pass regardless, so b < 128 costs the
+    # same as 128 — the padding buys the aligned minima slice for free
+    b_lane = _round_up(max(b, 8), 128)
     nbuf = int(os.environ.get("SVT_PALLAS_INT4_NBUF", "4"))
     tile_n = _tile_rows(p_pad, nbuf)
     n_pad = _round_up(max(n, tile_n), tile_n)
@@ -364,9 +425,9 @@ def _int4_block_minima_manual(
     )
     qperm = _permute_query(qf, dim, p_pad)
     qc, qscale, _ = quantize_query_int8(qperm)
-    if b_pad != b:
-        qc = jnp.pad(qc, ((0, b_pad - b), (0, 0)))
-        qscale = jnp.pad(qscale, (0, b_pad - b))
+    if b_lane != b:
+        qc = jnp.pad(qc, ((0, b_lane - b), (0, 0)))
+        qscale = jnp.pad(qscale, (0, b_lane - b))
     if p_pad != p or n_pad != n:
         packed = jnp.pad(
             packed, ((0, n_pad - n), (0, p_pad - p)), constant_values=0x88
@@ -378,14 +439,16 @@ def _int4_block_minima_manual(
     # 1-D ones; csq is exact in f32 below 2^24 (dim <= ~342k at code^2<=49)
     aux = jnp.stack([alpha, csq.astype(jnp.float32)], axis=0)
     valid_arr = jnp.asarray(valid, jnp.int32).reshape(1, 1)
-    qs_col = qscale.reshape(b_pad, 1)
+    qs_col = qscale.reshape(1, b_lane)
     # epilogue bias for the no-subtract unpack (see _unpack_planes):
     # 8 * sum(qc) per query, exact in f32 (<= 8*127*2*P_pad < 2^24)
     qsum8 = (
         8.0 * jnp.sum(qc.astype(jnp.int32), axis=1).astype(jnp.float32)
-    ).reshape(b_pad, 1)
+    ).reshape(1, b_lane)
 
-    kernel = _make_manual_kernel(metric, tile_n, ntiles, p_pad, nbuf)
+    kernel = _make_manual_kernel(
+        metric, tile_n, ntiles, p_pad, nbuf, b_lane
+    )
     minima = pl.pallas_call(
         kernel,
         in_specs=[
@@ -396,12 +459,16 @@ def _int4_block_minima_manual(
             pl.BlockSpec(memory_space=pl.ANY),  # packed stays in HBM
             pl.BlockSpec(memory_space=pl.ANY),  # aux stays in HBM
         ],
-        out_specs=pl.BlockSpec(memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((ntiles, b_pad, g_tile), jnp.float32),
+        out_specs=pl.BlockSpec(memory_space=pl.ANY),  # minima stay in HBM
+        out_shape=jax.ShapeDtypeStruct(
+            (ntiles, g_tile, b_lane), jnp.float32
+        ),
         compiler_params=pltpu.CompilerParams(has_side_effects=True),
         interpret=interpret,
     )(valid_arr, qc, qs_col, qsum8, packed, aux)
-    return jnp.moveaxis(minima, 0, 1).reshape(b_pad, ntiles * g_tile)
+    return jnp.transpose(minima, (2, 0, 1)).reshape(
+        b_lane, ntiles * g_tile
+    )
 
 
 def _permute_query(qf: jnp.ndarray, dim: int, p_pad: int) -> jnp.ndarray:

@@ -293,9 +293,28 @@ def test_pallas_int4_supports_fences():
     assert not pallas_int4.supports(
         DistanceMetric.L2, 384, 20, 512, 1_000_000
     )  # batch > MAX_B
+    # the r5 envelope (tools/probe_int4.py --envelope on the v5e, recorded
+    # in STATUS.md): every (b, n) with b_lane*n <= 2.56e9 COMPILES+RUNS —
+    # including the previously-fenced batched regime (64, 10M) and the
+    # largest probed config (256, 10M). The fence sits AT the largest
+    # measured product, so configs inside it pass and anything beyond the
+    # evidence routes to the XLA loop.
+    assert pallas_int4.supports(DistanceMetric.L2, 768, 20, 64, 10_000_000)
+    assert pallas_int4.supports(DistanceMetric.L2, 768, 20, 256, 10_000_000)
     assert not pallas_int4.supports(
-        DistanceMetric.L2, 384, 20, 256, 100_000_000
-    )  # b_pad * n beyond the measured compile envelope
+        DistanceMetric.L2, 768, 20, 256, 11_000_000
+    )  # b_lane * n beyond the measured compile envelope
+    import os
+
+    os.environ["SVT_PALLAS_INT4_MANUAL"] = "0"
+    try:
+        # the GRID variant keeps minima in VMEM; its r4 bounds still apply
+        assert not pallas_int4.supports(
+            DistanceMetric.L2, 768, 20, 64, 10_000_000
+        )
+        assert pallas_int4.supports(DistanceMetric.L2, 384, 20, 8, 1_000_000)
+    finally:
+        os.environ.pop("SVT_PALLAS_INT4_MANUAL")
     # UNCLAMPED tile budget (r4 review: the clamped helper made this check
     # vacuous — a dim whose minimum 256-row tile exceeds VMEM must route
     # to the XLA loop, not crash Mosaic with a ~300 MB scratch)

@@ -17,8 +17,11 @@ Usage: python tools/probe_int4.py [--n 1000000] [--dim 384] [--envelope]
 """
 
 import argparse
+import os
 import sys
 import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 import numpy as np
 
@@ -175,7 +178,8 @@ def main():
         from sqlite_vector_tpu.ops import pallas_int4
 
         for b, nn in [(8, 4_000_000), (8, 10_000_000), (64, 1_000_000),
-                      (64, 4_000_000), (256, 1_000_000)]:
+                      (64, 4_000_000), (64, 10_000_000), (128, 10_000_000),
+                      (256, 1_000_000), (256, 10_000_000)]:
             if nn * ((dim + 1) // 2) > 6_000_000_000:
                 log(f"envelope b={b} n={nn}: skipped (exceeds HBM headroom)")
                 continue

@@ -19,8 +19,11 @@ Usage: python tools/probe_int4_batched.py [--n 10000000] [--dim 768]
 """
 
 import argparse
+import os
 import sys
 import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 import numpy as np
 

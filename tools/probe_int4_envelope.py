@@ -13,8 +13,11 @@ Usage: python tools/probe_int4_envelope.py [--dim 768] [--configs b:n ...]
 """
 
 import argparse
+import os
 import sys
 import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 
 def log(msg):
