@@ -27,6 +27,7 @@ import dataclasses
 import functools
 import json
 import os
+import time
 from typing import Any, Sequence
 
 import jax
@@ -338,6 +339,10 @@ class Dataset:
         self._dead = np.zeros((0,), dtype=bool)
         self._n_dead = 0
         self._live_np: np.ndarray | None = None  # cached ~dead[:count]
+        # per-stage timing of the most recent mode="rerank" call (None
+        # until one runs; the fused device path reports all time under
+        # stage1_s — it has no host legs)
+        self.last_rerank_decomposition: dict | None = None
         self._live_dev: tuple | None = None  # (mask, cap, device mask) cache
         # bumped (under the lock) by every row mutation; quantize() snapshots
         # it so a mutation landing during the lock-free code build marks the
@@ -1764,7 +1769,8 @@ class Dataset:
                     q.astype(np.float32), quant.scale, quant.offset, quant.qtype
                 )
             )
-            return rerank_topk(
+            t0 = time.perf_counter()
+            vals, idx = rerank_topk(
                 self._put_query(q.astype(np.float32)),
                 vecs,
                 self._put_query(qq),
@@ -1775,10 +1781,23 @@ class Dataset:
                 valid_count=quant.count,
                 codes_sq_norms=quant.sq_norms,
             )
+            self.last_rerank_decomposition = {
+                "batch": q.shape[0],
+                "k": k,
+                "expand": expand,
+                "stage1_s": time.perf_counter() - t0,  # fused: one dispatch
+                "translate_s": 0.0,
+                "host_gather_s": 0.0,
+                "rescore_s": 0.0,
+                "gathered_rows": 0,
+            }
+            return vals, idx
 
         ke = max(k * expand, k)
+        t0 = time.perf_counter()
         _, idx = self._search_quantized(q, ke, mask, quant=quant)
         idx = np.asarray(idx)
+        t1 = time.perf_counter()
         b = q.shape[0]
         out_vals = np.full((b, k), np.inf, np.float32)
         out_idx = np.full((b, k), -1, np.int32)
@@ -1787,19 +1806,47 @@ class Dataset:
         # CURRENT row positions via ids (rows may have moved/been removed).
         # The id->position map and the host matrix it indexes must come from
         # the same generation — a concurrent compaction swaps both — so the
-        # (cheap, O(k*expand)-row) host rescore runs under the mutation lock.
+        # (cheap, O(B*k*expand)-row) host rescore runs under the mutation
+        # lock.
         with self._mutate_lock:
             qids = self._quant_id_map(quant)
             live = self._id_to_pos()
-            for bi in range(b):
-                qpos = idx[bi][idx[bi] >= 0]
-                cand_pos = np.asarray(
-                    [live[int(qids[p])] for p in qpos if int(qids[p]) in live],
+            # translate the whole batch at once, then gather each UNIQUE
+            # candidate row exactly once (r5: the per-query loop issued up
+            # to B*ke separate mmap reads; batch neighbors overlap heavily
+            # on clustered data, and sorted-unique reads are page-cache
+            # friendly on the >HBM mmap path)
+            flat = idx.reshape(-1)
+            ok = flat >= 0
+            pos = np.full(flat.shape, -1, np.int64)
+            if ok.any():
+                cand_ids = np.asarray(qids)[flat[ok]]
+                pos[ok] = np.fromiter(
+                    (live.get(int(i), -1) for i in cand_ids),
                     np.int64,
+                    count=len(cand_ids),
                 )
-                if cand_pos.size == 0:
+            pos = pos.reshape(b, ke)
+            t2 = time.perf_counter()
+            keep_any = pos >= 0
+            if keep_any.any():
+                uniq, inv = np.unique(pos[keep_any], return_inverse=True)
+                gathered = np.asarray(
+                    self._host_vectors[uniq], dtype=np.float32
+                )  # [U, d] — the ONE host gather for the whole batch
+            else:
+                uniq = np.zeros((0,), np.int64)
+                gathered = np.zeros((0, self.dimension), np.float32)
+            t3 = time.perf_counter()
+            row_of = np.zeros(pos.shape, np.int64)
+            if keep_any.any():
+                row_of[keep_any] = inv
+            for bi in range(b):
+                kb = keep_any[bi]
+                if not kb.any():
                     continue
-                cand = self._host_vectors[cand_pos].astype(np.float32)
+                cand_pos = pos[bi][kb]
+                cand = gathered[row_of[bi][kb]]
                 d = oracle.snap_zero(
                     oracle.distance(qf[bi], cand, self.metric, VectorType.F32)
                 )
@@ -1812,6 +1859,23 @@ class Dataset:
                 order = np.argsort(d, kind="stable")[:k]
                 out_vals[bi, : len(order)] = d[order]
                 out_idx[bi, : len(order)] = cand_pos[order]
+        t4 = time.perf_counter()
+        # per-stage decomposition for the LAST rerank call (read by bench.py
+        # for the batched-rerank headline; the fused single-dispatch path
+        # reports everything under stage1): stage-1 includes the dispatch
+        # RTT — the device-only share is visible in the quantized-scan bench
+        # lines, and the split here prices the host legs the fused path
+        # avoids.
+        self.last_rerank_decomposition = {
+            "batch": b,
+            "k": k,
+            "expand": expand,
+            "stage1_s": t1 - t0,
+            "translate_s": t2 - t1,
+            "host_gather_s": t3 - t2,
+            "rescore_s": t4 - t3,
+            "gathered_rows": int(uniq.size),
+        }
         return out_vals, out_idx
 
     def _search_refine(
