@@ -75,7 +75,18 @@ def _int4_refine_topk_impl(
     # plain exact f32 math against the original query
     xhat = cand.astype(jnp.float32) / scale8 + offset8
     qf = queries_f.astype(jnp.float32)
-    d = candidate_distances(qf, xhat, metric)
+    if metric in (DistanceMetric.L2, DistanceMetric.SQUARED_L2):
+        # direct (q - xhat)^2 sum, not the qsq+csq-2*dot decomposition the
+        # scan paths use: at k*expand candidate rows the diff cube is tiny
+        # (VPU work, no MXU needed) and the direct form carries NO
+        # cancellation error — the decomposition loses ~16*eps*(|q|^2+|x|^2)
+        # absolute at near-zero distances (measured 0.5% relative on u8
+        # data, r5 fuzz seed 35), which would break refine's
+        # "exact at int8 fidelity" contract
+        diff = qf[:, None, :] - xhat
+        d = jnp.sum(diff * diff, axis=-1)
+    else:
+        d = candidate_distances(qf, xhat, metric)
     d = jnp.where(jnp.abs(d) <= NEARLY_ZERO, 0.0, d)
     d = jnp.where(jnp.isnan(d), jnp.inf, d)
     d = jnp.where(cand_idx >= 0, d, jnp.inf)

@@ -89,6 +89,10 @@ def test_api_op_sequences(tmp_path, seed):
     # int4 seeds: the 4-bit pipeline (r4, beyond the reference) rides the
     # same mutation/persistence churn; rejected on 2-D meshes by contract
     use_int4 = seed % 4 == 3 and seed % 3 != 1
+    # refine seeds (r5): the int8 sidecar + device-side two-stage search.
+    # Single-chip + device-resident codes by contract (quantize() rejects
+    # meshes; search(mode='refine') rejects host-resident codes)
+    use_refine = use_int4 and mesh is None and storage == "hbm"
     ds = svt.Dataset(
         f"api{seed}",
         svt.parse_options(
@@ -137,6 +141,8 @@ def test_api_op_sequences(tmp_path, seed):
             kw = {}
         if use_int4:
             kw["qtype"] = "int4"
+            if use_refine:
+                kw["refine"] = True
         assert ds.quantize(**kw) == len(state)
         qsnap = dict(state)
 
@@ -260,6 +266,46 @@ def test_api_op_sequences(tmp_path, seed):
                     f"api-rerank seed={seed}: unsorted values"
                 )
                 prev = rv
+
+        # refine: with expand covering the WHOLE snapshot the int4
+        # prefilter is exhaustive, so refine's top-k must be the exact
+        # top-k of the int8-dequantized snapshot rows — full set+value
+        # parity against the mirrored sidecar quantization (r5). Non-finite
+        # seeds skip (refine reroutes to exact there, covered above).
+        if qsnap and use_refine and not inject:
+            quant = ds._quant
+            if quant is not None and quant.codes8 is not None:
+                r_ids_all = np.array(sorted(qsnap), np.int64)
+                rbase = np.stack(
+                    [qsnap[i] for i in r_ids_all]
+                ).astype(np.float32)
+                c8 = oracle.quantize(
+                    rbase, np.float32(quant.scale8),
+                    np.float32(quant.offset8), quant.qtype8,
+                )
+                xhat = (
+                    c8.astype(np.float32) / np.float32(quant.scale8)
+                    + np.float32(quant.offset8)
+                )
+                rd = oracle.snap_zero(
+                    oracle.distance(
+                        np.asarray(q, np.float32)[None], xhat, metric,
+                        VectorType.F32,
+                    )[0]
+                )
+                expand_all = -(-len(r_ids_all) // k) + 1
+                g_ids, g_vals = ds.search(
+                    q, k, mode="refine", expand=expand_all
+                )
+                assert_topk_parity(
+                    r_ids_all, rd,
+                    np.pad(np.asarray(g_ids, np.int64),
+                           (0, k - len(g_ids)), constant_values=-1),
+                    np.pad(np.asarray(g_vals, np.float64),
+                           (0, k - len(g_vals)), constant_values=np.inf),
+                    k, rel_tol=max(rel_tol, 1e-5),
+                    label=f"api-refine seed={seed}",
+                )
 
         # filtered search stays within the filter and finds the best member
         if len(ids_all) >= 4:
