@@ -891,14 +891,21 @@ def bench_10m(args):
 
         q4dir = os.path.join(cache_dir, "quant4")
         t0 = time.time()
-        ds.quantize(qtype="int4", checkpoint=q4dir)  # chunked; resumes
+        # refine=True adds the int8 sidecar (one more chunked host pass,
+        # checkpointed in refine8.npy) for the device-side two-stage
+        # mode="refine" line below
+        ds.quantize(qtype="int4", checkpoint=q4dir, refine=True)
         log(f"[10m] int4 quantize (checkpoint-cached): {time.time()-t0:.1f}s")
         t0 = time.time()
         ds.preload()
         jax.block_until_ready(ds._quant.codes)
         quant = ds._quant
         packed_bytes = quant.codes.shape[1] * n
-        log(f"[10m] int4 preload ({packed_bytes/1e9:.1f} GB packed): "
+        sidecar_bytes = (
+            quant.codes8.shape[1] * n if quant.codes8 is not None else 0
+        )
+        log(f"[10m] int4 preload ({packed_bytes/1e9:.1f} GB packed "
+            f"+ {sidecar_bytes/1e9:.1f} GB int8 refine sidecar): "
             f"{time.time()-t0:.0f}s")
         hbm_gbs = device_stream_gbs()
         Mq = 8
@@ -924,6 +931,7 @@ def bench_10m(args):
         one_rerank4()
         rr_s = median_time(one_rerank4, 5)
         r_ids, r_dist = ds.search(q, k, mode="rerank")
+        qs8 = truth = None
         if got is not None:
             recall4 = len(set(r_ids.tolist()) & set(got.tolist())) / k
             recall4_direct = None
@@ -1040,6 +1048,81 @@ def bench_10m(args):
                 "(vs_baseline = int4 speedup over int8 per query; the "
                 "B=1 regime is MXU-row-bound and shows no byte win — "
                 "see STATUS r4)",
+            )
+        # ---- mode="refine": int4 prefilter + int8-sidecar rescore in ONE
+        # device dispatch — no host round trip, exact-int8-quality recall
+        # at packed-scan bytes (r5; beyond the reference's single-stage
+        # approx path, src/sqlite-vector.c:2159-2236)
+        if quant.codes8 is not None and not over_budget("10m refine"):
+            import jax.numpy as jnp
+
+            from sqlite_vector_tpu.ops.refine import int4_refine_topk
+
+            scale8, offset8 = quant.scale8, quant.offset8
+            Mr = 8
+
+            @jax.jit
+            def chr4(qs, pk, al, cs, c8):
+                def body(c, qrow):
+                    vals, idx = int4_refine_topk(
+                        qrow[None] + c * 0, pk, al, cs, c8,
+                        scale8, offset8, DistanceMetric.L2, k,
+                        dim=dim, valid_count=quant.count,
+                    )
+                    return vals[0, 0], vals[0, 0]
+
+                _, outs = jax.lax.scan(
+                    body, jnp.float32(0), qs
+                )
+                return outs
+
+            qr_dev = jax.device_put(np.repeat(q[None], Mr, 0))
+            np.asarray(chr4(
+                qr_dev, quant.codes, quant.row_scale, quant.sq_norms,
+                quant.codes8,
+            ))  # compile
+            rf_t = 1e9
+            for _ in range(3):
+                t0 = time.perf_counter()
+                np.asarray(chr4(
+                    qr_dev, quant.codes, quant.row_scale, quant.sq_norms,
+                    quant.codes8,
+                ))
+                rf_t = min(rf_t, (time.perf_counter() - t0) / Mr)
+
+            # e2e single query + recall@k against the same ground truth as
+            # the direct/rerank lines
+            ds.search(q, k, mode="refine")  # warm the e2e path
+            rf_e2e = median_time(lambda: ds.search(q, k, mode="refine"), 5)
+            if truth is not None:
+                rf_ids, _ = ds.search(qs8, k, mode="refine")
+                recall_rf = float(np.mean(
+                    [len(set(rf_ids[i].tolist()) & truth[i]) / k
+                     for i in range(len(truth))]
+                ))
+            elif got is not None:
+                rf_ids, _ = ds.search(q, k, mode="refine")
+                recall_rf = len(set(rf_ids.tolist()) & set(got.tolist())) / k
+            else:
+                recall_rf = None
+            log(f"[10m] refine (device-side int4->int8 two-stage): "
+                f"{rf_t*1e3:.2f} ms device, {rf_e2e*1e3:.1f} ms e2e"
+                + (f", recall@{k} {recall_rf:.3f}"
+                   if recall_rf is not None else ""))
+            emit(
+                f"refine_ms_{n//1000000}mx{dim}",
+                rf_t * 1e3,
+                "ms_device_side",
+                (recall_rf or 0.0),
+                e2e_ms=round(rf_e2e * 1e3, 2),
+                recall_at_k=(
+                    round(recall_rf, 3) if recall_rf is not None else None
+                ),
+                hbm_bytes=packed_bytes + sidecar_bytes,
+                baseline="recall@k vs host-exact ground truth "
+                "(vs_baseline = recall; target >= 0.95 at int8-resident "
+                "quality with NO host round trip — the int4 capacity "
+                "story standing on its own)",
             )
         ds.drop_quantization()
         gc.collect()
@@ -1171,6 +1254,45 @@ def bench_10m(args):
             "the sustained streamed rate when measured this run, else the "
             "transport-ceiling probe; r2 measured recall 1.000 across "
             "three full streamed runs)",
+        )
+
+        # ---- B=64 batched rerank with the full stage decomposition (r5):
+        # DISTINCT queries (rows sampled across the dataset) so the
+        # candidate sets don't collapse to one gather — the host-gather leg
+        # is priced at its real unique-row volume.
+        if over_budget("10m batched rerank"):
+            return
+        B64 = 64
+        qb = np.stack([
+            np.asarray(ds._host_vectors[r], dtype=np.float32)
+            for r in np.linspace(0, n - 1, B64, dtype=np.int64)
+        ])
+        ds.search(qb, k, mode="rerank")  # warm (stage-1 compile at B=64)
+        rb_s = median_time(lambda: ds.search(qb, k, mode="rerank"), 3)
+        dc = ds.last_rerank_decomposition or {}
+        log(f"[10m] rerank batched B={B64}: {rb_s*1e3:.1f} ms "
+            f"({rb_s/B64*1e3:.3f} ms/q) = stage1 "
+            f"{dc.get('stage1_s', 0)*1e3:.1f} + translate "
+            f"{dc.get('translate_s', 0)*1e3:.1f} + gather "
+            f"{dc.get('host_gather_s', 0)*1e3:.1f} + rescore "
+            f"{dc.get('rescore_s', 0)*1e3:.1f} ms "
+            f"({dc.get('gathered_rows', 0)} unique rows gathered)")
+        emit(
+            f"rerank_batched_ms_per_query_{n//1000000}mx{dim}",
+            rb_s / B64 * 1e3,
+            "ms_per_query_b64",
+            (rerank_s / (rb_s / B64)) if rerank_s else 0.0,
+            batch=B64,
+            e2e_ms=round(rb_s * 1e3, 2),
+            stage1_device_ms=round(dc.get("stage1_s", 0.0) * 1e3, 2),
+            translate_ms=round(dc.get("translate_s", 0.0) * 1e3, 2),
+            host_gather_ms=round(dc.get("host_gather_s", 0.0) * 1e3, 2),
+            rescore_ms=round(dc.get("rescore_s", 0.0) * 1e3, 2),
+            gathered_rows=int(dc.get("gathered_rows", 0)),
+            baseline="the B=1 rerank of the same run (vs_baseline = "
+            "per-query speedup from batching; stage1 includes the "
+            "dispatch RTT, the other legs are host-side — exact-quality "
+            "results at every stage)",
         )
 
     # Section order (budget-gated): the f32-resident roofline is the
