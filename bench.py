@@ -892,9 +892,12 @@ def bench_10m(args):
         q4dir = os.path.join(cache_dir, "quant4")
         t0 = time.time()
         # refine=True adds the int8 sidecar (one more chunked host pass,
-        # checkpointed in refine8.npy) for the device-side two-stage
-        # mode="refine" line below
-        ds.quantize(qtype="int4", checkpoint=q4dir, refine=True)
+        # checkpointed, plus a 7.68 GB preload upload) for the device-side
+        # two-stage mode="refine" line below — skip the whole sidecar when
+        # the budget is already gone so the int4 scan lines aren't starved
+        # behind an upload whose consumer would be budget-cut anyway
+        want_refine = not over_budget("10m refine sidecar")
+        ds.quantize(qtype="int4", checkpoint=q4dir, refine=want_refine)
         log(f"[10m] int4 quantize (checkpoint-cached): {time.time()-t0:.1f}s")
         t0 = time.time()
         ds.preload()
@@ -988,11 +991,12 @@ def bench_10m(args):
             "kernel could stream; packed_gbs is the physical rate",
         )
 
-        # ---- B=64 batched: where the 4-bit bandwidth win physically lives.
-        # B=1 scans pad to 8 MXU rows and are compute-bound (~56 ms at 10M
-        # regardless of implementation or code bytes — STATUS r4); at B=64
-        # the MXU fills, the scan returns to memory-bound, and halved bytes
-        # become halved time (measured 1.46x over int8 this config).
+        # ---- B=64 batched: where the 4-bit win physically lives. Since r5
+        # the lane-major Pallas kernel (HBM-streamed minima, int8-MXU plane
+        # dot) covers this regime: measured 0.67 ms/q vs the XLA int4
+        # loop's 0.81 and int8's 0.81-1.11 same-batch at 10Mx768. The
+        # residual gap to the 2x byte ratio is the i32-domain VPU nibble
+        # unpack, measured structural on this toolchain (STATUS r5 table).
         if not over_budget("10m int4 batched"):
             import jax.numpy as jnp
 

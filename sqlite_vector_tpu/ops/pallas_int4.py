@@ -256,7 +256,7 @@ def _make_kernel(metric: DistanceMetric, tile_n: int, p_pad: int):
 
 def _make_manual_kernel(
     metric: DistanceMetric, tile_n: int, ntiles: int, p_pad: int, nbuf: int,
-    b_pad_static: int,
+    b_pad_static: int, i8dot: bool,
 ):
     """Manual multi-buffered DMA variant (pallas guide double-buffering
     pattern; same rationale as pallas_scan's: Mosaic's automatic grid
@@ -278,10 +278,15 @@ def _make_manual_kernel(
         # tile 2048) cannot be sliced. The dot becomes [T, P] x [b_lane, P]
         # -> [T, b_lane]: identical MXU passes (the array is 128 lanes wide
         # either way), and the BLOCK-min is a sublane reduction.
-        qc = qc_ref[:].astype(jnp.bfloat16)  # [b_lane, 2*p_pad] int8 codes
+        # i8dot: feed the MXU int8 x int8 -> int32 (2x the bf16 MXU rate on
+        # v5e, and the unpack stays in narrow vregs); bf16 is the fallback
+        # for toolchains where the i32->i8 cast fails to legalize
+        qc = (
+            qc_ref[:] if i8dot else qc_ref[:].astype(jnp.bfloat16)
+        )  # [b_lane, 2*p_pad] int8 codes
         b_lane = qc.shape[0]
         qs_row = qs_ref[:]  # [1, b_lane]
-        qsum8 = qsum_ref[:]  # [1, b_lane]
+        qsum8 = qsum_ref[:]  # [1, b_lane] (i32 when i8dot, f32 otherwise)
         g_tile = tile_n // BLOCK
 
         def body(scratch, aux_scratch, mins_scratch, sems, aux_sems,
@@ -326,19 +331,27 @@ def _make_manual_kernel(
 
                 tile_dma(slot, i).wait()
                 aux_dma(slot, i).wait()
-                lo, hi = _unpack_planes(scratch[slot])
                 aux = aux_scratch[slot]  # [2, TILE_N] f32
                 # [T, b_lane] dot: one MXU pass per nibble plane
                 dn = (((1,), (1,)), ((), ()))
+                if i8dot:
+                    p32 = scratch[slot].astype(jnp.int32)
+                    lo = (p32 & 15).astype(jnp.int8)
+                    hi = (p32 >> 4).astype(jnp.int8)
+                    acc = jnp.int32
+                else:
+                    lo, hi = _unpack_planes(scratch[slot])
+                    acc = jnp.float32
                 dot = jax.lax.dot_general(
                     lo, qc[:, :p_pad], dimension_numbers=dn,
-                    preferred_element_type=jnp.float32,
+                    preferred_element_type=acc,
                 )
                 dot = dot + jax.lax.dot_general(
                     hi, qc[:, p_pad:], dimension_numbers=dn,
-                    preferred_element_type=jnp.float32,
+                    preferred_element_type=acc,
                 )
-                dot = dot - qsum8
+                # exact below 2^24 either way (|dot| <= 15*127*2*P_pad)
+                dot = (dot - qsum8).astype(jnp.float32)
                 s = _surrogate_block(
                     qc, qs_row, dot, aux[0, :].reshape(tile_n, 1),
                     aux[1, :].reshape(tile_n, 1), metric
@@ -441,13 +454,14 @@ def _int4_block_minima_manual(
     valid_arr = jnp.asarray(valid, jnp.int32).reshape(1, 1)
     qs_col = qscale.reshape(1, b_lane)
     # epilogue bias for the no-subtract unpack (see _unpack_planes):
-    # 8 * sum(qc) per query, exact in f32 (<= 8*127*2*P_pad < 2^24)
-    qsum8 = (
-        8.0 * jnp.sum(qc.astype(jnp.int32), axis=1).astype(jnp.float32)
-    ).reshape(1, b_lane)
+    # 8 * sum(qc) per query, exact in f32/i32 (<= 8*127*2*P_pad < 2^24)
+    i8dot = os.environ.get("SVT_PALLAS_INT4_I8DOT", "1") == "1"
+    qsum8 = (8 * jnp.sum(qc.astype(jnp.int32), axis=1)).reshape(1, b_lane)
+    if not i8dot:
+        qsum8 = qsum8.astype(jnp.float32)
 
     kernel = _make_manual_kernel(
-        metric, tile_n, ntiles, p_pad, nbuf, b_lane
+        metric, tile_n, ntiles, p_pad, nbuf, b_lane, i8dot
     )
     minima = pl.pallas_call(
         kernel,
