@@ -67,6 +67,12 @@ _COMPILE_PAIR_BOUND = 2_560_000_000
 _COMPILE_PAIR_BOUND_GRID = 128 * 1_000_000
 _MINIMA_VMEM_BOUND = 64 * 1024 * 1024  # grid variant only (VMEM minima)
 _FINISH_HBM_BOUND = 2 * 1024 * 1024 * 1024
+# Measured routing crossover (r5, tools/probe_int4_cross.py, within one
+# hardware run at dim 768): at batch >= 8 the XLA tile loop beats this
+# kernel below ~4M rows (B=64: 0.78-0.92x at 0.5-2M) and loses above
+# (1.06-1.19x at 4-10M; B=8 is a tie above, 1.01-1.02x). At B=1 the
+# kernel wins at every probed N (1M: 8.6 vs 10.3 ms; 10M: 39.7 vs 54.7).
+_BATCHED_XLA_CROSSOVER_ROWS = 4_000_000
 
 
 def _round_up(x: int, m: int) -> int:
@@ -135,6 +141,8 @@ def supports(
         return False
     if n is not None:
         groups = -(-n // BLOCK)
+        if batch >= 8 and n < _BATCHED_XLA_CROSSOVER_ROWS:
+            return False  # measured: XLA wins the small-N batched pocket
         if manual:
             # the manual kernel pads queries to the 128-lane vreg width
             # (queries live on the LANE axis — see _make_manual_kernel)

@@ -284,8 +284,8 @@ def test_pallas_int4_valid_count(rng, monkeypatch):
 def test_pallas_int4_supports_fences():
     from sqlite_vector_tpu.ops import pallas_int4
 
-    assert pallas_int4.supports(DistanceMetric.L2, 384, 20, 8, 1_000_000)
-    assert not pallas_int4.supports(DistanceMetric.L1, 384, 20, 8, 1_000_000)
+    assert pallas_int4.supports(DistanceMetric.L2, 384, 20, 1, 1_000_000)
+    assert not pallas_int4.supports(DistanceMetric.L1, 384, 20, 1, 1_000_000)
     assert not pallas_int4.supports(DistanceMetric.L2, 384, 0, 8, 1000)
     assert not pallas_int4.supports(
         DistanceMetric.L2, 384, 2000, 8, 1000
@@ -304,6 +304,12 @@ def test_pallas_int4_supports_fences():
     assert not pallas_int4.supports(
         DistanceMetric.L2, 768, 20, 256, 11_000_000
     )  # b_lane * n beyond the measured compile envelope
+    # measured routing crossover (tools/probe_int4_cross.py, r5): the XLA
+    # loop wins batched scans below ~4M rows; B=1 stays on the kernel
+    assert not pallas_int4.supports(DistanceMetric.L2, 768, 20, 64, 1_000_000)
+    assert not pallas_int4.supports(DistanceMetric.L2, 768, 20, 8, 2_000_000)
+    assert pallas_int4.supports(DistanceMetric.L2, 768, 20, 1, 1_000_000)
+    assert pallas_int4.supports(DistanceMetric.L2, 768, 20, 64, 4_000_000)
     import os
 
     os.environ["SVT_PALLAS_INT4_MANUAL"] = "0"
@@ -312,7 +318,7 @@ def test_pallas_int4_supports_fences():
         assert not pallas_int4.supports(
             DistanceMetric.L2, 768, 20, 64, 10_000_000
         )
-        assert pallas_int4.supports(DistanceMetric.L2, 384, 20, 8, 1_000_000)
+        assert pallas_int4.supports(DistanceMetric.L2, 384, 20, 1, 1_000_000)
     finally:
         os.environ.pop("SVT_PALLAS_INT4_MANUAL")
     # UNCLAMPED tile budget (r4 review: the clamped helper made this check
