@@ -1781,6 +1781,12 @@ class Dataset:
                 valid_count=quant.count,
                 codes_sq_norms=quant.sq_norms,
             )
+            # materialize before stamping the decomposition — the jitted
+            # call returns async device arrays, so timing the dispatch
+            # alone records microseconds for a multi-ms scan (r5 review).
+            # device_get here is the same single fetch search() issues
+            # next; it passes numpy through untouched downstream.
+            vals, idx = jax.device_get((vals, idx))
             self.last_rerank_decomposition = {
                 "batch": q.shape[0],
                 "k": k,

@@ -566,7 +566,16 @@ class VectorConnection:
         qsnap = ds._quant
         count = qsnap.count if qsnap is not None else 0
 
-        is_i4 = count > 0 and qsnap.qtype is QuantType.I4
+        # effective qtype decides BOTH the shadow name and the stored qtype
+        # code — deriving the name from `count > 0` let a zero-row INT4
+        # quantize store qtype=3 beside a legacy-named shadow, which the
+        # cross-connection loader then rejected unrecoverably (r5 review)
+        eff_qtype = (
+            qsnap.qtype
+            if count
+            else (QuantType.U8 if opts.qtype is QuantType.AUTO else opts.qtype)
+        )
+        is_i4 = eff_qtype is QuantType.I4
         shadow = (
             _shadow_name_i4(ctx.table, ctx.column)
             if is_i4
@@ -650,9 +659,7 @@ class VectorConnection:
                         ),
                     )
             else:
-                qtype = (
-                    QuantType.U8 if opts.qtype is QuantType.AUTO else opts.qtype
-                )
+                qtype = eff_qtype
                 scale, offset = 1.0, 0.0
             for key, val in (
                 ("qtype", _QTYPE_TO_INT[qtype]),

@@ -89,7 +89,7 @@ def test_quantize_build_collectives_are_scalar_reductions():
         assert c["op"] == "all-reduce"
         # every reduced operand is scalar-ish: nothing scales with N or dim
         for _, dims in c["shapes"]:
-            assert int(np.prod(dims)) if dims else 1 <= 8
+            assert (int(np.prod(dims)) if dims else 1) <= 8
     assert r["minmax_bytes"] <= 4 * 8 * 3  # <= 3 f32-ish scalars per device
 
 

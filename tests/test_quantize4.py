@@ -312,6 +312,7 @@ def test_pallas_int4_supports_fences():
     assert pallas_int4.supports(DistanceMetric.L2, 768, 20, 64, 4_000_000)
     import os
 
+    prior = os.environ.get("SVT_PALLAS_INT4_MANUAL")
     os.environ["SVT_PALLAS_INT4_MANUAL"] = "0"
     try:
         # the GRID variant keeps minima in VMEM; its r4 bounds still apply
@@ -320,7 +321,12 @@ def test_pallas_int4_supports_fences():
         )
         assert pallas_int4.supports(DistanceMetric.L2, 384, 20, 1, 1_000_000)
     finally:
-        os.environ.pop("SVT_PALLAS_INT4_MANUAL")
+        # restore the caller's value (a plain pop would silently flip a
+        # user-exported SVT_PALLAS_INT4_MANUAL=0 back to the default)
+        if prior is None:
+            os.environ.pop("SVT_PALLAS_INT4_MANUAL")
+        else:
+            os.environ["SVT_PALLAS_INT4_MANUAL"] = prior
     # UNCLAMPED tile budget (r4 review: the clamped helper made this check
     # vacuous — a dim whose minimum 256-row tile exceeds VMEM must route
     # to the XLA loop, not crash Mosaic with a ~300 MB scratch)

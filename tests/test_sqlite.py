@@ -238,6 +238,33 @@ def test_quantize_int4_sql_surface(conn, data):
         conn.vector_quantize_scan("docs", "v", data[0].tobytes(), 5)
 
 
+def test_quantize_int4_zero_rows_round_trips(tmp_path):
+    """A zero-row INT4 quantize must store qtype=3 WITH the i4-named
+    shadow (r5 review: deriving the name from `count > 0` created a
+    legacy-named shadow beside qtype=3 metadata, which the fresh-connection
+    loader rejected unrecoverably — and re-quantizing reproduced it)."""
+    path = str(tmp_path / "p0.db")
+    c1 = svs.connect(path)
+    c1.execute("CREATE TABLE t (v BLOB)")
+    c1.commit()
+    c1.vector_init("t", "v", f"type=FLOAT32,dimension={DIM}")
+    c1.vector_quantize("t", "v", "qtype=INT4")
+    names = {
+        r[0]
+        for r in c1.execute(
+            "SELECT name FROM sqlite_master WHERE name LIKE 'vector0%'"
+        )
+    }
+    assert names == {"vector0i4_t_v"}
+    c1.close()
+    c2 = svs.connect(path)
+    c2.vector_init("t", "v", f"type=FLOAT32,dimension={DIM}")
+    q = np.zeros(DIM, np.float32)
+    # empty result, NOT a format-mismatch VectorStateError
+    assert c2.vector_quantize_scan("t", "v", q.tobytes(), 5) == []
+    c2.close()
+
+
 def test_quantize_int4_cross_connection_restore(tmp_path, data):
     """A fresh connection rebuilds the int4 quant state purely from the
     shadow records (per-row alpha/csq included) — same results as the
