@@ -889,6 +889,13 @@ def bench_10m(args):
         # an eighth of f32) — the beyond-parity line (VERDICT item 2)
         import gc
 
+        # free the int8 section's 7.7 GB codes FIRST: with the r5 refine
+        # sidecar the int4 section is itself 11.5 GB resident (3.84 packed
+        # + 7.68 sidecar), and both generations together exceed the
+        # 15.7 GB chip (measured OOM, r5 full run)
+        ds.drop_quantization()
+        gc.collect()
+
         q4dir = os.path.join(cache_dir, "quant4")
         t0 = time.time()
         # refine=True adds the int8 sidecar (one more chunked host pass,

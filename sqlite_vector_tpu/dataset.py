@@ -144,6 +144,24 @@ def _next_capacity(n: int, multiple_of: int = 1) -> int:
     return cap
 
 
+_UPLOAD_CAP_QUANTUM = 65536
+
+
+def _upload_capacity(n: int, multiple_of: int = 1) -> int:
+    """Row capacity for quantized-code UPLOADS (preload/load): the
+    power-of-two growth capacity, but never more than one 64k quantum of
+    padding. At 10M rows the pow-2 capacity (16.78M) pads the upload by
+    68% — with the r5 refine sidecar resident too that is 19.3 GB on a
+    15.7 GB chip (measured OOM, r5 full bench). The quantum preserves
+    re-quantize executable reuse for small count drifts (same quantum →
+    same shape) while bounding pad waste at 64k rows (25 MB packed)."""
+    quantum = -(-max(n, 1) // _UPLOAD_CAP_QUANTUM) * _UPLOAD_CAP_QUANTUM
+    cap = min(_next_capacity(n), quantum)
+    if multiple_of > 1:
+        cap = -(-cap // multiple_of) * multiple_of
+    return cap
+
+
 @functools.partial(jax.jit, static_argnames=("dim",))
 def _zero_pad_columns(arr, dim: int):
     """Zero feature columns >= dim (2-D-mesh code matrices: quantized
@@ -2725,7 +2743,7 @@ class Dataset:
         quant = self._require_quant("vector_quantize_preload")
         if quant.codes is not None and not isinstance(quant.codes, jnp.ndarray):
             codes = quant.codes  # may be an on-disk memmap — stream chunks
-            cap = _next_capacity(quant.count, self._mesh_size)
+            cap = _upload_capacity(quant.count, self._mesh_size)
             if quant.qtype is QuantType.I4:
                 # packed codes + the per-row scale/csq sidecars
                 quant.codes = self._upload_rows_padded(
@@ -3208,7 +3226,7 @@ class Dataset:
                     # fit HBM — the very workload host storage serves
                     codes = host_codes
                 else:
-                    cap = _next_capacity(count, ds._mesh_size)
+                    cap = _upload_capacity(count, ds._mesh_size)
                     codes = ds._upload_rows_padded(host_codes, count, cap)
                     if qtype is QuantType.I4:
                         row_scale = ds._put_aux_rows(
@@ -3237,7 +3255,7 @@ class Dataset:
                 if ds._storage == "host":
                     ds._quant.codes8 = host8  # preload() uploads on demand
                 else:
-                    cap = _next_capacity(count, ds._mesh_size)
+                    cap = _upload_capacity(count, ds._mesh_size)
                     ds._quant.codes8 = ds._upload_rows_padded(
                         host8, count, cap
                     )

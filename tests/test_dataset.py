@@ -1252,3 +1252,26 @@ def test_host_storage_load_keeps_codes_host_resident(tmp_path, rng):
     assert back.memory_bytes() > 0
     got2, _ = back.search(base[7], 3, exact=False)
     assert got2.tolist() == want.tolist()
+
+
+def test_upload_capacity_bounds_padding():
+    """Quantized-code uploads pad to min(pow2 capacity, 64k quantum): the
+    pow-2 capacity at 10M rows padded the upload 68% — with the refine
+    sidecar resident too that measured an HBM OOM (r5 full bench). Small
+    counts keep the pow-2 behavior exactly."""
+    from sqlite_vector_tpu.dataset import (
+        _UPLOAD_CAP_QUANTUM,
+        _next_capacity,
+        _upload_capacity,
+    )
+
+    # small counts: identical to the growth capacity
+    for n in (1, 300, 1024, 70_000):
+        assert _upload_capacity(n) == _next_capacity(n)
+    # large counts: bounded at one 64k quantum of padding
+    cap = _upload_capacity(10_000_000)
+    assert cap == 153 * _UPLOAD_CAP_QUANTUM  # 10,027,008
+    assert cap - 10_000_000 < _UPLOAD_CAP_QUANTUM
+    assert cap < _next_capacity(10_000_000)  # 16.78M
+    # mesh multiple still honored
+    assert _upload_capacity(10_000_000, 8) % 8 == 0
