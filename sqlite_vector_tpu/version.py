@@ -8,7 +8,7 @@ active JAX platform and which scan formulation is routed.
 
 from __future__ import annotations
 
-__version__ = "0.3.0"
+__version__ = "0.4.0"
 
 
 def version() -> str:
