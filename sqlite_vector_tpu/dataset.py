@@ -2731,6 +2731,21 @@ class Dataset:
             return base
         return quant.count * (8 + self.dimension)
 
+    def _code_upload_capacity(self, count: int) -> int:
+        """Row capacity for quantized-code uploads.
+
+        When a device-resident vector matrix exists, codes MUST share its
+        row capacity: the fused rerank kernel requires positional capacity
+        equality (the `vecs.shape[0] == quant.codes.shape[0]` gate in
+        _search_rerank), and codes are at most a quarter of the matrix's
+        bytes, so matching its pow-2 padding adds no new OOM risk. Without
+        a resident matrix (host storage — the 10M regime whose 68% pow-2
+        pad OOMed the r5 bench) use the padding-bounded _upload_capacity."""
+        vecs = self._vectors
+        if vecs is not None:
+            return int(vecs.shape[0])
+        return _upload_capacity(count, self._mesh_size)
+
     def preload(self) -> None:
         """Pin the quantized codes in HBM.
 
@@ -2743,7 +2758,7 @@ class Dataset:
         quant = self._require_quant("vector_quantize_preload")
         if quant.codes is not None and not isinstance(quant.codes, jnp.ndarray):
             codes = quant.codes  # may be an on-disk memmap — stream chunks
-            cap = _upload_capacity(quant.count, self._mesh_size)
+            cap = self._code_upload_capacity(quant.count)
             if quant.qtype is QuantType.I4:
                 # packed codes + the per-row scale/csq sidecars
                 quant.codes = self._upload_rows_padded(
@@ -3226,7 +3241,7 @@ class Dataset:
                     # fit HBM — the very workload host storage serves
                     codes = host_codes
                 else:
-                    cap = _upload_capacity(count, ds._mesh_size)
+                    cap = ds._code_upload_capacity(count)
                     codes = ds._upload_rows_padded(host_codes, count, cap)
                     if qtype is QuantType.I4:
                         row_scale = ds._put_aux_rows(
@@ -3255,7 +3270,7 @@ class Dataset:
                 if ds._storage == "host":
                     ds._quant.codes8 = host8  # preload() uploads on demand
                 else:
-                    cap = _upload_capacity(count, ds._mesh_size)
+                    cap = ds._code_upload_capacity(count)
                     ds._quant.codes8 = ds._upload_rows_padded(
                         host8, count, cap
                     )

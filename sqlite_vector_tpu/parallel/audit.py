@@ -91,7 +91,6 @@ def audit_sharded_scan(
     from sqlite_vector_tpu.types import DistanceMetric
 
     metric = metric or DistanceMetric.L2
-    d = int(np.prod(list(mesh.shape.values())))
     if two_d:
         from sqlite_vector_tpu.parallel.mesh import DIM_AXIS, ROWS_AXIS
         from sqlite_vector_tpu.parallel.ops import _sharded_scan_topk_2d_impl
@@ -141,12 +140,7 @@ def audit_sharded_scan(
         )
     hlo = lowered.compile().as_text()
     cols = parse_collectives(hlo)
-    return {
-        "collectives": cols,
-        "total_bytes": sum(c["bytes"] for c in cols),
-        "analytic_merge_bytes": collective_bytes_per_query(d, batch, k),
-        "n_devices": d,
-    }
+    return _result(mesh, cols, batch, k)
 
 
 def _result(mesh, cols, batch, k):

@@ -1275,3 +1275,38 @@ def test_upload_capacity_bounds_padding():
     assert cap < _next_capacity(10_000_000)  # 16.78M
     # mesh multiple still honored
     assert _upload_capacity(10_000_000, 8) % 8 == 0
+
+
+def test_loaded_hbm_codes_match_matrix_capacity(tmp_path, rng):
+    """Regression (r5 review): load() with resident vectors must upload the
+    codes at the MATRIX's row capacity, not the padding-bounded upload
+    capacity — the fused rerank kernel is gated on capacity equality
+    (vecs.shape[0] == codes.shape[0]), and at counts where the 64k quantum
+    undercuts the pow-2 capacity (e.g. 140k: 196,608 vs 262,144) a
+    save/load round trip silently demoted every rerank to the host-gather
+    path. Codes are <= a quarter of the matrix bytes, so matching its
+    padding adds no OOM risk (the bounded capacity still serves host
+    storage, where no matrix is resident)."""
+    import jax.numpy as jnp
+
+    n, dim = 140_000, 8
+    base = rng.standard_normal((n, dim)).astype(np.float32)
+    # make the probe row an outlier: 140k gaussians in 8-D are dense
+    # enough that the int8 prefilter legitimately misses an interior
+    # point's exact NN at expand=4 — that recall property is not what
+    # this test pins
+    base[7] += 8.0
+    ds = Dataset("capmatch", VectorOptions(dimension=dim))
+    ids = ds.add(base)
+    ds.quantize()
+    d = str(tmp_path / "ds")
+    ds.save(d)
+
+    back = Dataset.load(d)
+    assert isinstance(back._quant.codes, jnp.ndarray)
+    assert back._vectors.shape[0] == back._quant.codes.shape[0]
+    got, dist = back.search(base[7], 3, mode="rerank")
+    assert got[0] == ids[7] and dist[0] == 0.0
+    # the fused kernel ran: no host-gather decomposition was recorded
+    dec = getattr(back, "last_rerank_decomposition", None)
+    assert not (dec and dec.get("gathered_rows", 0) > 0)
