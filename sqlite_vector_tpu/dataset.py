@@ -2454,6 +2454,7 @@ class Dataset:
         build single-pass (no global min/max pass — unlike the int8 path,
         each row's scale depends only on that row), so a checkpoint resumes
         at the first unfinished chunk with no parameter state to replay."""
+        from sqlite_vector_tpu import oracle
         from sqlite_vector_tpu.ops.quantize4 import packed_width, quantize4_np
 
         p = packed_width(dim)
@@ -2531,6 +2532,19 @@ class Dataset:
             rscale = np.lib.format.open_memmap(scale_path, mode="r+")
             csq = np.lib.format.open_memmap(csq_path, mode="r+")
 
+        # refine=True needs GLOBAL min/max params for the int8 sidecar.
+        # Accumulate them DURING this loop (oracle.accumulate_quant_stats,
+        # persisted with each chunk's progress) so the sidecar build skips
+        # its own full pass over the data — at 10M x 768 that pass re-read
+        # 30.7 GB (r5 review). Stats are usable only if they cover every
+        # chunk: a resume from a checkpoint written without them (older
+        # build, or refine added later) falls back to the sidecar's own
+        # params pass.
+        stats = (meta or {}).get("refine_stats") if refine else None
+        stats_valid = refine and (done == 0 or stats is not None)
+        if not stats_valid:
+            stats = None
+
         for ci, s in enumerate(starts):
             if ci < done:
                 continue
@@ -2544,12 +2558,23 @@ class Dataset:
                 codes[ws:we] = pk
                 rscale[ws:we] = al
                 csq[ws:we] = cs
+            if stats_valid:
+                stats = oracle.accumulate_quant_stats(stats, chunk)
             if checkpoint:
                 codes.flush()
                 rscale.flush()
                 csq.flush()
                 meta["done"] = ci + 1
+                if stats_valid:
+                    meta["refine_stats"] = stats
                 self._write_quant_checkpoint(meta_path, meta)
+
+        if stats_valid and stats is None:
+            # zero chunks processed fresh (empty dataset): an explicit
+            # empty accumulation keeps the no-rows params path
+            stats = oracle.accumulate_quant_stats(
+                None, np.empty((0,), np.float32)
+            )
 
         state = _QuantState(
             QuantType.I4, np.float32(1.0), np.float32(0.0), codes, out_count,
@@ -2559,6 +2584,7 @@ class Dataset:
             self._build_refine_sidecar_host(
                 state, opts, checkpoint, _chunk, starts, live, offs,
                 count, chunk_rows, out_count, data_token, dim,
+                stats=stats if stats_valid else None,
             )
         self._quant = state
         return out_count
@@ -2566,12 +2592,15 @@ class Dataset:
     def _build_refine_sidecar_host(
         self, state, opts, checkpoint, _chunk, starts, live, offs,
         count, chunk_rows, out_count, data_token, dim,
+        stats: dict | None = None,
     ) -> None:
         """int8 sidecar for the host-resident int4 build: one more chunked
         pass writing [out_count, dim] int8/u8 codes, positionally aligned
         with the packed rows above. With `checkpoint` the sidecar lands in
         refine8.npy and resumes per chunk like the main builds (same
-        data-token staleness rule)."""
+        data-token staleness rule). `stats` (the int4 loop's accumulated
+        global min/max, oracle.accumulate_quant_stats) skips the dedicated
+        params pass — None falls back to re-streaming the chunks."""
         from sqlite_vector_tpu import oracle
 
         meta = None
@@ -2598,11 +2627,18 @@ class Dataset:
                 meta = None
 
         if meta is None:
-            # params pass: AUTO-resolved over the same snapshot
-            rq8, s8, o8 = oracle.compute_quant_params_chunked(
-                (c for c in (_chunk(s) for s in starts) if len(c)),
-                QuantType.AUTO,
-            )
+            if stats is not None:
+                # params from the int4 loop's accumulation — no second
+                # pass over the (possibly >RAM) data
+                rq8, s8, o8 = oracle.quant_params_from_stats(
+                    QuantType.AUTO, stats
+                )
+            else:
+                # params pass: AUTO-resolved over the same snapshot
+                rq8, s8, o8 = oracle.compute_quant_params_chunked(
+                    (c for c in (_chunk(s) for s in starts) if len(c)),
+                    QuantType.AUTO,
+                )
             done = 0
             if checkpoint:
                 if os.path.exists(codes_path):

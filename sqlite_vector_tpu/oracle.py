@@ -275,32 +275,55 @@ def compute_quant_params(
     return qtype, np.float32(scale), np.float32(offset)
 
 
-def compute_quant_params_chunked(
-    chunks, qtype: QuantType
+def accumulate_quant_stats(
+    stats: dict | None, chunk: np.ndarray
+) -> dict:
+    """Fold one row chunk into the streaming min/max statistics that
+    compute_quant_params_chunked maintains. `stats` is a JSON-serializable
+    dict {n_notnan, min_val, max_val, neg} (None starts a fresh
+    accumulation), so a chunked builder can persist it per chunk in its
+    crash-resume checkpoint and derive the final params without a second
+    pass over the data (quant_params_from_stats)."""
+    if stats is None:
+        stats = {
+            "n_notnan": 0,
+            "min_val": float(np.finfo(np.float32).max),
+            "max_val": float(-np.finfo(np.float32).max),
+            "neg": False,
+        }
+    v = np.asarray(chunk).astype(np.float32)
+    if v.size == 0:
+        return stats
+    vv = v[~np.isnan(v)]
+    stats["n_notnan"] += int(vv.size)
+    if vv.size:
+        # identical operation order to the in-line accumulation this
+        # replaces (np.float32 coercion each step) for bit parity
+        stats["min_val"] = float(
+            np.float32(min(float(np.float32(stats["min_val"])), float(vv.min())))
+        )
+        stats["max_val"] = float(
+            np.float32(max(float(np.float32(stats["max_val"])), float(vv.max())))
+        )
+        stats["neg"] = stats["neg"] or bool(np.any(vv < 0))
+    return stats
+
+
+def quant_params_from_stats(
+    qtype: QuantType, stats: dict
 ) -> tuple[QuantType, np.float32, np.float32]:
-    """compute_quant_params over an iterable of row chunks — identical
-    results without materializing the full matrix (the streaming pass-1 of
-    src/sqlite-vector.c:1210-1255 for >RAM host datasets)."""
-    n_notnan = 0
-    min_val = np.float32(np.finfo(np.float32).max)
-    max_val = np.float32(-np.finfo(np.float32).max)
-    contains_negative = False
-    for chunk in chunks:
-        v = np.asarray(chunk).astype(np.float32)
-        if v.size == 0:
-            continue
-        vv = v[~np.isnan(v)]
-        n_notnan += vv.size
-        if vv.size:
-            min_val = np.float32(min(float(min_val), float(vv.min())))
-            max_val = np.float32(max(float(max_val), float(vv.max())))
-            contains_negative = contains_negative or bool(np.any(vv < 0))
-    if n_notnan == 0:
+    """Resolve AUTO and compute (qtype, scale, offset) from accumulated
+    streaming statistics — the pass-2 tail of compute_quant_params_chunked
+    split out so builders that already stream the data once (the int4 +
+    refine-sidecar build) can skip a dedicated params pass."""
+    if stats["n_notnan"] == 0:
         # empty / all-NaN: the no-rows params (see compute_quant_params)
         resolved = QuantType.U8 if qtype is QuantType.AUTO else qtype
         return resolved, np.float32(1.0), np.float32(0.0)
+    min_val = np.float32(stats["min_val"])
+    max_val = np.float32(stats["max_val"])
     if qtype is QuantType.AUTO:
-        qtype = QuantType.I8 if contains_negative else QuantType.U8
+        qtype = QuantType.I8 if stats["neg"] else QuantType.U8
     abs_max = np.float32(max(abs(float(min_val)), abs(float(max_val))))
     with np.errstate(divide="ignore", invalid="ignore"):
         if qtype is QuantType.U8:
@@ -310,6 +333,20 @@ def compute_quant_params_chunked(
             scale = np.float32(127.0) / abs_max
             offset = np.float32(0.0)
     return qtype, np.float32(scale), np.float32(offset)
+
+
+def compute_quant_params_chunked(
+    chunks, qtype: QuantType
+) -> tuple[QuantType, np.float32, np.float32]:
+    """compute_quant_params over an iterable of row chunks — identical
+    results without materializing the full matrix (the streaming pass-1 of
+    src/sqlite-vector.c:1210-1255 for >RAM host datasets)."""
+    stats = None
+    for chunk in chunks:
+        stats = accumulate_quant_stats(stats, chunk)
+    if stats is None:
+        stats = accumulate_quant_stats(None, np.empty((0,), np.float32))
+    return quant_params_from_stats(qtype, stats)
 
 
 def quantize(

@@ -220,6 +220,110 @@ def test_refine_quantize_memory_counts_sidecar(rng):
     assert ds.quantize_memory() == 200 * (16 + packed_width(20))
 
 
+def test_refine_sidecar_params_from_stats_multichunk(rng, tmp_path, monkeypatch):
+    """The int4 build loop's in-flight stats accumulation produces
+    BIT-IDENTICAL sidecar params to the dedicated params pass it replaces
+    (r5 review: that pass re-read the whole — possibly >RAM — snapshot),
+    across many small chunks and with a NaN lane present (stats skip NaN
+    exactly like compute_quant_params_chunked)."""
+    import sqlite_vector_tpu.dataset as dsmod
+
+    monkeypatch.setattr(dsmod, "HOST_CHUNK_ELEMS", 16 * 16)  # 16-row chunks
+    data = rng.standard_normal((300, 16)).astype(np.float32)
+    data[17, 3] = np.nan
+    data[5] *= 50.0  # global extremes land in an early chunk
+    d = str(tmp_path / "hs")
+    svt.Dataset.save_stream(
+        d, [data], options="dimension=16,type=FLOAT32,distance=L2"
+    )
+    ds = svt.Dataset.load(d, storage="host", mmap=True)
+    ds.quantize(qtype="int4", refine=True)
+    qt, s, o = oracle.compute_quant_params_chunked(iter([data]), QuantType.AUTO)
+    assert ds._quant.qtype8 is qt
+    assert float(ds._quant.scale8) == float(s)
+    assert float(ds._quant.offset8) == float(o)
+
+
+def test_refine_added_to_finished_plain_int4_checkpoint(rng, tmp_path, monkeypatch):
+    """quantize(refine=True) over a checkpoint FINISHED by a refine=False
+    build: every int4 chunk resume-skips, so no stats were accumulated —
+    the sidecar must fall back to its own params pass (not trust absent
+    stats) and still produce the exact params."""
+    import os
+
+    import sqlite_vector_tpu.dataset as dsmod
+
+    monkeypatch.setattr(dsmod, "HOST_CHUNK_ELEMS", 16 * 16)
+    data = rng.standard_normal((300, 16)).astype(np.float32)
+    d = str(tmp_path / "hs")
+    svt.Dataset.save_stream(
+        d, [data], options="dimension=16,type=FLOAT32,distance=L2"
+    )
+    ckpt = str(tmp_path / "ck")
+    ds = svt.Dataset.load(d, storage="host", mmap=True)
+    ds.quantize(qtype="int4", checkpoint=ckpt)  # no refine, no stats
+    mtime0 = os.path.getmtime(os.path.join(ckpt, "qcodes.npy"))
+    ds2 = svt.Dataset.load(d, storage="host", mmap=True)
+    ds2.quantize(qtype="int4", refine=True, checkpoint=ckpt)
+    # the int4 build itself resumed (codes untouched)...
+    assert os.path.getmtime(os.path.join(ckpt, "qcodes.npy")) == mtime0
+    # ...and the sidecar params came out exact via the fallback pass
+    qt, s, o = oracle.compute_quant_params_chunked(iter([data]), QuantType.AUTO)
+    assert ds2._quant.qtype8 is qt
+    assert float(ds2._quant.scale8) == float(s)
+    assert float(ds2._quant.offset8) == float(o)
+
+
+def test_refine_stats_survive_crash_resume(rng, tmp_path, monkeypatch):
+    """Crash the int4 build mid-way (chunk 4 of ~19) and resume: the stats
+    accumulated before the crash come back from the checkpoint meta (they
+    are written atomically WITH each chunk's progress), the resumed loop
+    extends them, and the sidecar params still bit-match the dedicated
+    pass. The global extremes sit in chunk 0, so losing pre-crash stats
+    would visibly change the scale."""
+    import sqlite_vector_tpu.dataset as dsmod
+    import sqlite_vector_tpu.ops.quantize4 as q4
+
+    monkeypatch.setattr(dsmod, "HOST_CHUNK_ELEMS", 16 * 16)
+    data = rng.standard_normal((300, 16)).astype(np.float32)
+    data[5] *= 50.0  # extremes in chunk 0 (pre-crash)
+    d = str(tmp_path / "hs")
+    svt.Dataset.save_stream(
+        d, [data], options="dimension=16,type=FLOAT32,distance=L2"
+    )
+    ckpt = str(tmp_path / "ck")
+    real = q4.quantize4_np
+    calls = {"n": 0}
+
+    def boom(chunk):
+        calls["n"] += 1
+        if calls["n"] == 4:
+            raise RuntimeError("synthetic crash")
+        return real(chunk)
+
+    monkeypatch.setattr(q4, "quantize4_np", boom)
+    ds = svt.Dataset.load(d, storage="host", mmap=True)
+    with pytest.raises(RuntimeError, match="synthetic crash"):
+        ds.quantize(qtype="int4", refine=True, checkpoint=ckpt)
+    monkeypatch.setattr(q4, "quantize4_np", real)
+    ds2 = svt.Dataset.load(d, storage="host", mmap=True)
+    ds2.quantize(qtype="int4", refine=True, checkpoint=ckpt)
+    qt, s, o = oracle.compute_quant_params_chunked(iter([data]), QuantType.AUTO)
+    assert ds2._quant.qtype8 is qt
+    assert float(ds2._quant.scale8) == float(s)
+    assert float(ds2._quant.offset8) == float(o)
+    # and the full refine search agrees with an hbm-resident rebuild
+    store = svt.VectorStore()
+    ds3 = store.create("crr", "dimension=16,type=FLOAT32,distance=L2")
+    ds3.add(data, ids=np.arange(1, 301))
+    ds3.quantize(qtype="int4", refine=True)
+    ds2.preload()
+    a_ids, a_d = ds2.search(data[9], 5, mode="refine")
+    b_ids, b_d = ds3.search(data[9], 5, mode="refine")
+    np.testing.assert_array_equal(a_ids, b_ids)
+    np.testing.assert_allclose(a_d, b_d, rtol=1e-5, atol=1e-6)
+
+
 def test_refine_sidecar_params_match_int8_quantize(rng):
     """The sidecar's AUTO-resolved params equal a standalone int8 quantize
     of the same rows (same reference formulas, same snapshot)."""
