@@ -1349,10 +1349,13 @@ def main() -> None:
                    help="rows for the f32-RESIDENT roofline config "
                    "(default 3.5M x 768 = 10.7 GB, the largest f32 slice "
                    "that fits v5e HBM alongside workspace)")
-    p.add_argument("--budget", type=float, default=2400.0,
+    p.add_argument("--budget", type=float, default=4500.0,
                    help="soft wall-clock budget (s); remaining configs are "
                    "skipped once exceeded (0 = unlimited; raised from "
-                   "1500 in r4 for the f32-resident + int4 sections)")
+                   "2400 in r5: a measured 25 MB/s link day spends ~1100 s "
+                   "on the judged resident uploads alone, and a cold cache "
+                   "adds the one-time 10M generation — the stall watchdog "
+                   "still bounds true hangs at --stall-limit)")
     p.add_argument("--cache-dir",
                    default=os.path.join(
                        os.path.expanduser("~"), ".cache", "svt_bench"),
