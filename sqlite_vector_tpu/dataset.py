@@ -2544,6 +2544,15 @@ class Dataset:
         stats_valid = refine and (done == 0 or stats is not None)
         if not stats_valid:
             stats = None
+            # Drop any persisted stats from the loaded meta: a refine=False
+            # resume of a crashed refine=True build otherwise advances
+            # `done` while re-writing the PARTIAL stats on every checkpoint,
+            # and a later refine=True resume would trust them (done > 0 and
+            # stats non-None) — a sidecar built from min/max that cover only
+            # the pre-crash chunks. Stats in the file are trustworthy only
+            # because every write couples them with the `done` they cover.
+            if meta is not None:
+                meta.pop("refine_stats", None)
 
         for ci, s in enumerate(starts):
             if ci < done:
@@ -2776,9 +2785,16 @@ class Dataset:
         _search_rerank), and codes are at most a quarter of the matrix's
         bytes, so matching its pow-2 padding adds no new OOM risk. Without
         a resident matrix (host storage — the 10M regime whose 68% pow-2
-        pad OOMed the r5 bench) use the padding-bounded _upload_capacity."""
+        pad OOMed the r5 bench) use the padding-bounded _upload_capacity.
+
+        A STALE quantization can carry more rows than the live matrix (a
+        load() after remove+save compacts vectors but keeps the quantized
+        snapshot at its own count — the reference's staleness contract);
+        matching the smaller matrix capacity would truncate or misplace
+        those rows, so fall back to the bounded capacity. The fused gate
+        can't match anyway — it also requires `not quant.stale`."""
         vecs = self._vectors
-        if vecs is not None:
+        if vecs is not None and count <= int(vecs.shape[0]):
             return int(vecs.shape[0])
         return _upload_capacity(count, self._mesh_size)
 

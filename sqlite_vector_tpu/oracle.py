@@ -291,7 +291,7 @@ def accumulate_quant_stats(
             "max_val": float(-np.finfo(np.float32).max),
             "neg": False,
         }
-    v = np.asarray(chunk).astype(np.float32)
+    v = np.asarray(chunk).astype(np.float32, copy=False)
     if v.size == 0:
         return stats
     vv = v[~np.isnan(v)]

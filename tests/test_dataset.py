@@ -1310,3 +1310,40 @@ def test_loaded_hbm_codes_match_matrix_capacity(tmp_path, rng):
     # the fused kernel ran: no host-gather decomposition was recorded
     dec = getattr(back, "last_rerank_decomposition", None)
     assert not (dec and dec.get("gathered_rows", 0) > 0)
+
+
+def test_load_stale_quant_larger_than_live_matrix(tmp_path, rng):
+    """Regression (r5 review): a STALE quantization can carry more rows
+    than the compacted vector matrix (quantize, remove most rows, save —
+    the reference's staleness contract keeps the quantize-time snapshot).
+    load() must NOT clamp the code upload to the smaller matrix capacity:
+    that truncated/misplaced code rows (ValueError on mesh loads, silent
+    corruption single-device). The stale codes route to the id-remapping
+    paths anyway, so capacity equality with the matrix buys nothing."""
+    import jax.numpy as jnp
+
+    n, dim = 3000, 8
+    base = rng.standard_normal((n, dim)).astype(np.float32)
+    base[7] += 8.0  # keep the probe row an unambiguous outlier
+    ds = Dataset("staleq", VectorOptions(dimension=dim))
+    ids = ds.add(base)
+    ds.quantize()
+    assert ds.remove(ids[500:]) == 2500  # live 500 < MIN_CAPACITY < 3000
+    d = str(tmp_path / "ds")
+    ds.save(d)
+
+    back = Dataset.load(d)
+    assert back._quant.stale and back._quant.count == n
+    assert len(back) == 500
+    # every quantize-time code row survived the round trip
+    assert isinstance(back._quant.codes, jnp.ndarray)
+    assert back._quant.codes.shape[0] >= n
+    np.testing.assert_array_equal(
+        np.asarray(back._quant.codes)[:n, :dim],
+        np.asarray(ds._quant.codes)[:n, :dim],
+    )
+    # and the stale-remap search paths serve the live rows correctly
+    got, dist = back.search(base[7], 3, mode="rerank")
+    assert got[0] == ids[7] and dist[0] == 0.0
+    got, _ = back.search(base[700], 3, mode="rerank")
+    assert ids[700] not in got  # removed rows never resurface

@@ -324,6 +324,52 @@ def test_refine_stats_survive_crash_resume(rng, tmp_path, monkeypatch):
     np.testing.assert_allclose(a_d, b_d, rtol=1e-5, atol=1e-6)
 
 
+def test_refine_stats_dropped_by_plain_resume(rng, tmp_path, monkeypatch):
+    """Regression (r5 review): crash a refine=True build mid-way, resume it
+    with refine=FALSE (which advances `done` without accumulating), then run
+    refine=True over the finished checkpoint. The plain resume must STRIP
+    the partial refine_stats from the meta it rewrites — otherwise the
+    final run trusts stats that cover only the pre-crash chunks. The
+    global extremes sit in a LATE chunk (post-crash), so stale stats would
+    visibly change the sidecar scale."""
+    import sqlite_vector_tpu.dataset as dsmod
+    import sqlite_vector_tpu.ops.quantize4 as q4
+
+    monkeypatch.setattr(dsmod, "HOST_CHUNK_ELEMS", 16 * 16)  # 16-row chunks
+    data = rng.standard_normal((300, 16)).astype(np.float32)
+    data[250] *= 50.0  # extremes in chunk 15 — AFTER the crash point
+    d = str(tmp_path / "hs")
+    svt.Dataset.save_stream(
+        d, [data], options="dimension=16,type=FLOAT32,distance=L2"
+    )
+    ckpt = str(tmp_path / "ck")
+    real = q4.quantize4_np
+    calls = {"n": 0}
+
+    def boom(chunk):
+        calls["n"] += 1
+        if calls["n"] == 4:
+            raise RuntimeError("synthetic crash")
+        return real(chunk)
+
+    monkeypatch.setattr(q4, "quantize4_np", boom)
+    ds = svt.Dataset.load(d, storage="host", mmap=True)
+    with pytest.raises(RuntimeError, match="synthetic crash"):
+        ds.quantize(qtype="int4", refine=True, checkpoint=ckpt)
+    monkeypatch.setattr(q4, "quantize4_np", real)
+    # plain (refine=False) resume completes the int4 build
+    ds2 = svt.Dataset.load(d, storage="host", mmap=True)
+    ds2.quantize(qtype="int4", checkpoint=ckpt)
+    # refine=True over the finished checkpoint: every chunk resume-skips;
+    # it must NOT trust leftover partial stats
+    ds3 = svt.Dataset.load(d, storage="host", mmap=True)
+    ds3.quantize(qtype="int4", refine=True, checkpoint=ckpt)
+    qt, s, o = oracle.compute_quant_params_chunked(iter([data]), QuantType.AUTO)
+    assert ds3._quant.qtype8 is qt
+    assert float(ds3._quant.scale8) == float(s)
+    assert float(ds3._quant.offset8) == float(o)
+
+
 def test_refine_sidecar_params_match_int8_quantize(rng):
     """The sidecar's AUTO-resolved params equal a standalone int8 quantize
     of the same rows (same reference formulas, same snapshot)."""
