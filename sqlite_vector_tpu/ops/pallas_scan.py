@@ -84,6 +84,24 @@ def enabled() -> bool:
     return jax.default_backend() == "tpu"
 
 
+def _variant(metric: DistanceMetric | None = None) -> str:
+    """Which kernel variant runs: 'stream' (r5 — queries on the LANE axis,
+    per-tile minima streamed OUT to HBM through the DMA slots, the
+    restructure that opened pallas_int4's compile envelope), 'manual'
+    (r2 — VMEM-resident [ntiles, B, g] minima), or 'grid' (Mosaic auto
+    pipeline). SVT_PALLAS_VARIANT overrides; SVT_PALLAS_MANUAL=0 is the
+    legacy grid knob. L1 has no matmul form in the transposed orientation,
+    so it always rides the manual/grid kernels."""
+    import os
+
+    v = os.environ.get("SVT_PALLAS_VARIANT")
+    if v not in ("stream", "manual", "grid"):
+        v = "manual" if os.environ.get("SVT_PALLAS_MANUAL", "1") == "1" else "grid"
+    if v == "stream" and metric is DistanceMetric.L1:
+        return "manual"
+    return v
+
+
 def _tile_rows(d_pad: int, itemsize: int, nbuf: int) -> int:
     """ONE tile-sizing rule for every kernel path (grid nbuf=2, manual
     nbuf=env): env override (validated to a multiple of BLOCK in
@@ -118,6 +136,14 @@ _MINIMA_VMEM_BOUND = 64 * 1024 * 1024
 # tracks the batch*rows product, so fence on it directly: admit nothing
 # beyond the largest configuration measured to compile.
 _COMPILE_PAIR_BOUND = 64 * 1_000_000  # b_pad * n, largest measured-good
+# STREAM variant fence (r5): streaming the minima to HBM removes the
+# b_pad*n-scaling VMEM term (residency = nbuf*(tile + minima slot)
+# regardless of N), exactly as it did for pallas_int4 — whose envelope
+# probe opened completely once restructured this way. PROVISIONAL until
+# this kernel's own envelope is recorded (tools/probe_stream.py
+# --envelope on hardware; the traceable-fence rule): start at the manual
+# kernel's evidenced bound, raise only to a measured-good product.
+_COMPILE_PAIR_BOUND_STREAM = 64 * 1_000_000  # b_lane * n (provisional)
 # Bound on the finish step's candidate gather ([b, kg*BLOCK, d_pad] f32 in
 # HBM) — without it, allowed (b, k, d) combinations materialize tens of GB.
 _FINISH_HBM_BOUND = 2 * 1024 * 1024 * 1024
@@ -130,10 +156,13 @@ def supports(
     k: int,
     batch: int,
     n: int | None = None,
+    variant: str | None = None,
 ) -> bool:
     """Static predicate: can the Pallas kernel run this configuration?
     Pass `n` (database rows) to also apply the N-dependent memory bounds;
-    a False here routes to the XLA scan, which tiles instead."""
+    a False here routes to the XLA scan, which tiles instead. `variant`
+    pins which kernel's envelope is checked (default: the env-selected
+    one, matching what pallas_scan_topk would run)."""
     import os
 
     if k <= 0 or k > MAX_K:
@@ -155,17 +184,29 @@ def supports(
     )
     if budget // (nbuf * d_pad * itemsize) < 256:
         return False
+    if variant is None or (
+        variant == "stream" and metric is DistanceMetric.L1
+    ):
+        variant = _variant(metric)
     if n is not None:
-        b_pad = _round_up(max(batch, 8), 8)
-        # measured Mosaic failure envelope first (register-allocator spill
-        # — see _COMPILE_PAIR_BOUND): every config in STATUS.md's routing
-        # table that failed to compile is rejected here, so
-        # SVT_FORCE_PALLAS=1 can never route into a known compiler crash
-        if b_pad * n > _COMPILE_PAIR_BOUND:
-            return False
         groups = -(-n // BLOCK)
-        if b_pad * groups * 4 > _MINIMA_VMEM_BOUND:
-            return False
+        if variant == "stream":
+            # the stream kernel's VMEM residency is N-independent (minima
+            # go to HBM through the DMA slots) — only the compile fence
+            # and the finish gather bound apply
+            b_lane = _round_up(max(batch, 8), 128)
+            if b_lane * n > _COMPILE_PAIR_BOUND_STREAM:
+                return False
+        else:
+            b_pad = _round_up(max(batch, 8), 8)
+            # measured Mosaic failure envelope first (register-allocator
+            # spill — see _COMPILE_PAIR_BOUND): every config in STATUS.md's
+            # routing table that failed to compile is rejected here, so
+            # SVT_FORCE_PALLAS=1 can never route into a known compiler crash
+            if b_pad * n > _COMPILE_PAIR_BOUND:
+                return False
+            if b_pad * groups * 4 > _MINIMA_VMEM_BOUND:
+                return False
         kg = min(k, groups)
         if batch * kg * BLOCK * d_pad * 4 > _FINISH_HBM_BOUND:
             return False
@@ -376,6 +417,221 @@ def _make_manual_kernel(
     return kernel
 
 
+def _distance_block_t(q, tile, bsq_col, metric: DistanceMetric, is_int: bool):
+    """Transposed [TILE_N, b_lane] distance fragment for the STREAM kernel
+    (queries on the LANE axis — see _make_manual_stream_kernel). Same
+    compositions as _distance_block with the per-query terms as
+    [1, b_lane] rows and the per-tile-row terms as [T, 1] columns; the
+    MXU work is identical (the array is 128 lanes wide either way). L1
+    has no matmul form here and routes to the manual/grid kernels."""
+    dn = (((1,), (1,)), ((), ()))
+    if is_int:
+        dot = jax.lax.dot_general(
+            tile, q, dimension_numbers=dn, preferred_element_type=jnp.int32
+        )
+        qi = q.astype(jnp.int32)
+        qsq = jnp.sum(qi * qi, axis=-1)[None, :]  # [1, b_lane]
+        if metric is DistanceMetric.DOT:
+            return (-dot).astype(jnp.float32)
+        if metric in (DistanceMetric.L2, DistanceMetric.SQUARED_L2):
+            d = qsq + bsq_col - 2 * dot  # exact int32
+            return d.astype(jnp.float32)
+        # COSINE (quantized domain)
+        dotf = dot.astype(jnp.float32)
+        qsqf = qsq.astype(jnp.float32)
+        bsqf = bsq_col.astype(jnp.float32)
+        denom = jnp.sqrt(qsqf) * jnp.sqrt(bsqf)
+        safe = jnp.where(denom > 0.0, denom, 1.0)
+        cos = jnp.where(denom > 0.0, dotf / safe, 0.0)
+        return jnp.where((qsqf == 0.0) | (bsqf == 0.0), 1.0, 1.0 - cos)
+
+    mm_q = q
+    mm_tile = tile
+    if q.dtype == jnp.float16:
+        mm_q = q.astype(jnp.float32)
+        mm_tile = tile.astype(jnp.float32)
+    from sqlite_vector_tpu.ops.distance import matmul_precision
+
+    precision = None if mm_q.dtype == jnp.bfloat16 else matmul_precision()
+    dot = jax.lax.dot_general(
+        mm_tile,
+        mm_q,
+        dimension_numbers=dn,
+        preferred_element_type=jnp.float32,
+        precision=precision,
+    )
+    qf = q.astype(jnp.float32)
+    qsq = jnp.sum(qf * qf, axis=-1)[None, :]  # [1, b_lane]
+    if metric is DistanceMetric.DOT:
+        return -dot
+    bsqf = bsq_col.astype(jnp.float32)
+    if metric in (DistanceMetric.L2, DistanceMetric.SQUARED_L2):
+        d = qsq + bsqf - 2.0 * dot
+        resid = FLT_EPSILON * 16.0 * (qsq + bsqf)
+        return jnp.where((d <= resid) & jnp.isfinite(resid), 0.0, d)
+    # COSINE
+    denom = jnp.sqrt(qsq) * jnp.sqrt(bsqf)
+    safe = jnp.where(denom > 0.0, denom, 1.0)
+    cos = jnp.where(denom > 0.0, dot / safe, 0.0)
+    d = jnp.where(jnp.isnan(dot) | jnp.isnan(denom), jnp.nan, 1.0 - cos)
+    return jnp.where((qsq == 0.0) | (bsqf == 0.0), 1.0, d)
+
+
+def _make_manual_stream_kernel(
+    metric: DistanceMetric,
+    tile_n: int,
+    ntiles: int,
+    is_int: bool,
+    nbuf: int,
+    b_lane: int,
+):
+    """STREAM variant (r5, ported from pallas_int4's restructure): queries
+    on the LANE axis (b_lane, a 128 multiple), rows on sublanes; per-tile
+    minima stream OUT to HBM through the same nbuf DMA slots. The manual
+    kernel's VMEM-resident [ntiles, B, g] minima output was THE compile
+    binder (register spill tracking b_pad*n — _COMPILE_PAIR_BOUND = 64M);
+    here VMEM residency is nbuf*(tile + [g_tile, b_lane] minima slot)
+    regardless of N, which opened pallas_int4's envelope to every probed
+    b_lane*n up to 2.56e9. Mosaic requires VMEM slice lane widths
+    128-aligned, hence the transposed [g_tile, b_lane] minima slot (the
+    [B, g_tile] orientation cannot be sliced at g_tile = 16)."""
+    g_tile = tile_n // BLOCK
+
+    def kernel(valid_ref, q_ref, base_hbm, mins_hbm):
+        q = q_ref[:]  # [b_lane, d_pad]
+
+        def body(scratch, mins_scratch, sems, out_sems):
+            def tile_dma(slot, idx):
+                return pltpu.make_async_copy(
+                    base_hbm.at[pl.ds(idx * tile_n, tile_n), :],
+                    scratch.at[slot],
+                    sems.at[slot],
+                )
+
+            def out_dma(slot, idx):
+                return pltpu.make_async_copy(
+                    mins_scratch.at[slot],
+                    mins_hbm.at[idx],
+                    out_sems.at[slot],
+                )
+
+            for i in range(min(nbuf - 1, ntiles)):
+                tile_dma(i, i).start()
+
+            def loop(i, carry):
+                slot = jax.lax.rem(i, nbuf)
+
+                @pl.when(i + nbuf - 1 < ntiles)
+                def _():
+                    nxt = jax.lax.rem(i + nbuf - 1, nbuf)
+                    tile_dma(nxt, i + nbuf - 1).start()
+
+                tile_dma(slot, i).wait()
+                tile = scratch[slot]
+                if is_int:
+                    ti = tile.astype(jnp.int32)
+                    bsq = jnp.sum(ti * ti, axis=-1, keepdims=True)  # [T, 1]
+                else:
+                    tf = tile.astype(jnp.float32)
+                    bsq = jnp.sum(tf * tf, axis=-1, keepdims=True)
+                dist = _distance_block_t(q, tile, bsq, metric, is_int)
+                # identical ranking semantics to _make_kernel: near-zero
+                # snap (L2 in the squared domain), NaN -> +inf, padding
+                # rows (>= valid_count) -> +inf
+                thresh = (
+                    NEARLY_ZERO * NEARLY_ZERO
+                    if metric is DistanceMetric.L2
+                    else NEARLY_ZERO
+                )
+                dist = jnp.where(jnp.abs(dist) <= thresh, 0.0, dist)
+                dist = jnp.where(jnp.isnan(dist), jnp.inf, dist)
+                start = i * tile_n
+                iota_n = jax.lax.broadcasted_iota(
+                    jnp.int32, (tile_n, b_lane), 0
+                )
+                dist = jnp.where(
+                    start + iota_n < valid_ref[0, 0], dist, jnp.inf
+                )
+
+                # the copy issued nbuf iterations ago must land before the
+                # slot is overwritten
+                @pl.when(i >= nbuf)
+                def _():
+                    out_dma(slot, i - nbuf).wait()
+
+                mins_scratch[slot] = jnp.min(
+                    dist.reshape(g_tile, BLOCK, b_lane), axis=1
+                )
+                out_dma(slot, i).start()
+                return carry
+
+            jax.lax.fori_loop(0, ntiles, loop, 0)
+            # drain the last <= nbuf in-flight output copies
+            for j in range(max(0, ntiles - nbuf), ntiles):
+                out_dma(j % nbuf, j).wait()
+
+        pl.run_scoped(
+            body,
+            scratch=pltpu.VMEM(
+                (nbuf, tile_n, base_hbm.shape[1]), base_hbm.dtype
+            ),
+            mins_scratch=pltpu.VMEM((nbuf, g_tile, b_lane), jnp.float32),
+            sems=pltpu.SemaphoreType.DMA((nbuf,)),
+            out_sems=pltpu.SemaphoreType.DMA((nbuf,)),
+        )
+
+    return kernel
+
+
+@functools.partial(jax.jit, static_argnames=("metric", "interpret"))
+def _pallas_block_minima_stream(
+    queries: jnp.ndarray,
+    base: jnp.ndarray,
+    valid: jnp.ndarray,
+    *,
+    metric: DistanceMetric,
+    interpret: bool = False,
+):
+    import os
+
+    b, d = queries.shape
+    n = base.shape[0]
+    is_int = jnp.issubdtype(base.dtype, jnp.integer)
+    d_pad = _round_up(d, 128)
+    # queries live on the LANE axis: pad to the full 128-lane vreg width —
+    # the MXU/VPU process 128 lanes per pass regardless, so b < 128 costs
+    # the same as 128, and the padding buys the aligned minima slice
+    b_lane = _round_up(max(b, 8), 128)
+    nbuf = int(os.environ.get("SVT_PALLAS_NBUF", "4"))
+    tile_n = _tile_rows(d_pad, base.dtype.itemsize, nbuf)
+    n_pad = _round_up(max(n, tile_n), tile_n)
+    ntiles = n_pad // tile_n
+    g_tile = tile_n // BLOCK
+
+    if d_pad != d or b_lane != b:
+        queries = jnp.pad(queries, ((0, b_lane - b), (0, d_pad - d)))
+    if d_pad != d or n_pad != n:
+        base = jnp.pad(base, ((0, n_pad - n), (0, d_pad - d)))
+    valid_arr = jnp.asarray(valid, jnp.int32).reshape(1, 1)
+
+    kernel = _make_manual_stream_kernel(
+        metric, tile_n, ntiles, bool(is_int), nbuf, b_lane
+    )
+    minima = pl.pallas_call(
+        kernel,
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pl.ANY),  # stays in HBM, manual DMA
+        ],
+        out_specs=pl.BlockSpec(memory_space=pl.ANY),  # minima stay in HBM
+        out_shape=jax.ShapeDtypeStruct((ntiles, g_tile, b_lane), jnp.float32),
+        compiler_params=pltpu.CompilerParams(has_side_effects=True),
+        interpret=interpret,
+    )(valid_arr, queries, base)
+    return jnp.transpose(minima, (2, 0, 1)).reshape(b_lane, ntiles * g_tile)
+
+
 @functools.partial(jax.jit, static_argnames=("metric", "interpret"))
 def _pallas_block_minima_manual(
     queries: jnp.ndarray,
@@ -544,6 +800,34 @@ def _finish_from_minima(
     return out_vals, out_idx.astype(jnp.int32)
 
 
+# Measured routing pocket for the STREAM variant in production
+# (fused_scan_topk): None disables the route. Set ONLY from a recorded
+# hardware head-to-head (tools/probe_stream.py, STATUS.md round 5) — the
+# same evidence rule as quantize4._BATCHED_XLA_CROSSOVER_ROWS.
+_STREAM_ROUTE_MIN_ROWS: int | None = None
+_STREAM_ROUTE_MIN_BATCH = 8
+
+
+def stream_route(metric, dtype, dim: int, k: int, batch: int, n: int) -> bool:
+    """Should production routing send this config to the STREAM kernel?
+    True only inside the measured win pocket (batched, large-N) AND the
+    compile envelope. The XLA scan stays the default everywhere else —
+    the r3 routing decision, unchanged."""
+    if _STREAM_ROUTE_MIN_ROWS is None:
+        return False
+    if metric is DistanceMetric.L1:
+        return False
+    if batch < _STREAM_ROUTE_MIN_BATCH or n < _STREAM_ROUTE_MIN_ROWS:
+        return False
+    if not enabled():
+        return False
+    import os
+
+    if os.environ.get("SVT_PALLAS_VARIANT") in ("manual", "grid"):
+        return False  # explicit override wins
+    return supports(metric, dtype, dim, k, batch, n, variant="stream")
+
+
 def pallas_scan_topk(
     queries: jnp.ndarray,
     base: jnp.ndarray,
@@ -553,18 +837,26 @@ def pallas_scan_topk(
     valid_count: jnp.ndarray | int | None = None,
     base_sq_norms: jnp.ndarray | None = None,
     interpret: bool | None = None,
+    variant: str | None = None,
 ) -> tuple[jnp.ndarray, jnp.ndarray]:
     """Fused top-k scan via the Pallas block-minima kernel + exact finish.
-    Same contract as ops.scan.scan_topk."""
+    Same contract as ops.scan.scan_topk. `variant` overrides the env
+    selection ('stream' | 'manual' | 'grid') — the production router
+    passes it explicitly so routing never depends on ambient env state."""
     b, d = queries.shape
     n = base.shape[0]
     if interpret is None:
         interpret = jax.default_backend() != "tpu"
     valid = jnp.asarray(n if valid_count is None else valid_count, jnp.int32)
 
-    import os
-
-    if os.environ.get("SVT_PALLAS_MANUAL", "1") == "1":
+    if variant is None or (variant == "stream" and metric is DistanceMetric.L1):
+        variant = _variant(metric)
+    if variant == "stream":
+        # stream kernel: tile norms in-kernel, minima to HBM (r5)
+        minima = _pallas_block_minima_stream(
+            queries, base, valid, metric=metric, interpret=interpret
+        )
+    elif variant == "manual":
         # the manual kernel computes tile norms in-kernel (the tile is
         # already in VMEM) — materializing base_sq_norms here would cost a
         # full extra HBM pass for nothing

@@ -214,6 +214,29 @@ def fused_scan_topk(
             valid_count=valid_count,
             base_sq_norms=base_sq_norms,
         )
+    # r5 measured carve-out: the STREAM kernel (minima to HBM, queries on
+    # lanes) wins the batched large-N regime where the XLA path is
+    # epilogue-bound on its [B, N] intermediate — the same pocket the int4
+    # kernel was measured to win (STATUS.md r5 crossover tables). Routing
+    # admits exactly that pocket; stream_route() is False until its
+    # constants are backed by a recorded probe (tools/probe_stream.py).
+    if (
+        not force
+        and row_mask is None
+        and policy_vtype is None
+        and pallas_scan.stream_route(
+            metric, base.dtype, base.shape[1], k, b, n
+        )
+    ):
+        return pallas_scan.pallas_scan_topk(
+            queries,
+            base,
+            metric,
+            k,
+            valid_count=valid_count,
+            base_sq_norms=base_sq_norms,
+            variant="stream",
+        )
     return scan_topk(
         queries,
         base,

@@ -194,9 +194,67 @@ def test_near_zero_snap_before_ranking(rng):
     assert np.asarray(vals)[0, 0] == np.asarray(xvals)[0, 0] == 0.0
 
 
-def test_supports_memory_bounds():
+@pytest.mark.parametrize("metric", METRICS)
+def test_stream_variant_matches_oracle(metric, rng, monkeypatch):
+    """The r5 STREAM kernel (queries on lanes, minima streamed to HBM)
+    must be rank-identical to the oracle across every metric; L1 silently
+    rides the manual kernel (no transposed matmul form)."""
+    monkeypatch.setenv("SVT_PALLAS_VARIANT", "stream")
+    monkeypatch.setenv("SVT_PALLAS_TILE_ROWS", "256")  # force multi-tile
+    n, dim, b, k = 700, 100, 3, 12  # unaligned shapes, 3 row tiles
+    base = rng.standard_normal((n, dim)).astype(np.float32)
+    queries = rng.standard_normal((b, dim)).astype(np.float32)
+    vals, idx = pallas_scan_topk(queries, base, metric, k, valid_count=n)
+    oidx, ovals = _oracle_topk(base, queries, metric, VectorType.F32, k)
+    np.testing.assert_array_equal(np.asarray(idx), oidx)
+    np.testing.assert_allclose(np.asarray(vals), ovals, rtol=2e-4, atol=2e-4)
+
+
+@pytest.mark.parametrize("qdtype", [np.int8, np.uint8])
+def test_stream_variant_int_codes_exact(qdtype, rng, monkeypatch):
+    """Stream kernel on quantized codes: exact int32 distance domain,
+    identical to the XLA quantized scan (the reference's vQuantRunMemory
+    semantics, src/sqlite-vector.c:2134-2136)."""
+    from sqlite_vector_tpu.ops.scan import scan_topk
+
+    monkeypatch.setenv("SVT_PALLAS_VARIANT", "stream")
+    monkeypatch.setenv("SVT_PALLAS_TILE_ROWS", "256")
+    n, dim, b, k = 600, 64, 5, 10
+    lo, hi = (-128, 128) if qdtype is np.int8 else (0, 256)
+    base = rng.integers(lo, hi, (n, dim)).astype(qdtype)
+    queries = rng.integers(lo, hi, (b, dim)).astype(qdtype)
+    for metric in (DistanceMetric.L2, DistanceMetric.COSINE, DistanceMetric.DOT):
+        vals, idx = pallas_scan_topk(queries, base, metric, k, valid_count=n)
+        xvals, xidx = scan_topk(queries, base, metric, k, valid_count=n)
+        np.testing.assert_array_equal(np.asarray(idx), np.asarray(xidx))
+        np.testing.assert_allclose(
+            np.asarray(vals), np.asarray(xvals), rtol=1e-6, atol=1e-6
+        )
+
+
+def test_stream_variant_single_tile_and_wide_batch(rng, monkeypatch):
+    """Edge cases of the stream kernel's DMA drain: ntiles < nbuf (one
+    tile, drain loop handles fewer in-flight copies than slots) and
+    b > 128 (two lane vregs of queries)."""
+    monkeypatch.setenv("SVT_PALLAS_VARIANT", "stream")
+    monkeypatch.setenv("SVT_PALLAS_TILE_ROWS", "256")
+    n, dim, k = 200, 32, 5  # one 256-row tile < nbuf=4
+    base = rng.standard_normal((n, dim)).astype(np.float32)
+    queries = rng.standard_normal((130, dim)).astype(np.float32)  # b_lane=256
+    vals, idx = pallas_scan_topk(
+        queries, base, DistanceMetric.L2, k, valid_count=n
+    )
+    oidx, ovals = _oracle_topk(base, queries, DistanceMetric.L2, VectorType.F32, k)
+    np.testing.assert_array_equal(np.asarray(idx), oidx)
+    np.testing.assert_allclose(np.asarray(vals), ovals, rtol=2e-4, atol=2e-4)
+
+
+def test_supports_memory_bounds(monkeypatch):
     """N-dependent gates: huge minima footprints and candidate gathers
-    route to the XLA scan instead of overflowing VMEM/HBM."""
+    route to the XLA scan instead of overflowing VMEM/HBM. (These bounds
+    document the MANUAL variant's envelope — pin it so a forced
+    SVT_PALLAS_VARIANT=stream doesn't change the fences under test.)"""
+    monkeypatch.setenv("SVT_PALLAS_VARIANT", "manual")
     # B=1024, n=4M: manual minima output alone is 128 MB of VMEM
     assert not supports(DistanceMetric.L2, np.float32, 384, 20, 1024, 4_000_000)
     assert supports(DistanceMetric.L2, np.float32, 384, 20, 64, 1_000_000)
@@ -204,13 +262,16 @@ def test_supports_memory_bounds():
     assert not supports(DistanceMetric.L2, np.float32, 768, 256, 256, 4_000_000)
 
 
-def test_supports_rejects_measured_mosaic_crashes():
+def test_supports_rejects_measured_mosaic_crashes(monkeypatch):
     """The static fence must reject EVERY config in STATUS.md's round-3
     routing table that crashed the Mosaic compiler (VMEM exhaustion,
     "132.40M of 128.00M" — register-allocator spill the analytic minima
     bound does not model), and keep admitting the one that compiled. A
     user forcing SVT_FORCE_PALLAS=1 on a mainstream shape must never get
-    a 262 s compile attempt ending in a compiler crash."""
+    a 262 s compile attempt ending in a compiler crash. (The crash table
+    is the MANUAL variant's — its VMEM-resident minima are the spill
+    term; pin the variant under test.)"""
+    monkeypatch.setenv("SVT_PALLAS_VARIANT", "manual")
     # measured envelope: dim 384, k=20, f32 (tools/probe_bn.py, real v5e)
     crash_configs = [
         (256, 1_000_000),  # "Ran out of memory in memory space vmem"
